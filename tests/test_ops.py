@@ -1,0 +1,244 @@
+"""Unit tests for i2v_tpu.ops against closed-form cases and torch parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2v_tpu.ops import grads, losses, pixel, smoothing
+
+
+class TestPixel:
+    def test_normalize_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
+        y = pixel.unnormalize(pixel.normalize(x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_normalize_channel_axis(self):
+        x = np.random.RandomState(1).rand(2, 3, 4, 8, 8).astype(np.float32)
+        got = pixel.normalize(jnp.asarray(x), channel_axis=1)
+        mean = np.array(pixel.IMAGENET_MEAN).reshape(1, 3, 1, 1, 1)
+        std = np.array(pixel.IMAGENET_STD).reshape(1, 3, 1, 1, 1)
+        np.testing.assert_allclose(np.asarray(got), (x - mean) / std, rtol=1e-4, atol=1e-6)
+
+    def test_project_linf_invariants(self):
+        rng = np.random.RandomState(2)
+        clean = jnp.asarray(rng.rand(4, 3, 2, 8, 8).astype(np.float32))
+        adv = clean + jnp.asarray(rng.randn(4, 3, 2, 8, 8).astype(np.float32))
+        eps = 16 / 255
+        out = np.asarray(pixel.project_linf(adv, clean, eps))
+        assert (out >= 0).all() and (out <= 1).all()
+        assert (np.abs(out - np.asarray(clean)) <= eps + 1e-6).all()
+
+    def test_sign_step_analytic(self):
+        # FGSM step on a known gradient: adv = clean + α·sign(g), in-ball.
+        clean = jnp.full((1, 3, 1, 4, 4), 0.5, dtype=jnp.float32)
+        g = jnp.ones_like(clean)
+        out = pixel.sign_step_project(clean, g, clean, 0.01, 16 / 255)
+        np.testing.assert_allclose(np.asarray(out), 0.51, atol=1e-7)
+
+    def test_rebuild_adv_matches_reference_formula(self):
+        rng = np.random.RandomState(3)
+        clean = rng.rand(6, 8, 8, 3).astype(np.float32)
+        m = (rng.randn(6, 8, 8, 3) * 0.2).astype(np.float32)
+        eps = 16 / 255
+        out = np.asarray(pixel.rebuild_adv(jnp.asarray(clean), jnp.asarray(m), eps))
+        want = np.clip(clean + np.clip(m, -eps, eps), 0, 1)
+        np.testing.assert_allclose(out, want, atol=1e-7)
+
+    def test_flatten_unflatten_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(4).rand(2, 3, 4, 8, 8).astype(np.float32))
+        frames = pixel.flatten_clip_to_frames(x)
+        assert frames.shape == (8, 8, 8, 3)
+        back = pixel.unflatten_frames_to_clip(frames, 2)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_flatten_frame_order_matches_reference(self):
+        # reference: permute([0,2,1,3,4]).reshape(b*f,c,h,w) — frame-major per clip
+        x = np.arange(2 * 3 * 4 * 2 * 2, dtype=np.float32).reshape(2, 3, 4, 2, 2)
+        frames = np.asarray(pixel.flatten_clip_to_frames(jnp.asarray(x)))
+        want = x.transpose(0, 2, 3, 4, 1).reshape(8, 2, 2, 3)
+        np.testing.assert_array_equal(frames, want)
+
+
+class TestLosses:
+    def test_cosine_matches_torch_semantics(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(5)
+        a = rng.randn(6, 37).astype(np.float32)
+        b = rng.randn(6, 37).astype(np.float32)
+        got = np.asarray(losses.cosine_similarity_flat(jnp.asarray(a), jnp.asarray(b)))
+        want = torch.nn.functional.cosine_similarity(
+            torch.from_numpy(a), torch.from_numpy(b)
+        ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_cosine_identical_is_one(self):
+        a = jnp.asarray(np.random.RandomState(6).randn(4, 2, 3, 5).astype(np.float32))
+        got = losses.cosine_similarity_flat(a, a)
+        np.testing.assert_allclose(np.asarray(got), 1.0, atol=1e-6)
+
+    def test_dispersion_matches_torch_std(self):
+        torch = pytest.importorskip("torch")
+        x = np.random.RandomState(7).randn(4, 5, 6).astype(np.float32)
+        got = float(losses.dispersion_cost([jnp.asarray(x)]))
+        want = float(torch.from_numpy(x).std())
+        assert abs(got - want) < 1e-4
+
+    def test_cross_entropy_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(8)
+        logits = rng.randn(5, 11).astype(np.float32)
+        labels = rng.randint(0, 11, size=5)
+        got = float(losses.cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+        want = float(
+            torch.nn.CrossEntropyLoss()(
+                torch.from_numpy(logits), torch.from_numpy(labels)
+            )
+        )
+        assert abs(got - want) < 1e-4
+
+    def test_ilaf_cost_direction(self):
+        # When step features equal the init adv features, magnitude gain = 1
+        # and angle = 1 → cost per tap = -(0.5 + 1) = -1.5.
+        rng = np.random.RandomState(9)
+        clean = jnp.asarray(rng.randn(2, 3, 4).astype(np.float32))
+        adv = clean + jnp.asarray(rng.randn(2, 3, 4).astype(np.float32))
+        dirs, norms = losses.feature_delta_direction([adv], [clean])
+        cost = losses.ilaf_cost([adv], [clean], dirs, norms)
+        np.testing.assert_allclose(float(cost), -1.5, atol=1e-5)
+
+    def test_tap_distance_zero_for_identical(self):
+        x = jnp.asarray(np.random.RandomState(10).randn(3, 4, 5).astype(np.float32))
+        d = losses.tap_feature_distance([x], [x], batch=3)
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+class TestGrads:
+    def test_norm_grads_frame_level(self):
+        g = np.random.RandomState(11).randn(2, 3, 32, 4, 4).astype(np.float32)
+        out = np.asarray(grads.norm_grads(jnp.asarray(g), frame_level=True))
+        want = g / np.mean(np.abs(g), axis=(1, 3, 4), keepdims=True)
+        np.testing.assert_allclose(out, want, rtol=1e-5)
+
+    def test_norm_grads_clip_level(self):
+        g = np.random.RandomState(12).randn(2, 3, 32, 4, 4).astype(np.float32)
+        out = np.asarray(grads.norm_grads(jnp.asarray(g), frame_level=False))
+        want = g / np.mean(np.abs(g), axis=(1, 2, 3, 4), keepdims=True)
+        np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+class TestSmoothing:
+    def test_ti_kernel_matches_scipy_formula(self):
+        scipy_stats = pytest.importorskip("scipy.stats")
+        x = np.linspace(-3, 3, 15)
+        k1 = scipy_stats.norm.pdf(x)
+        want = np.outer(k1, k1)
+        want /= want.sum()
+        np.testing.assert_allclose(smoothing.ti_kernel_2d(15, 3), want, rtol=1e-6)
+
+    def test_ti_kernel_3d_normalized(self):
+        k = smoothing.ti_kernel_3d(7, 3)
+        assert k.shape == (7, 7, 7)
+        np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+
+    def test_temporal_kernels(self):
+        for mode in ("gaussian", "linear", "uniform"):
+            k = smoothing.temporal_kernel(15, mode)
+            assert k.shape == (15,)
+            np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+        # linear kernel is a symmetric ramp peaking at the center
+        k = smoothing.temporal_kernel(7, "linear")
+        np.testing.assert_allclose(k, k[::-1], rtol=1e-6)
+        assert k[3] == k.max()
+
+    def test_depthwise_conv2d_identity_kernel(self):
+        g = jnp.asarray(np.random.RandomState(13).randn(1, 3, 4, 8, 8).astype(np.float32))
+        ident = np.zeros((3, 3), np.float32)
+        ident[1, 1] = 1.0
+        out = smoothing.depthwise_conv2d_frames(g, ident)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(g), atol=1e-6)
+
+    def test_depthwise_conv2d_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(14)
+        g = rng.randn(2, 3, 4, 9, 9).astype(np.float32)
+        k = smoothing.ti_kernel_2d(5, 3)
+        got = np.asarray(smoothing.depthwise_conv2d_frames(jnp.asarray(g), k))
+        stack = torch.from_numpy(np.tile(k[None, None], (3, 1, 1, 1)))
+        want = np.empty_like(g)
+        for t in range(4):
+            want[:, :, t] = torch.nn.functional.conv2d(
+                torch.from_numpy(g[:, :, t]), stack, groups=3, stride=1, padding=2
+            ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_depthwise_conv3d_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(15)
+        g = rng.randn(1, 3, 6, 7, 7).astype(np.float32)
+        k = smoothing.uniform_kernel_3d(3, 3)
+        got = np.asarray(smoothing.depthwise_conv3d(jnp.asarray(g), k))
+        stack = torch.from_numpy(np.tile(k[None, None], (3, 1, 1, 1, 1)))
+        want = torch.nn.functional.conv3d(
+            torch.from_numpy(g), stack, groups=3, stride=1, padding=1
+        ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_cycle_variants_match_manual_roll(self):
+        x = jnp.asarray(np.random.RandomState(16).rand(1, 3, 8, 2, 2).astype(np.float32))
+        shifts = [-2, -1, 0, 1, 2]
+        vs = smoothing.cycle_variants(x, shifts)
+        assert vs.shape == (5, 1, 3, 8, 2, 2)
+        for i, s in enumerate(shifts):
+            np.testing.assert_array_equal(
+                np.asarray(vs[i]), np.asarray(jnp.roll(x, s, axis=2))
+            )
+
+    def test_smooth_variant_grads_is_weighted_sum(self):
+        rng = np.random.RandomState(17)
+        g = rng.randn(5, 1, 3, 4, 2, 2).astype(np.float32)
+        k = smoothing.temporal_kernel(5, "gaussian")
+        got = np.asarray(smoothing.smooth_variant_grads(jnp.asarray(g), k))
+        want = np.tensordot(k, g, axes=(0, 0))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_large_move_shift(self):
+        # frames=32: move 1 → (1+15)%32 = 16; move -1 → -16; move 0 → 0
+        assert smoothing.large_move_shift(0, 32) == 0
+        assert smoothing.large_move_shift(1, 32) == 16
+        assert smoothing.large_move_shift(-1, 32) == -16
+        assert smoothing.large_move_shift(7, 32) == 22
+
+
+class TestPallasFallback:
+    """On the CPU test platform the pallas module must dispatch to the jnp
+    path and agree with i2v_tpu.ops.pixel exactly."""
+
+    def test_sign_step_fallback(self):
+        from i2v_tpu.ops import pallas_kernels as pk
+
+        rng = np.random.RandomState(18)
+        clean = jnp.asarray(rng.rand(2, 3, 4, 8, 8).astype(np.float32))
+        adv = jnp.asarray(rng.rand(2, 3, 4, 8, 8).astype(np.float32))
+        g = jnp.asarray(rng.randn(2, 3, 4, 8, 8).astype(np.float32))
+        got = pk.sign_step_project(adv, g, clean, 0.01, 16 / 255)
+        want = pixel.sign_step_project(adv, g, clean, 0.01, 16 / 255)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_rebuild_fallback_and_grad(self):
+        from i2v_tpu.ops import pallas_kernels as pk
+
+        rng = np.random.RandomState(19)
+        clean = jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32))
+        m = jnp.asarray((rng.randn(4, 8, 8, 3) * 0.1).astype(np.float32))
+        eps = 16 / 255
+        got = pk.rebuild_adv(clean, m, eps)
+        want = pixel.rebuild_adv(clean, m, eps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-7)
+        # gradient flows only where both clamps are inactive
+        gfun = jax.grad(lambda mm: jnp.sum(pk.rebuild_adv(clean, mm, eps) ** 2))
+        dm = np.asarray(gfun(m))
+        assert np.isfinite(dm).all()
+        clipped_out = np.abs(np.asarray(m)) > eps
+        assert (dm[clipped_out] == 0).all()
