@@ -1,0 +1,203 @@
+"""Attack engine core: jit-compiled lax.scan PGD loops.
+
+The reference implements every attack as a Python step loop mutating CUDA
+tensors (base_attacks.py:282-294 et al.). Here a single engine expresses the
+shared structure the TPU way:
+
+  - the whole ``steps``-iteration loop is ONE ``lax.scan`` inside ONE ``jit``
+    (traced once, compiled once per input shape; no host↔device ping-pong),
+  - the per-step pixel update is the fused Pallas kernel
+    (:func:`i2v_tpu.ops.pallas_kernels.sign_step_project`),
+  - gradient post-processing (smoothing → normalization → momentum) is a
+    configurable pure-function pipeline covering MI/DI/TI/SGM/SIM/TT variants,
+  - attack modes default/targeted/least_likely reproduce the reference's
+    ``_targeted`` sign + label-transform protocol (base_attacks.py:49-80).
+
+Calling convention stays reference-compatible: attacks are callables taking a
+*normalized-domain* clip batch ``(B, C, T, H, W)`` + labels and returning the
+normalized adversarial batch (base_attacks.py:226-234). Internally everything
+runs in the [0,1] pixel domain; sign equivalence holds because normalization
+is a positive per-channel affine map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import grads as grad_ops
+from ..ops import pallas_kernels as pk
+from ..ops import pixel
+
+# grad_fn(adv01, labels, rng) -> (cost, grad_wrt_adv01); cost already carries
+# the targeted sign (maximized by ascent).
+GradFn = Callable[[jnp.ndarray, jnp.ndarray, jax.Array], tuple[jnp.ndarray, jnp.ndarray]]
+
+
+@dataclasses.dataclass(frozen=True)
+class SignAttackConfig:
+    """Hyper-parameters of the iterative sign attack family.
+
+    Defaults mirror the reference: ε=16/255, step_size=ε/steps
+    (base_attacks.py:266-270).
+    """
+
+    epsilon: float = 16 / 255
+    steps: int = 10
+    step_size: Optional[float] = None
+    use_momentum: bool = False
+    decay: float = 1.0
+    # gradient normalization before momentum: 'frame' | 'clip' | 'l1' | None
+    grad_norm: Optional[str] = None
+
+    @property
+    def alpha(self) -> float:
+        return self.step_size if self.step_size is not None else self.epsilon / self.steps
+
+
+def _apply_grad_norm(g: jnp.ndarray, kind: Optional[str]) -> jnp.ndarray:
+    if kind is None:
+        return g
+    if kind == "frame":
+        return grad_ops.norm_grads(g, frame_level=True)
+    if kind == "clip":
+        return grad_ops.norm_grads(g, frame_level=False)
+    if kind == "l1":
+        return grad_ops.l1_normalize(g)
+    raise ValueError(f"unknown grad_norm {kind!r}")
+
+
+def run_sign_attack(
+    grad_fn: GradFn,
+    clean01: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: SignAttackConfig,
+    *,
+    smooth_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    rng: Optional[jax.Array] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the full iterative sign attack as one scan.
+
+    Returns ``(adv01, per_step_costs)``. ``clean01``/returned adv are in the
+    [0,1] pixel domain, shape (B, C, T, H, W).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    mom0 = jnp.zeros_like(clean01)
+
+    def step(carry, _):
+        adv, mom, key = carry
+        key, sub = jax.random.split(key)
+        cost, g = grad_fn(adv, labels, sub)
+        if smooth_fn is not None:
+            g = smooth_fn(g)
+        g = _apply_grad_norm(g, cfg.grad_norm)
+        if cfg.use_momentum:
+            g = g + mom * cfg.decay
+            mom = g
+        adv = pk.sign_step_project(adv, g, clean01, cfg.alpha, cfg.epsilon)
+        return (adv, mom, key), cost
+
+    (adv, _, _), costs = jax.lax.scan(step, (clean01, mom0, rng), None, length=cfg.steps)
+    return adv, costs
+
+
+class Attack:
+    """Base class: reference-compatible calling convention + attack modes.
+
+    Subclasses implement ``_attack01(clean01, labels, rng) -> (adv01, costs)``.
+    ``__call__`` accepts/returns *normalized-domain* clips like the reference
+    engines (base_attacks.py:226-234), records per-step costs in
+    ``self.loss_info``, and handles targeted/least-likely label transforms.
+    """
+
+    def __init__(self, name: str, model: Any = None):
+        self.attack = name
+        self.model = model
+        self._targeted = 1
+        self._attack_mode = "default"
+        self._target_map_function = None
+        self.loss_info: dict = {}
+
+    # -- attack modes (reference: base_attacks.py:49-80) --------------------
+    def set_attack_mode(self, mode: str, target_map_function=None) -> None:
+        if mode == "default":
+            self._attack_mode, self._targeted = "default", 1
+        elif mode == "targeted":
+            if target_map_function is None:
+                raise ValueError("targeted mode requires a target_map_function")
+            self._attack_mode, self._targeted = "targeted", -1
+            self._target_map_function = target_map_function
+        elif mode == "least_likely":
+            self._attack_mode, self._targeted = "least_likely", -1
+        else:
+            raise ValueError(f"invalid attack mode {mode!r}")
+
+    def _transform_labels(self, clean01, labels):
+        if self._attack_mode == "targeted":
+            return self._target_map_function(clean01, labels)
+        if self._attack_mode == "least_likely":
+            logits = self.model.apply01(clean01)
+            return jnp.argmin(logits, axis=-1)
+        return labels
+
+    # -- subclass hook -------------------------------------------------------
+    def _attack01(self, clean01, labels, rng):
+        raise NotImplementedError
+
+    def __call__(self, videos, labels, video_names=None, rng=None):
+        videos = jnp.asarray(videos)
+        labels = jnp.asarray(labels)
+        clean01 = pixel.unnormalize(videos, channel_axis=1)
+        labels = self._transform_labels(clean01, labels)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        adv01, costs = self._attack01(clean01, labels, rng)
+        self._record_costs(costs, video_names)
+        return pixel.normalize(adv01, channel_axis=1)
+
+    def _record_costs(self, costs, video_names) -> None:
+        if video_names is None or costs is None:
+            return
+        import numpy as np
+
+        costs = np.asarray(costs)
+        for name in video_names:
+            per_video = self.loss_info.setdefault(str(name), {})
+            for i, c in enumerate(costs):
+                per_video[i] = {"cost": str(np.float32(c))}
+
+    def __str__(self):
+        skip = {"model", "attack", "loss_info"}
+        items = {
+            k: v for k, v in self.__dict__.items()
+            if k not in skip and not k.startswith("_")
+        }
+        items["attack_mode"] = self._attack_mode
+        body = ", ".join(f"{k}={v}" for k, v in items.items())
+        return f"{self.attack}({body})"
+
+
+def make_ce_grad_fn(apply_norm: Callable, targeted: int = 1) -> GradFn:
+    """Cross-entropy gradient taken w.r.t. the *normalized-domain* input, as
+    the reference does (base_attacks.py:284-287); the pixel-domain sign step
+    is sign-equivalent because normalization is a positive channel scale.
+
+    ``apply_norm(clip_norm_bcthw) -> logits``; cost = targeted·CE (ascended).
+    """
+    from ..ops import losses
+
+    def cost_fn(x_norm, labels):
+        return targeted * losses.cross_entropy(apply_norm(x_norm), labels)
+
+    vg = jax.value_and_grad(cost_fn)
+
+    def grad_fn(adv01, labels, rng):
+        x_norm = pixel.normalize(adv01, channel_axis=1)
+        return vg(x_norm, labels)
+
+    return grad_fn

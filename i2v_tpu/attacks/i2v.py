@@ -1,0 +1,302 @@
+"""Image-guided cross-modal attacks: DR, I2V, ENS-I2V, AENS-I2V-MF, ILAF.
+
+The reference implements these as hook-driven Python loops with a torch Adam
+on a modifier Parameter (image_attacks.py:129-496, TPAMI_attack.py:141-320).
+Here one scan engine covers the family:
+
+  - clips are flattened to an NHWC frame batch once (B·T frames — a large,
+    MXU-friendly batch; the frame axis is also the natural sharding axis),
+  - clean feature taps are computed once and frozen (stop_gradient),
+  - surrogate forwards are TRUNCATED at the deepest tap — the classifier head
+    FLOPs the reference spends (it hooks the middle of a full forward,
+    image_attacks.py:318,334) are never executed here; losses are identical,
+  - the 60-step Adam loop is one lax.scan under one jit: optax.adam with
+    torch defaults (b1=0.9, b2=0.999, eps=1e-8, eps_root=0) on the modifier,
+  - the ε-clamp + [0,1]-clamp input rebuild is the fused Pallas custom-VJP
+    kernel (i2v_tpu.ops.pallas_kernels.rebuild_adv).
+
+Class names match the reference so CLI dispatch works unchanged
+(image_main.py:66-80).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.api import ImageModel, VideoModel
+from ..ops import losses, pixel
+from ..ops import pallas_kernels as pk
+from .core import Attack
+
+MODIFIER_INIT = 0.01 / 255  # reference: image_attacks.py:197,304,436
+
+
+def adam_like_torch(lr: float) -> optax.GradientTransformation:
+    """optax.adam configured to match torch.optim.Adam bit-for-bit
+    (eps inside the sqrt must be 0)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
+
+
+def run_adam_modifier_attack(
+    loss_fn: Callable,
+    clean01_frames: jnp.ndarray,
+    *,
+    steps: int,
+    step_size: float,
+    epsilon: float,
+    state0: Any = None,
+):
+    """Generic Adam-on-modifier loop.
+
+    ``loss_fn(adv01_frames, state) -> (cost, new_state, record)`` where state
+    threads adaptive-attack variables (AENS coefficients) through the scan.
+    Returns (adv01_frames, stacked records).
+    """
+    opt = adam_like_torch(step_size)
+    mod0 = jnp.full_like(clean01_frames, MODIFIER_INIT)
+    opt_state0 = opt.init(mod0)
+
+    def objective(modifier, state):
+        adv01 = pk.rebuild_adv(clean01_frames, modifier, epsilon)
+        return loss_fn(adv01, state)
+
+    grad_fn = jax.grad(objective, has_aux=True)
+
+    def step(carry, _):
+        modifier, opt_state, state = carry
+        g, (new_state, record) = grad_fn(modifier, state)
+        updates, opt_state = opt.update(g, opt_state)
+        modifier = optax.apply_updates(modifier, updates)
+        return (modifier, opt_state, new_state), record
+
+    (modifier, _, _), records = jax.lax.scan(
+        step, (mod0, opt_state0, state0), None, length=steps
+    )
+    adv01 = pk.rebuild_adv(clean01_frames, jax.lax.stop_gradient(modifier), epsilon)
+    return adv01, records
+
+
+def _collect_taps(models: Sequence[ImageModel], frames01):
+    taps = []
+    for m in models:
+        _, t = m.apply01_taps(frames01)
+        taps.extend(t)
+    return taps
+
+
+class _FrameAttack(Attack):
+    """Shared plumbing: clip→frame flattening, per-shape jit cache, loss_info."""
+
+    def __init__(self, name: str, models: Sequence[ImageModel],
+                 epsilon: float, steps: int, step_size: float):
+        super().__init__(name, models[0] if models else None)
+        self.models = list(models)
+        self.epsilon = epsilon
+        self.steps = steps
+        self.step_size = step_size
+        self._jit_cache: dict = {}
+
+    def _make_loss(self, clean_taps):
+        raise NotImplementedError
+
+    def _state0(self):
+        return None
+
+    def _build_runner(self):
+        models = self.models
+
+        def runner(clean01):
+            b = clean01.shape[0]
+            frames = pixel.flatten_clip_to_frames(clean01)
+            clean_taps = [jax.lax.stop_gradient(t) for t in _collect_taps(models, frames)]
+            loss_fn = self._make_loss(clean_taps)
+            adv_frames, records = run_adam_modifier_attack(
+                loss_fn, frames, steps=self.steps, step_size=self.step_size,
+                epsilon=self.epsilon, state0=self._state0(),
+            )
+            return pixel.unflatten_frames_to_clip(adv_frames, b), records
+
+        return runner
+
+    def _attack01(self, clean01, labels, rng):
+        key = clean01.shape
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._build_runner())
+        adv01, records = self._jit_cache[key](clean01)
+        return adv01, records
+
+
+class ImageGuidedStd_Adam(_FrameAttack):
+    """Dispersion Reduction: minimize Σ std(tap activations)
+    (reference: image_attacks.py:129-234)."""
+
+    def __init__(self, models: Sequence[ImageModel], step_size: float,
+                 epsilon=16 / 255, steps=10):
+        super().__init__("ImageGuidedStd_Adam", models, epsilon, steps, step_size)
+
+    def _make_loss(self, clean_taps):
+        models = self.models
+
+        def loss_fn(adv01, state):
+            taps = _collect_taps(models, adv01)
+            cost = losses.dispersion_cost(taps)
+            return cost, (state, cost)
+
+        return loss_fn
+
+
+class ImageGuidedFMDirection_Adam(_FrameAttack):
+    """The I2V attack: minimize per-frame cosine similarity between adversarial
+    and clean tap features (reference: image_attacks.py:236-364)."""
+
+    def __init__(self, models: Sequence[ImageModel], step_size: float,
+                 epsilon=16 / 255, steps=10):
+        super().__init__("ImageGuidedFMDirection_Adam", models, epsilon, steps, step_size)
+
+    def _make_loss(self, clean_taps):
+        models = self.models
+
+        def loss_fn(adv01, state):
+            taps = _collect_taps(models, adv01)
+            cost = losses.i2v_cost(taps, clean_taps)
+            return cost, (state, cost)
+
+        return loss_fn
+
+
+class ImageGuidedFML2_Adam_MultiModels(ImageGuidedFMDirection_Adam):
+    """ENS-I2V: the same cosine objective summed over several surrogate
+    models' taps; fixed step_size=0.005, steps=60
+    (reference: image_attacks.py:366-496)."""
+
+    def __init__(self, models: Sequence[ImageModel], epsilon=16 / 255, steps=60):
+        super().__init__(models, step_size=0.005, epsilon=epsilon, steps=steps)
+        self.attack = "ImageGuidedFML2_Adam_MultiModels"
+
+
+class AENS_I2V_MF(_FrameAttack):
+    """Adaptive ENS-I2V with multi-layer taps and per-step coefficient
+    re-weighting: coeffs = softmax(softmax(prev_loss) + momentum·coeffs)
+    (reference: TPAMI_attack.py:141-320).
+
+    ``__call__`` returns (adv, used_time, cost_saved) like the reference
+    (TPAMI_attack.py:320); per-step coefficients are kept in ``self.weights``.
+    """
+
+    def __init__(self, models: Sequence[ImageModel], step_size: float,
+                 momentum: float = 0.0, coef_CE: bool = False,
+                 epsilon=16 / 255, steps=60):
+        super().__init__("AENS_I2V_MF", models, epsilon, steps, step_size)
+        self.momentum = momentum
+        self.coef_CE = coef_CE
+        self.n_taps = sum(len(m.tap_keys) for m in models)
+        self.weights: list = []
+
+    def _state0(self):
+        coeffs = jnp.ones((self.n_taps,), dtype=jnp.float32)
+        prev = jnp.ones((self.n_taps,), dtype=jnp.float32)
+        return (coeffs, prev)
+
+    def _make_loss(self, clean_taps):
+        models = self.models
+        momentum = self.momentum
+        coef_ce = self.coef_CE
+
+        def loss_fn(adv01, state):
+            coeffs, prev = state
+            coeffs = jax.nn.softmax(jax.nn.softmax(prev) + momentum * coeffs)
+            taps = _collect_taps(models, adv01)
+            per_tap = losses.per_tap_frame_cosines(taps, clean_taps)  # (taps, B·T)
+            each = jnp.sum(coeffs[:, None] * per_tap, axis=1)         # (taps,)
+            cost = jnp.mean(each)
+            if coef_ce:
+                new_prev = jax.lax.stop_gradient(each)
+            else:
+                new_prev = jax.lax.stop_gradient(jnp.sum(per_tap, axis=1))
+            return cost, ((coeffs, new_prev), (cost, coeffs))
+
+        return loss_fn
+
+    def __call__(self, videos, labels, video_names=None, rng=None):
+        import time
+
+        videos = jnp.asarray(videos)
+        clean01 = pixel.unnormalize(videos, channel_axis=1)
+        key = clean01.shape
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._build_runner())
+            self._jit_cache[key](clean01)[0].block_until_ready()  # compile
+        begin = time.time()
+        adv01, (costs, coeffs) = self._jit_cache[key](clean01)
+        adv01.block_until_ready()
+        used_time = time.time() - begin
+        cost_saved = np.asarray(costs)
+        self.weights = list(np.asarray(coeffs))
+        self._record_costs(cost_saved, video_names)
+        return pixel.normalize(adv01, channel_axis=1), used_time, cost_saved
+
+
+class ILAF(Attack):
+    """Intermediate-Level Attack (Flexible): fine-tune an existing adversarial
+    clip to amplify its mid-layer feature displacement on the white-box video
+    model (reference: image_attacks.py:498-629).
+
+    loss per tap = −(0.5·‖Δ_step‖/‖Δ_init‖ + ⟨dir_init, dir_step⟩), sign
+    descent on the modifier (no Adam). The reference's output-reshape layout
+    scramble (image_attacks.py:625-628) is intentionally NOT reproduced —
+    output layout is identity (SURVEY.md C20).
+    """
+
+    def __init__(self, model: VideoModel, model_type: str = "",
+                 step_size=0.005, epsilon=16 / 255, steps=60):
+        super().__init__("ILAF", model)
+        self.model_type = model_type
+        self.epsilon = epsilon
+        self.steps = steps
+        self.step_size = step_size
+        self._jit_cache: dict = {}
+
+    def _build_runner(self):
+        model = self.model
+        eps, alpha, steps = self.epsilon, self.step_size, self.steps
+
+        def runner(adv01, clean01):
+            _, clean_taps = model.apply01_taps(clean01)
+            clean_taps = [jax.lax.stop_gradient(t) for t in clean_taps]
+            _, adv_taps = model.apply01_taps(adv01)
+            adv_taps = [jax.lax.stop_gradient(t) for t in adv_taps]
+            init_dirs, init_norms = losses.feature_delta_direction(adv_taps, clean_taps)
+
+            def cost_fn(modifier):
+                x01 = pk.rebuild_adv(clean01, modifier, eps)
+                _, taps = model.apply01_taps(x01)
+                return losses.ilaf_cost(taps, clean_taps, init_dirs, init_norms)
+
+            vg = jax.value_and_grad(cost_fn)
+
+            def step(modifier, _):
+                cost, g = vg(modifier)
+                return modifier - alpha * jnp.sign(g), cost
+
+            mod0 = adv01 - clean01  # existing perturbation (image_attacks.py:573)
+            modifier, costs = jax.lax.scan(step, mod0, None, length=steps)
+            return pk.rebuild_adv(clean01, modifier, eps), costs
+
+        return runner
+
+    def __call__(self, videos, ori_videos, labels, video_names=None, rng=None):
+        videos = jnp.asarray(videos)
+        ori_videos = jnp.asarray(ori_videos)
+        adv01 = pixel.unnormalize(videos, channel_axis=1)
+        clean01 = pixel.unnormalize(ori_videos, channel_axis=1)
+        key = adv01.shape
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._build_runner())
+        out01, costs = self._jit_cache[key](adv01, clean01)
+        self._record_costs(costs, video_names)
+        return pixel.normalize(out01, channel_axis=1)

@@ -1,0 +1,9 @@
+"""Model zoo: Flax image/video backbones with explicit feature taps."""
+
+from .api import ImageModel, TinyVideoNet, VideoModel, init_bundle  # noqa: F401
+from .registry import (  # noqa: F401
+    DEPTH_TO_TAP,
+    IMAGE_MODEL_NAMES,
+    build_image_model,
+    get_image_models,
+)

@@ -71,16 +71,17 @@ def tap_feature_distance(
 ) -> jnp.ndarray:
     """TAP mid-layer distance: per-sample L2 between sign(f)·sqrt(|f|) maps,
     summed over taps → (batch,) (reference: base_attacks.py:789-792).
+    Uses the NaN-safe :func:`i2v_tpu.ops.activations.signed_sqrt`.
     """
-
-    def signed_sqrt(x):
-        x = x.astype(jnp.float32)
-        return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
+    from .activations import signed_sqrt
 
     per_tap = []
     for a, c in zip(taps_adv, taps_clean):
-        d = signed_sqrt(a).reshape(batch, -1) - signed_sqrt(c).reshape(batch, -1)
-        per_tap.append(jnp.linalg.norm(d, axis=1))
+        a32, c32 = a.astype(jnp.float32), c.astype(jnp.float32)
+        d = signed_sqrt(a32).reshape(batch, -1) - signed_sqrt(c32).reshape(batch, -1)
+        # ε-regularized L2: at step 0 adv == clean, and the exact norm's
+        # gradient is 0/0 (a second latent NaN in the reference formulation).
+        per_tap.append(jnp.sqrt(jnp.sum(d * d, axis=1) + 1e-12))
     return jnp.sum(jnp.stack(per_tap), axis=0)
 
 

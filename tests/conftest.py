@@ -1,10 +1,16 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding paths
-are exercised without TPU hardware (SURVEY.md §4)."""
+are exercised without TPU hardware (SURVEY.md §4).
+
+Environment subtlety: this machine's sitecustomize registers the tunneled
+'axon' TPU PJRT plugin and imports jax at interpreter startup, latching
+JAX_PLATFORMS=axon — so env vars are too late here. ``jax.config.update``
+still works because no backend has been *initialized* yet; keeping the axon
+backend out entirely is essential (its first initialization claims the TPU
+through the relay and can block for minutes)."""
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS is read lazily at CPU-client creation, so this still applies.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+# Persistent compile cache: single-core XLA:CPU compiles dominate test
+# wall-time; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

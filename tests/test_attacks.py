@@ -1,0 +1,270 @@
+"""Attack engine tests on tiny checkpoint-free backbones (SURVEY.md §4):
+ε-ball/[0,1] invariants after every attack, loss movement in the right
+direction, analytic one-step cases, and torch-parity of the Adam update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import i2v_tpu.attacks as attacks
+from i2v_tpu.models import TinyVideoNet, get_image_models, init_bundle
+from i2v_tpu.ops import losses, pixel
+
+EPS = 16 / 255
+
+
+@pytest.fixture(scope="module")
+def video_bundle():
+    clip = jnp.zeros((2, 3, 4, 32, 32), dtype=jnp.float32)
+    return init_bundle(TinyVideoNet(), clip, "tinyvid", tap_keys=("block1", "block2"))
+
+
+@pytest.fixture(scope="module")
+def clean_batch():
+    rng = np.random.RandomState(0)
+    clips01 = rng.rand(2, 3, 4, 32, 32).astype(np.float32)
+    videos = pixel.normalize(jnp.asarray(clips01), channel_axis=1)  # loader domain
+    labels = jnp.asarray([1, 3])
+    return videos, labels
+
+
+def _check_invariants(adv_norm, videos_norm):
+    adv01 = np.asarray(pixel.unnormalize(adv_norm, channel_axis=1))
+    clean01 = np.asarray(pixel.unnormalize(videos_norm, channel_axis=1))
+    assert adv01.min() >= -1e-5 and adv01.max() <= 1 + 1e-5
+    assert np.abs(adv01 - clean01).max() <= EPS + 1e-5
+
+
+def _ce(bundle, videos_norm, labels):
+    logits = bundle.apply_norm(videos_norm)
+    return float(losses.cross_entropy(logits, labels))
+
+
+class TestSignAttacks:
+    def test_fgsm_invariants_and_ascent(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.FGSM(video_bundle)
+        adv = atk(videos, labels)
+        _check_invariants(adv, videos)
+        assert _ce(video_bundle, adv, labels) > _ce(video_bundle, videos, labels)
+
+    def test_fgsm_analytic_step(self, video_bundle, clean_batch):
+        # one ε-step of sign: every pixel moved by exactly ε or clipped at 0/1
+        videos, labels = clean_batch
+        adv = attacks.FGSM(video_bundle)(videos, labels)
+        adv01 = np.asarray(pixel.unnormalize(adv, channel_axis=1))
+        clean01 = np.asarray(pixel.unnormalize(videos, channel_axis=1))
+        delta = np.abs(adv01 - clean01)
+        at_eps = np.isclose(delta, EPS, atol=1e-5)
+        at_bound = np.isclose(adv01, 0, atol=1e-5) | np.isclose(adv01, 1, atol=1e-5)
+        zero_grad = np.isclose(delta, 0, atol=1e-6)
+        assert (at_eps | at_bound | zero_grad).all()
+
+    def test_bim_ascends_loss(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        adv = attacks.BIM(video_bundle, steps=5)(videos, labels)
+        _check_invariants(adv, videos)
+        assert _ce(video_bundle, adv, labels) > _ce(video_bundle, videos, labels)
+
+    def test_mifgsm(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        adv = attacks.MIFGSM(video_bundle, steps=3)(videos, labels)
+        _check_invariants(adv, videos)
+
+    def test_difgsm(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.DIFGSM(video_bundle, steps=3, momentum=True)
+        adv = atk(videos, labels, rng=jax.random.PRNGKey(7))
+        _check_invariants(adv, videos)
+
+    def test_tifgsm_2d_and_3d(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        for cls in (attacks.TIFGSM, attacks.TIFGSM3D):
+            adv = cls(video_bundle, steps=2, kernlen=5)(videos, labels)
+            _check_invariants(adv, videos)
+
+    def test_sgm_gamma_one_equals_bim(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        a = attacks.SGM(video_bundle, steps=3, gamma=1.0)(videos, labels)
+        b = attacks.BIM(video_bundle, steps=3)(videos, labels)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_sgm_gamma_changes_result(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        a = attacks.SGM(video_bundle, steps=3, gamma=0.2)(videos, labels)
+        b = attacks.BIM(video_bundle, steps=3)(videos, labels)
+        assert float(jnp.abs(a - b).max()) > 1e-4
+
+    def test_sim(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        adv = attacks.SIM(video_bundle, steps=2, scale_steps=3)(videos, labels)
+        _check_invariants(adv, videos)
+
+    def test_targeted_mode_descends_target_loss(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.BIM(video_bundle, steps=5)
+        atk.set_attack_mode("targeted", lambda imgs, l: (l + 1) % 10)
+        target = (labels + 1) % 10
+        adv = atk(videos, labels)
+        assert _ce(video_bundle, adv, target) < _ce(video_bundle, videos, target)
+
+    def test_least_likely_mode(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.BIM(video_bundle, steps=3)
+        atk.set_attack_mode("least_likely")
+        adv = atk(videos, labels)
+        _check_invariants(adv, videos)
+
+    def test_invalid_mode_rejected(self, video_bundle):
+        atk = attacks.BIM(video_bundle, steps=1)
+        with pytest.raises(ValueError):
+            atk.set_attack_mode("bogus")
+        with pytest.raises(ValueError):
+            atk.set_attack_mode("targeted")  # missing map function
+
+
+class TestTAP:
+    def test_tap_runs_and_records(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.TAP(video_bundle, params={"kernlen": 3, "temporal_kernlen": 3,
+                                                "eta": 1e3, "conv3d": True}, steps=2)
+        adv = atk(videos, labels)
+        _check_invariants(adv, videos)
+        assert set(atk.loss_info.keys()) == {0, 1}
+        assert {"ce loss", "reg_cost", "distance"} <= set(atk.loss_info[0].keys())
+
+    def test_tap_2d_variant(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.TAP(video_bundle, params={"conv3d": False}, steps=2)
+        _check_invariants(atk(videos, labels), videos)
+
+
+class TestTemporalTranslation:
+    def test_tt_invariants(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.TemporalTranslation(
+            video_bundle, params={"kernlen": 5, "momentum": True, "weight": 0.3,
+                                  "move_type": "adj", "kernel_mode": "gaussian"},
+            steps=2)
+        adv = atk(videos, labels)
+        _check_invariants(adv, videos)
+
+    def test_tt_move_types(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        for mt in ("large", "random"):
+            atk = attacks.TemporalTranslation(
+                video_bundle, params={"kernlen": 3, "move_type": mt}, steps=1)
+            _check_invariants(atk(videos, labels), videos)
+
+    def test_tt_ascends_loss(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.TemporalTranslation(
+            video_bundle, params={"kernlen": 3}, steps=5)
+        adv = atk(videos, labels)
+        assert _ce(video_bundle, adv, labels) > _ce(video_bundle, videos, labels)
+
+
+@pytest.fixture(scope="module")
+def tiny_image_models():
+    return get_image_models(["resnet", "alexnet"],
+                            {"resnet": 2, "alexnet": 3}, tiny=True, input_hw=32)
+
+
+class TestI2VFamily:
+    def test_i2v_cosine_descends(self, tiny_image_models, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.ImageGuidedFMDirection_Adam(
+            tiny_image_models[:1], step_size=0.005, steps=8)
+        adv = atk(videos, labels, video_names=["v0", "v1"])
+        _check_invariants(adv, videos)
+        costs = [float(atk.loss_info["v0"][i]["cost"]) for i in range(8)]
+        assert costs[-1] < costs[0]
+
+    def test_dr_descends(self, tiny_image_models, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.ImageGuidedStd_Adam(tiny_image_models[:1], step_size=0.005, steps=8)
+        adv = atk(videos, labels, video_names=["a", "b"])
+        _check_invariants(adv, videos)
+        costs = [float(atk.loss_info["a"][i]["cost"]) for i in range(8)]
+        assert costs[-1] < costs[0]
+
+    def test_ens_multi_model(self, tiny_image_models, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.ImageGuidedFML2_Adam_MultiModels(tiny_image_models, steps=4)
+        adv = atk(videos, labels, video_names=["a", "b"])
+        _check_invariants(adv, videos)
+        assert atk.step_size == 0.005  # reference-pinned
+
+    def test_adam_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from i2v_tpu.attacks.i2v import adam_like_torch
+        import optax
+
+        w0 = np.array([0.5, -1.2, 2.0], np.float32)
+        # optax path
+        opt = adam_like_torch(0.01)
+        w = jnp.asarray(w0)
+        state = opt.init(w)
+        for _ in range(5):
+            g = 2 * w  # grad of sum(w^2)
+            updates, state = opt.update(g, state)
+            w = optax.apply_updates(w, updates)
+        # torch path
+        wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.Adam([wt], lr=0.01)
+        for _ in range(5):
+            topt.zero_grad()
+            (wt**2).sum().backward()
+            topt.step()
+        np.testing.assert_allclose(np.asarray(w), wt.detach().numpy(), atol=2e-5)
+
+
+class TestAENS:
+    def test_aens_coeff_math(self, tiny_image_models, clean_batch):
+        videos, labels = clean_batch
+        atk = attacks.AENS_I2V_MF(tiny_image_models, step_size=0.005,
+                                  momentum=0.5, steps=3)
+        adv, used_time, cost_saved = atk(videos, labels, video_names=["a", "b"])
+        _check_invariants(adv, videos)
+        assert cost_saved.shape == (3,)
+        assert used_time > 0
+        assert len(atk.weights) == 3
+        # step-0 coefficients: softmax(softmax(ones) + 0.5*ones) = uniform
+        np.testing.assert_allclose(atk.weights[0], np.full(2, 0.5), atol=1e-6)
+        # later coefficients still simplex-normalized
+        np.testing.assert_allclose(np.sum(atk.weights[-1]), 1.0, atol=1e-6)
+
+    def test_aens_multilayer(self, clean_batch):
+        videos, labels = clean_batch
+        models = get_image_models(
+            ["alexnet", "squeezenet"],
+            {"alexnet": [2, 3], "squeezenet": [2, 3]}, tiny=True, input_hw=32)
+        atk = attacks.AENS_I2V_MF(models, step_size=0.005, steps=2)
+        adv, _, cost_saved = atk(videos, labels)
+        assert atk.n_taps == 4
+        _check_invariants(adv, videos)
+
+
+class TestILAF:
+    def test_ilaf_invariants(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        bim_adv = attacks.BIM(video_bundle, steps=3)(videos, labels)
+        atk = attacks.ILAF(video_bundle, "tiny", steps=4)
+        out = atk(bim_adv, videos, labels, video_names=["a", "b"])
+        _check_invariants(out, videos)
+        assert out.shape == videos.shape
+
+    def test_ilaf_amplifies_feature_shift(self, video_bundle, clean_batch):
+        videos, labels = clean_batch
+        bim_adv = attacks.BIM(video_bundle, steps=2)(videos, labels)
+        out = attacks.ILAF(video_bundle, "tiny", steps=6)(bim_adv, videos, labels)
+
+        def feat_shift(x_norm):
+            clean01 = pixel.unnormalize(videos, channel_axis=1)
+            x01 = pixel.unnormalize(x_norm, channel_axis=1)
+            _, tc = video_bundle.apply01_taps(clean01)
+            _, tx = video_bundle.apply01_taps(x01)
+            return sum(float(jnp.linalg.norm(a - c)) for a, c in zip(tx, tc))
+
+        assert feat_shift(out) > feat_shift(bim_adv)
