@@ -1,0 +1,87 @@
+"""Benchmark: I2V attack throughput on the canonical reference config.
+
+Config (reference Table-3 canonical: run_image_guided.py:63-64,
+image_attacks.py:372-376): 60-step I2V, ResNet-101 surrogate tapped at
+depth 2, ε=16/255, step_size 0.005, clips 16×32×224² — i.e. a 512-frame
+fwd+bwd through the surrogate per attack step.
+
+Metric: attack steps/sec/chip. vs_baseline anchors to the PyTorch reference
+on its published hardware (RTX 2080Ti, README.md:48-52): a full ResNet-101
+f32 fwd+bwd at 512 frames/step ≈ 0.21 steps/s (2080Ti ResNet-101 training
+throughput ≈ 107 img/s). The reference repo records no absolute numbers
+(BASELINE.md), so the anchor is an estimate, stated here explicitly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REF_2080TI_STEPS_PER_SEC = 0.21  # estimated; see module docstring
+STEPS = 60
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_runner(batch, frames, hw, dtype):
+    from i2v_tpu.models import get_image_models
+    from i2v_tpu.parallel import attack_mesh, shard_clips
+    from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
+
+    mesh = attack_mesh()
+    models = get_image_models(["resnet"], {"resnet": 2}, input_hw=hw, dtype=dtype)
+    runner = make_sharded_i2v_runner(models, mesh, steps=STEPS, step_size=0.005)
+    clean01 = shard_clips(
+        jnp.full((batch, 3, frames, hw, hw), 0.5, jnp.float32), mesh
+    )
+    return runner, clean01
+
+
+def main():
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    n_chips = len(jax.devices())
+    log(f"devices: {jax.devices()}")
+    for batch in (16, 8, 4):
+        try:
+            runner, clean01 = build_runner(batch, 32, 224, jnp.bfloat16)
+            log(f"compiling (batch={batch})...")
+            t0 = time.time()
+            adv, costs = runner(clean01)
+            jax.block_until_ready(adv)
+            log(f"compile+first run: {time.time() - t0:.1f}s; "
+                f"cost[0]={float(costs[0]):.2f} cost[-1]={float(costs[-1]):.2f}")
+            reps = 3
+            t0 = time.time()
+            for _ in range(reps):
+                adv, costs = runner(clean01)
+            jax.block_until_ready(adv)
+            dt = time.time() - t0
+            # normalize to the canonical 512-frame step
+            frames_per_step = batch * 32
+            steps_per_sec = STEPS * reps / dt * (frames_per_step / 512)
+            per_chip = steps_per_sec / n_chips
+            print(json.dumps({
+                "metric": "I2V attack steps/sec/chip (ResNet-101 d2, 16x32x224^2-frame steps)",
+                "value": round(per_chip, 3),
+                "unit": "steps/s/chip",
+                "vs_baseline": round(per_chip / REF_2080TI_STEPS_PER_SEC, 2),
+            }))
+            return
+        except Exception as e:  # OOM fallback to smaller batch
+            log(f"batch={batch} failed: {type(e).__name__}: {str(e)[:300]}")
+    raise SystemExit("all batch sizes failed")
+
+
+if __name__ == "__main__":
+    main()

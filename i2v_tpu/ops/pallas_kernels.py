@@ -38,6 +38,19 @@ _BLOCK_ROWS = 512
 
 
 def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("I2V_TPU_DISABLE_PALLAS"):
+        return False
+    if os.environ.get("I2V_TPU_FORCE_PALLAS"):
+        return True
+    # Tunneled axon devices with remote compile choke on Mosaic kernels
+    # embedded in large differentiated modules (the HTTP compile helper
+    # crashes); the XLA-fused jnp path is equivalent there — elementwise
+    # chains fuse into the adjacent conv kernels anyway. Real local TPUs
+    # keep the Pallas path.
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        return False
     return jax.default_backend() == "tpu"
 
 
