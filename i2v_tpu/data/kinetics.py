@@ -1,0 +1,112 @@
+"""Kinetics-400 attack-sample pipeline (reference C3: datasets.py).
+
+Manifest: CSV with columns path,gt_label,clip_index — one correctly-classified
+clip per class (reference C30). Decode goes through the native C++
+FFmpeg library (:mod:`i2v_tpu.data.decode`, the decord-equivalent), frames are
+resized to a fixed (new_width × new_height) canvas at decode time, then the
+validation transform + deterministic seeded clip selection produce the
+(3, 32, 224, 224) normalized clip. Corrupt/missing/too-small videos are
+skipped with a warning and a resample (reference: datasets.py:127-147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import warnings
+from typing import Iterator, Optional
+
+import numpy as np
+
+from . import transforms
+from .decode import decode_video
+
+
+@dataclasses.dataclass
+class KineticsSample:
+    path: str
+    label: int
+    clip_index: int
+
+
+def read_manifest(anno_path: str) -> list[KineticsSample]:
+    import pandas as pd
+
+    df = pd.read_csv(anno_path)
+    return [
+        KineticsSample(p, int(l), int(c))
+        for p, l, c in zip(df["path"], df["gt_label"], df["clip_index"])
+    ]
+
+
+class KineticsAttackDataset:
+    """Validation-mode dataset yielding (clip(3,32,224,224) normalized f32,
+    label, video_name, clip_ind) — the reference item contract
+    (datasets.py:138-150)."""
+
+    def __init__(self, anno_path: str, data_path: str, *, clip_len: int = 32,
+                 frame_sample_rate: int = 2, crop_size: int = 224,
+                 short_side_size: int = 256, new_height: int = 256,
+                 new_width: int = 340, num_segment: int = 1):
+        self.samples = read_manifest(anno_path)
+        self.data_path = data_path
+        self.clip_len = clip_len
+        self.frame_sample_rate = frame_sample_rate
+        self.crop_size = crop_size
+        self.short_side_size = short_side_size
+        self.new_height = new_height
+        self.new_width = new_width
+        self.num_segment = num_segment
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _load(self, sample: KineticsSample) -> Optional[np.ndarray]:
+        fname = os.path.join(self.data_path, sample.path)
+        if not os.path.exists(fname):
+            return None
+        if os.path.getsize(fname) < 1024:  # reference: datasets.py:197-199
+            warnings.warn(f"SKIP tiny file: {fname}")
+            return None
+        try:
+            frames = decode_video(fname, width=self.new_width, height=self.new_height)
+        except Exception as e:
+            warnings.warn(f"video cannot be decoded: {fname}: {e}")
+            return None
+        if frames is None or len(frames) == 0:
+            return None
+        idx = transforms.kinetics_clip_indices(
+            len(frames), sample.clip_index, self.clip_len,
+            self.frame_sample_rate, self.num_segment,
+        )
+        return frames[idx]
+
+    def __getitem__(self, index: int):
+        sample = self.samples[index]
+        buffer = self._load(sample)
+        while buffer is None:  # skip-and-resample (datasets.py:142-147)
+            warnings.warn(f"video {sample.path} not correctly loaded; resampling")
+            index = np.random.randint(len(self))
+            sample = self.samples[index]
+            buffer = self._load(sample)
+        clip = transforms.kinetics_val_transform(
+            buffer, self.short_side_size, self.crop_size
+        )
+        name = sample.path.split(".")[0]
+        return clip, sample.label, name, sample.clip_index
+
+
+def iterate_batches(dataset, batch_size: int, left: int = 0,
+                    right: Optional[int] = None) -> Iterator[dict]:
+    """Sequential batcher over a [left, right) manifest shard. Returns dicts
+    with stacked 'clips' (B,3,T,H,W), 'labels', 'names', 'clip_inds'."""
+    right = len(dataset) if right is None else min(right, len(dataset))
+    for start in range(left, right, batch_size):
+        items = [dataset[i] for i in range(start, min(start + batch_size, right))]
+        clips, labels, names, inds = zip(*items)
+        yield {
+            "clips": np.stack(clips),
+            "labels": np.asarray(labels, np.int32),
+            "names": list(names),
+            "clip_inds": list(inds),
+        }

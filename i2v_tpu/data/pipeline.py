@@ -1,0 +1,69 @@
+"""Host→device prefetch pipeline.
+
+The reference leans on 9 DataLoader fork-workers (datasets.py:272-274); here a
+thread pool decodes ahead of the device while attacks run, and batches are
+device_put with the mesh's clip sharding so the transfer overlaps compute
+(double-buffered: the next batch is already on-device when the current attack
+step finishes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+
+
+def threaded_prefetch(make_iter: Callable[[], Iterator], depth: int = 2) -> Iterator:
+    """Run a batch iterator in a worker thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in make_iter():
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2) -> Iterator[dict]:
+    """Move 'clips'/'labels' to device ahead of consumption (double-buffer)."""
+    buf = []
+
+    def put(b):
+        out = dict(b)
+        out["clips"] = jax.device_put(b["clips"], sharding)
+        out["labels"] = jax.device_put(b["labels"])
+        return out
+
+    for b in batches:
+        buf.append(put(b))
+        if len(buf) > depth:
+            yield buf.pop(0)
+    yield from buf
+
+
+def make_input_pipeline(dataset, batch_size: int, iterate, *, left: int = 0,
+                        right: Optional[int] = None, sharding=None,
+                        prefetch_depth: int = 2) -> Iterator[dict]:
+    """decode-thread → bounded queue → device transfer, composed."""
+    host = threaded_prefetch(
+        lambda: iterate(dataset, batch_size, left, right), prefetch_depth
+    )
+    return device_prefetch(host, sharding, prefetch_depth)

@@ -1,0 +1,49 @@
+"""Synthetic clip source: checkpoint-/dataset-free end-to-end runs and the
+smoke-test path (SURVEY.md §4 'end-to-end smoke'). Deterministic per label."""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..ops.pixel import IMAGENET_MEAN, IMAGENET_STD
+
+
+class SyntheticAttackDataset:
+    """Yields (clip(3,T,H,W) normalized f32, label, name, clip_ind) items with
+    the Kinetics item contract; pixel content is a deterministic function of
+    the label."""
+
+    def __init__(self, n_samples: int = 8, clip_len: int = 32, size: int = 224,
+                 n_classes: Optional[int] = None):
+        self.n_samples = n_samples
+        self.clip_len = clip_len
+        self.size = size
+        self.n_classes = n_classes or n_samples
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def __getitem__(self, index: int):
+        label = index % self.n_classes
+        rng = np.random.RandomState(label)
+        clip01 = rng.rand(3, self.clip_len, self.size, self.size).astype(np.float32)
+        mean = np.asarray(IMAGENET_MEAN, np.float32)[:, None, None, None]
+        std = np.asarray(IMAGENET_STD, np.float32)[:, None, None, None]
+        clip = (clip01 - mean) / std
+        return clip, label, f"synthetic_{label}", label
+
+
+def iterate_batches(dataset, batch_size: int, left: int = 0,
+                    right: Optional[int] = None) -> Iterator[dict]:
+    right = len(dataset) if right is None else min(right, len(dataset))
+    for start in range(left, right, batch_size):
+        items = [dataset[i] for i in range(start, min(start + batch_size, right))]
+        clips, labels, names, inds = zip(*items)
+        yield {
+            "clips": np.stack(clips),
+            "labels": np.asarray(labels, np.int32),
+            "names": list(names),
+            "clip_inds": list(inds),
+        }

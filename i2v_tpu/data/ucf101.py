@@ -1,0 +1,93 @@
+"""UCF-101 frame-JPEG pipeline (reference C4: dataset_ucf101.py).
+
+Samples come from a setting file of ``dir duration label`` lines, subset by a
+pickled index list (101 clips, one per class); frames are ``image_%05d.jpg``
+under each clip directory; the eval transform is Scale(224) →
+CornerCrop(224,'c') → normalize with LoopPadding(32)
+(reference: dataset_ucf101.py:52-126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from . import transforms
+from .decode import decode_jpeg
+
+
+@dataclasses.dataclass
+class UCFSample:
+    directory: str
+    duration: int
+    label: int
+
+
+def read_setting(setting_path: str, image_root: str) -> list[UCFSample]:
+    samples = []
+    with open(setting_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                raise RuntimeError(f"bad setting line: {line!r}")
+            samples.append(UCFSample(os.path.join(image_root, parts[0]),
+                                     int(parts[1]), int(parts[2])))
+    return samples
+
+
+def load_used_idxs(path: str) -> list[int]:
+    with open(path, "rb") as f:
+        return list(pickle.load(f))
+
+
+class UCF101AttackDataset:
+    """Yields (clip(3,32,224,224) normalized f32, label) like the reference
+    attack_ucf101 Dataset (dataset_ucf101.py:66-81)."""
+
+    def __init__(self, setting_path: str, image_root: str,
+                 used_idxs: Optional[Sequence[int]] = None,
+                 clip_len: int = 32, crop_size: int = 224):
+        clips = read_setting(setting_path, image_root)
+        if used_idxs is not None:
+            clips = [clips[i] for i in used_idxs]
+        self.clips = clips
+        self.clip_len = clip_len
+        self.crop_size = crop_size
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def __getitem__(self, index: int):
+        sample = self.clips[index]
+        frame_indices = transforms.loop_padding(
+            list(range(1, sample.duration + 1)), self.clip_len
+        )
+        frames = []
+        for i in frame_indices:
+            path = os.path.join(sample.directory, f"image_{i:05d}.jpg")
+            if not os.path.exists(path):
+                break
+            frames.append(decode_jpeg(path))
+        if not frames:
+            raise FileNotFoundError(f"no frames under {sample.directory}")
+        clip = transforms.ucf_test_transform(frames, self.crop_size)
+        return clip, sample.label
+
+
+def iterate_batches(dataset, batch_size: int, left: int = 0,
+                    right: Optional[int] = None) -> Iterator[dict]:
+    right = len(dataset) if right is None else min(right, len(dataset))
+    for start in range(left, right, batch_size):
+        items = [dataset[i] for i in range(start, min(start + batch_size, right))]
+        clips, labels = zip(*items)
+        names = [os.path.basename(dataset.clips[start + i].directory)
+                 for i in range(len(items))]
+        yield {
+            "clips": np.stack(clips),
+            "labels": np.asarray(labels, np.int32),
+            "names": names,
+        }

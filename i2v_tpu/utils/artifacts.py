@@ -1,0 +1,94 @@
+"""The .npy artifact protocol — the de-facto IR between attack and eval
+stages (SURVEY.md §1 'Artifact protocol').
+
+Contract (reference: attack.py:92-96, image_main.py:90-92, reference.py:38-46):
+  - run directory name encodes run identity: ``{kind}-{method}-{steps}-{prefix}``
+  - one float32 array per sample, shape (3, T, 224, 224), *normalized* domain,
+    file ``{label}-adv.npy`` (and ``{label}-ori.npy`` for white-box runs)
+  - the integer label doubles as the unique sample id (1 clip per class)
+  - evaluation lists ``*adv*`` files, parses labels from filenames, re-batches
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+
+def run_dir_name(kind: str, method: str, steps: int, prefix: str = "") -> str:
+    """``{kind}-{method}-{steps}-{prefix}`` (reference: attack.py:55-60,
+    image_main.py:45). kind ∈ {model name, 'Image', 'UCF101_Video',
+    'UCF101_Image', ...}."""
+    return f"{kind}-{method}-{steps}-{prefix}"
+
+
+def adv_filename(label: int, kind: str = "adv") -> str:
+    return f"{label}-{kind}.npy"
+
+
+def save_adv_clip(run_dir: str, label: int, clip_cthw: np.ndarray,
+                  kind: str = "adv") -> str:
+    """Save one normalized-domain (3,T,H,W) float32 clip keyed by label."""
+    os.makedirs(run_dir, exist_ok=True)
+    arr = np.asarray(clip_cthw, dtype=np.float32)
+    if arr.ndim != 4 or arr.shape[0] != 3:
+        raise ValueError(f"expected (3,T,H,W) clip, got {arr.shape}")
+    path = os.path.join(run_dir, adv_filename(label, kind))
+    np.save(path, arr)
+    return path
+
+
+def save_batch(run_dir: str, labels: Sequence[int], adv_batch,
+               ori_batch=None) -> None:
+    """Per-sample save of an attack output batch (B,3,T,H,W)."""
+    adv_batch = np.asarray(adv_batch)
+    for i, label in enumerate(labels):
+        save_adv_clip(run_dir, int(label), adv_batch[i], "adv")
+        if ori_batch is not None:
+            save_adv_clip(run_dir, int(label), np.asarray(ori_batch)[i], "ori")
+
+
+def list_adv_files(run_dir: str, kind: str = "adv") -> list[str]:
+    """All ``*{kind}*`` artifact files (reference: reference.py:96-97)."""
+    return [f for f in sorted(os.listdir(run_dir)) if kind in f and f.endswith(".npy")]
+
+
+def label_of(filename: str) -> int:
+    return int(os.path.basename(filename).split("-")[0])
+
+
+def batch_files(files: Sequence[str], batch_size: int) -> list[list[str]]:
+    """Chunk the artifact list (reference: reference.py:99-103)."""
+    n = math.ceil(len(files) / batch_size)
+    return [list(files[i * batch_size:min((i + 1) * batch_size, len(files))])
+            for i in range(n)]
+
+
+def load_adv_batch(run_dir: str, files: Iterable[str]):
+    """Load a file batch → (clips (B,3,T,H,W) f32, labels (B,) i32)."""
+    clips, labels = [], []
+    for f in files:
+        clips.append(np.load(os.path.join(run_dir, f)))
+        labels.append(label_of(f))
+    return np.stack(clips), np.asarray(labels, dtype=np.int32)
+
+
+def save_loss_info(run_dir: str, loss_info: dict, shard_index: int = 1) -> str:
+    """Per-shard per-step loss log (reference: image_main.py:94-95)."""
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, f"loss_info_{shard_index}.json")
+    with open(path, "w") as f:
+        json.dump(loss_info, f)
+    return path
+
+
+def existing_labels(run_dir: str, kind: str = "adv") -> set[int]:
+    """Labels already attacked — enables idempotent skip-if-exists resume
+    (SURVEY.md §5 failure recovery)."""
+    if not os.path.isdir(run_dir):
+        return set()
+    return {label_of(f) for f in list_adv_files(run_dir, kind)}

@@ -1,0 +1,201 @@
+"""Data-layer tests: native decode, transforms, manifests, pipelines,
+artifact protocol."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from i2v_tpu.data import decode, transforms
+from i2v_tpu.data.synthetic import SyntheticAttackDataset, iterate_batches
+from i2v_tpu.utils import artifacts
+
+
+def _frames(n=6, w=64, h=48, seed=0):
+    rng = np.random.RandomState(seed)
+    return [Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+            for _ in range(n)]
+
+
+class TestNativeDecode:
+    def test_available(self):
+        from i2v_tpu.data import native
+
+        assert native.available(), "native/libi2vio.so must be built"
+
+    def test_jpeg_roundtrip(self, tmp_path):
+        from i2v_tpu.data import native
+
+        img = np.zeros((32, 48, 3), np.uint8)
+        img[:16] = [255, 0, 0]
+        img[16:] = [0, 0, 255]
+        p = str(tmp_path / "t.jpg")
+        Image.fromarray(img).save(p, quality=98)
+        arr = native.decode_jpeg(p)
+        assert arr.shape == (32, 48, 3)
+        assert abs(int(arr[0, 0, 0]) - 255) < 12 and int(arr[0, 0, 1]) < 24
+
+    def test_video_decode_mjpeg_avi(self, tmp_path):
+        from i2v_tpu.data import native
+
+        from .avi_helper import write_mjpeg_avi
+
+        frames = []
+        for i in range(5):
+            a = np.full((48, 64, 3), i * 40, np.uint8)
+            frames.append(Image.fromarray(a))
+        p = str(tmp_path / "clip.avi")
+        write_mjpeg_avi(p, frames)
+        arr = native.decode_video(p, width=32, height=24)
+        assert arr.shape == (5, 24, 32, 3)
+        # luminance ramps over frames
+        means = arr.reshape(5, -1).mean(axis=1)
+        assert (np.diff(means) > 10).all()
+
+    def test_decode_error_path(self, tmp_path):
+        from i2v_tpu.data import native
+
+        p = str(tmp_path / "garbage.mp4")
+        with open(p, "wb") as f:
+            f.write(b"not a video" * 100)
+        with pytest.raises(RuntimeError):
+            native.decode_video(p)
+
+    def test_decode_dispatch_sidecar(self, tmp_path):
+        arr = np.random.RandomState(0).randint(0, 255, (4, 8, 8, 3), dtype=np.uint8)
+        p = str(tmp_path / "x.npy")
+        np.save(p, arr)
+        out = decode.decode_video(p)
+        np.testing.assert_array_equal(out, arr)
+
+
+class TestTransforms:
+    def test_resize_short_side(self):
+        img = Image.new("RGB", (100, 50))
+        out = transforms.resize_short_side(img, 25)
+        assert out.size == (50, 25)
+        out = transforms.resize_short_side(Image.new("RGB", (50, 100)), 25)
+        assert out.size == (25, 50)
+
+    def test_center_crop(self):
+        img = Image.new("RGB", (100, 60))
+        assert transforms.center_crop(img, 40).size == (40, 40)
+
+    def test_loop_padding(self):
+        assert transforms.loop_padding([1, 2, 3], 7) == [1, 2, 3, 1, 2, 3, 1]
+        assert transforms.loop_padding(list(range(1, 50)), 4) == [1, 2, 3, 4]
+
+    def test_temporal_crops(self):
+        idx = list(range(1, 101))
+        assert len(transforms.temporal_center_crop(idx, 32)) == 32
+        assert transforms.temporal_begin_crop(idx, 8) == list(range(1, 9))
+        # frozen-seed "random" crop is deterministic (reference quirk)
+        a = transforms.temporal_random_crop(idx, 32)
+        b = transforms.temporal_random_crop(idx, 32)
+        assert a == b
+
+    def test_kinetics_clip_indices_deterministic(self):
+        a = transforms.kinetics_clip_indices(300, clip_ind=7)
+        b = transforms.kinetics_clip_indices(300, clip_ind=7)
+        np.testing.assert_array_equal(a, b)
+        c = transforms.kinetics_clip_indices(300, clip_ind=8)
+        assert not np.array_equal(a, c)
+        assert a.shape == (32,)
+        assert a.max() < 300
+
+    def test_kinetics_clip_indices_matches_reference_formula(self):
+        # replicate reference datasets.py:230-237 with global np seed
+        n, clip_ind = 500, 42
+        np.random.seed(clip_ind)
+        end_idx = np.random.randint(64, 500)
+        str_idx = end_idx - 64
+        want = np.clip(np.linspace(str_idx, end_idx, num=32), str_idx,
+                       end_idx - 1).astype(np.int64)
+        got = transforms.kinetics_clip_indices(n, clip_ind)
+        np.testing.assert_array_equal(got, want)
+
+    def test_kinetics_clip_indices_short_video(self):
+        idx = transforms.kinetics_clip_indices(40, clip_ind=3)
+        assert idx.shape == (32,)
+        assert idx.max() <= 39
+
+    def test_val_transform_shape_and_range(self):
+        buf = np.random.RandomState(1).randint(0, 255, (4, 256, 340, 3), np.uint8)
+        clip = transforms.kinetics_val_transform(buf, 256, 224)
+        assert clip.shape == (3, 4, 224, 224)
+        from i2v_tpu.ops import pixel
+        import jax.numpy as jnp
+
+        back = pixel.unnormalize(jnp.asarray(clip), channel_axis=0)
+        assert float(back.min()) >= -1e-5 and float(back.max()) <= 1 + 1e-5
+
+    def test_ucf_transform(self):
+        clip = transforms.ucf_test_transform(_frames(5, 320, 240), 224)
+        assert clip.shape == (3, 5, 224, 224)
+
+
+class TestSyntheticAndPipeline:
+    def test_batches(self):
+        ds = SyntheticAttackDataset(n_samples=5, clip_len=4, size=16)
+        batches = list(iterate_batches(ds, 2))
+        assert [b["clips"].shape[0] for b in batches] == [2, 2, 1]
+        assert batches[0]["clips"].shape[1:] == (3, 4, 16, 16)
+
+    def test_shard_bounds_iteration(self):
+        ds = SyntheticAttackDataset(n_samples=10, clip_len=2, size=8)
+        batches = list(iterate_batches(ds, 4, left=4, right=8))
+        assert sum(b["clips"].shape[0] for b in batches) == 4
+
+    def test_threaded_prefetch(self):
+        from i2v_tpu.data.pipeline import threaded_prefetch
+
+        ds = SyntheticAttackDataset(n_samples=6, clip_len=2, size=8)
+        items = list(threaded_prefetch(lambda: iterate_batches(ds, 2)))
+        assert len(items) == 3
+
+    def test_threaded_prefetch_propagates_errors(self):
+        from i2v_tpu.data.pipeline import threaded_prefetch
+
+        def bad():
+            yield 1
+            raise RuntimeError("decode failed")
+
+        it = threaded_prefetch(lambda: bad())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError):
+            list(it)
+
+    def test_device_pipeline(self):
+        from i2v_tpu.data.pipeline import make_input_pipeline
+        from i2v_tpu.parallel import attack_mesh, clip_sharding
+
+        mesh = attack_mesh()
+        ds = SyntheticAttackDataset(n_samples=8, clip_len=2, size=8)
+        out = list(make_input_pipeline(ds, 8, iterate_batches,
+                                       sharding=clip_sharding(mesh)))
+        assert out[0]["clips"].sharding == clip_sharding(mesh)
+
+
+class TestArtifacts:
+    def test_roundtrip(self, tmp_path):
+        d = str(tmp_path / artifacts.run_dir_name("Image", "I2V", 60, "test"))
+        clips = np.random.RandomState(0).randn(3, 3, 8, 16, 16).astype(np.float32)
+        artifacts.save_batch(d, [5, 9, 123], clips, ori_batch=clips + 1)
+        advs = artifacts.list_adv_files(d)
+        assert advs == ["123-adv.npy", "5-adv.npy", "9-adv.npy"]
+        batches = artifacts.batch_files(advs, 2)
+        assert [len(b) for b in batches] == [2, 1]
+        loaded, labels = artifacts.load_adv_batch(d, batches[0])
+        assert loaded.shape == (2, 3, 8, 16, 16)
+        assert list(labels) == [123, 5]
+        assert artifacts.existing_labels(d) == {5, 9, 123}
+        assert artifacts.existing_labels(d, "ori") == {5, 9, 123}
+
+    def test_rejects_bad_shape(self, tmp_path):
+        with pytest.raises(ValueError):
+            artifacts.save_adv_clip(str(tmp_path), 0, np.zeros((4, 8, 16, 16)))
+
+    def test_loss_info(self, tmp_path):
+        p = artifacts.save_loss_info(str(tmp_path), {"v": {0: {"cost": "1.0"}}}, 2)
+        assert os.path.basename(p) == "loss_info_2.json"
