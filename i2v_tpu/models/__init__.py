@@ -7,3 +7,10 @@ from .registry import (  # noqa: F401
     build_image_model,
     get_image_models,
 )
+from .video_zoo import (  # noqa: F401
+    ILAF_TAPS,
+    TAP_TAPS,
+    VIDEO_BUILDERS,
+    get_video_model,
+    tap_keys_for,
+)

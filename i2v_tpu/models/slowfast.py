@@ -1,0 +1,137 @@
+"""SlowFast networks (gluoncv `slowfast_8x8_resnet{50,101}_kinetics400`).
+
+Two pathways over one 32-frame clip (SlowFast paper, gluoncv torch naming —
+the reference taps `slow_res2/fast_res2/...`, base_attacks.py:741,
+image_attacks.py:517):
+  - fast: all 32 frames, width β·64 = 8, temporal (3,1,1) convs in every
+    stage, stem Conv3d (5,7,7)
+  - slow: every α-th frame (α=4 → 8 frames), width 64, temporal convs only
+    in stages 3-4 (non-degenerate late), stem Conv3d (1,7,7)
+  - lateral fast→slow fusion after pool1/res2/res3/res4: time-strided
+    Conv3d (5,1,1) stride (α,1,1) to 2βC channels, concatenated onto slow
+  - head: global-avg-pool both pathways, concat, fc(400)
+
+Taps: ``slow_res{2..5}``, ``fast_res{2..5}`` (gluoncv stage names).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .video_common import ReluMixin, conv3d, max_pool3d, to_channel_last
+
+
+class SFBottleneck(nn.Module, ReluMixin):
+    """SlowFast bottleneck: optional (3,1,1) temporal kernel on conv1."""
+
+    features: int
+    out_features: int
+    spatial_stride: int = 1
+    temporal_kernel: int = 1
+    downsample: bool = False
+    relu_grad_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        st = (1, self.spatial_stride, self.spatial_stride)
+        y = self._relu(conv3d(self.features, (self.temporal_kernel, 1, 1),
+                              dtype=self.dtype, name="conv1")(x))
+        y = self._relu(conv3d(self.features, (1, 3, 3), st, dtype=self.dtype,
+                              name="conv2")(y))
+        y = conv3d(self.out_features, (1, 1, 1), dtype=self.dtype, name="conv3")(y)
+        if self.downsample:
+            residual = conv3d(self.out_features, (1, 1, 1), st, dtype=self.dtype,
+                              name="downsample")(x)
+        return self._relu(y + residual)
+
+
+class SlowFast(nn.Module, ReluMixin):
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    alpha: int = 4            # slow-path temporal subsampling of the 32 frames
+    beta_inv: int = 8         # fast width = width // beta_inv
+    width: int = 64
+    num_classes: int = 400
+    # stages with temporal (3,1,1) convs: fast = all, slow = late only
+    slow_temporal_stages: Sequence[int] = (2, 3)
+    relu_grad_scale: float = 1.0
+    normalize: bool = True
+    dtype: Any = jnp.float32
+
+    def _stage(self, x, pathway: str, stage: int, in_lateral: int):
+        feats = self.width * (2**stage)
+        if pathway == "fast":
+            feats //= self.beta_inv
+            tk = 3
+        else:
+            tk = 3 if stage in self.slow_temporal_stages else 1
+        for block in range(self.stage_sizes[stage]):
+            first = block == 0
+            x = SFBottleneck(
+                feats, feats * 4,
+                spatial_stride=2 if (first and stage > 0) else 1,
+                temporal_kernel=tk,
+                downsample=first,
+                relu_grad_scale=self.relu_grad_scale,
+                dtype=self.dtype,
+                name=f"{pathway}_res{stage + 2}_{block}",
+            )(x)
+        return x
+
+    def _lateral(self, fast, stage_name: str, channels: int):
+        """Time-strided fast→slow connection: Conv3d (5,1,1)/(α,1,1)."""
+        return self._relu(conv3d(channels, (5, 1, 1), (self.alpha, 1, 1),
+                                 dtype=self.dtype,
+                                 name=f"lateral_{stage_name}")(fast))
+
+    @nn.compact
+    def __call__(self, clip01_bcthw):
+        x = to_channel_last(clip01_bcthw, self.normalize, self.dtype)
+        taps: dict = {}
+        fast_w = self.width // self.beta_inv
+
+        fast = self._relu(conv3d(fast_w, (5, 7, 7), (1, 2, 2), dtype=self.dtype,
+                                 name="fast_conv1")(x))
+        fast = max_pool3d(fast, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+        slow = x[:, ::self.alpha]
+        slow = self._relu(conv3d(self.width, (1, 7, 7), (1, 2, 2), dtype=self.dtype,
+                                 name="slow_conv1")(slow))
+        slow = max_pool3d(slow, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        slow = jnp.concatenate(
+            [slow, self._lateral(fast, "p1", 2 * fast_w)], axis=-1)
+
+        for stage in range(4):
+            fast = self._stage(fast, "fast", stage, 0)
+            slow = self._stage(slow, "slow", stage, 0)
+            taps[f"fast_res{stage + 2}"] = fast
+            taps[f"slow_res{stage + 2}"] = slow
+            if stage < 3:
+                lat = self._lateral(
+                    fast, f"res{stage + 2}",
+                    2 * (fast_w * (2**stage)) * 4,
+                )
+                slow = jnp.concatenate([slow, lat], axis=-1)
+
+        pooled = jnp.concatenate(
+            [jnp.mean(slow, axis=(1, 2, 3)), jnp.mean(fast, axis=(1, 2, 3))],
+            axis=-1)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(pooled)
+        return logits.astype(jnp.float32), taps
+
+
+def slowfast_resnet50(**kw) -> SlowFast:
+    return SlowFast(stage_sizes=(3, 4, 6, 3), **kw)
+
+
+def slowfast_resnet101(**kw) -> SlowFast:
+    return SlowFast(stage_sizes=(3, 4, 23, 3), **kw)
+
+
+def slowfast_tiny(**kw) -> SlowFast:
+    return SlowFast(stage_sizes=(1, 1, 1, 1), width=8, beta_inv=4,
+                    num_classes=10, **kw)

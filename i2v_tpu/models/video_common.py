@@ -1,0 +1,119 @@
+"""Shared blocks for the 3-D video backbones (I3D / SlowFast / TPN).
+
+Layout: clips enter as (B, C, T, H, W) in [0,1] (the artifact-protocol
+layout) and are transposed once to channel-last (B, T, H, W, C) — XLA:TPU's
+native conv layout. BatchNorm is folded into conv weights by the checkpoint
+converter (inference-only framework), so blocks are conv+bias.
+
+``relu_grad_scale`` threads SGM's γ^0.5 backward scaling through every
+non-stem ReLU via the custom-VJP activation (replacing the reference's
+backward hooks, base_attacks.py:495-511).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.activations import grad_scaled_relu
+from ..ops.pixel import normalize
+
+
+def conv3d(features: int, kernel: Sequence[int], stride: Sequence[int] = (1, 1, 1),
+           padding: Sequence[int] | None = None, *, name: str | None = None,
+           dtype: Any = jnp.float32) -> nn.Conv:
+    """3-D conv with torch-style symmetric integer padding ((k-1)//2 default)."""
+    if padding is None:
+        padding = tuple((k - 1) // 2 for k in kernel)
+    return nn.Conv(
+        features, tuple(kernel), strides=tuple(stride),
+        padding=tuple((p, p) for p in padding), use_bias=True,
+        dtype=dtype, name=name,
+    )
+
+
+def max_pool3d(x, kernel: Sequence[int], stride: Sequence[int],
+               padding: Sequence[int] = (0, 0, 0)):
+    return nn.max_pool(
+        x, window_shape=tuple(kernel), strides=tuple(stride),
+        padding=tuple((p, p) for p in padding),
+    )
+
+
+class ReluMixin:
+    """Mixin providing the (optionally grad-scaled) ReLU."""
+
+    def _relu(self, x):
+        scale = getattr(self, "relu_grad_scale", 1.0)
+        if scale == 1.0:
+            return nn.relu(x)
+        return grad_scaled_relu(x, scale)
+
+
+class Bottleneck3D(nn.Module, ReluMixin):
+    """Inflated bottleneck. ``inflate`` selects the '3x1x1' style: a (3,1,1)
+    temporal kernel on the first 1×1 conv (mmaction/gluoncv I3D convention);
+    non-inflated blocks are purely spatial."""
+
+    features: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+    downsample: bool = False
+    inflate: bool = True
+    relu_grad_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        k1 = (3, 1, 1) if self.inflate else (1, 1, 1)
+        st = (self.temporal_stride, self.spatial_stride, self.spatial_stride)
+        y = self._relu(conv3d(self.features, k1, dtype=self.dtype, name="conv1")(x))
+        y = self._relu(conv3d(self.features, (1, 3, 3), st, dtype=self.dtype,
+                              name="conv2")(y))
+        y = conv3d(self.features * 4, (1, 1, 1), dtype=self.dtype, name="conv3")(y)
+        if self.downsample:
+            residual = conv3d(self.features * 4, (1, 1, 1), st, dtype=self.dtype,
+                              name="downsample")(x)
+        return self._relu(y + residual)
+
+
+class NonLocal3D(nn.Module, ReluMixin):
+    """Embedded-Gaussian non-local block (the 'nl' in i3d_nl5):
+    out = x + W_z·BN(softmax(θ(x)ᵀφ(x))·g(x)). θ/φ/g project to C/2.
+
+    Attention is one batched matmul pair over the flattened (T·H·W) token
+    axis — MXU-friendly by construction.
+    """
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        inter = self.channels // 2
+        theta = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="theta")(x)
+        phi = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="phi")(x)
+        g = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="g")(x)
+        n = t * h * w
+        theta = theta.reshape(b, n, inter)
+        phi = phi.reshape(b, n, inter)
+        g = g.reshape(b, n, inter)
+        attn = jnp.einsum("bnc,bmc->bnm", theta, phi,
+                          preferred_element_type=jnp.float32)
+        attn = nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bnm,bmc->bnc", attn.astype(g.dtype), g,
+                       preferred_element_type=jnp.float32)
+        y = y.reshape(b, t, h, w, inter).astype(x.dtype)
+        y = conv3d(self.channels, (1, 1, 1), dtype=self.dtype, name="out")(y)
+        return x + y
+
+
+def to_channel_last(clip01_bcthw, do_normalize: bool = True, dtype=jnp.float32):
+    x = jnp.transpose(clip01_bcthw, (0, 2, 3, 4, 1))
+    if do_normalize:
+        x = normalize(x, channel_axis=-1)
+    return x.astype(dtype)

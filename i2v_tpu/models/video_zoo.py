@@ -1,0 +1,111 @@
+"""Video-model registry: the six reference models (utils.py:8-15) + tap maps.
+
+Checkpoints: gluoncv state_dicts converted by tools/convert_gluoncv.py into
+msgpack under I2V_TPU_CKPTS; random init (with warning) otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import i3d, slowfast, tpn
+from .api import VideoModel
+
+VIDEO_BUILDERS = {
+    "i3d_resnet50": i3d.i3d_resnet50,
+    "i3d_resnet101": i3d.i3d_resnet101,
+    "slowfast_resnet50": slowfast.slowfast_resnet50,
+    "slowfast_resnet101": slowfast.slowfast_resnet101,
+    "tpn_resnet50": tpn.tpn_resnet50,
+    "tpn_resnet101": tpn.tpn_resnet101,
+}
+
+TINY_BUILDERS = {
+    "i3d_resnet50": i3d.i3d_tiny,
+    "i3d_resnet101": i3d.i3d_tiny,
+    "slowfast_resnet50": slowfast.slowfast_tiny,
+    "slowfast_resnet101": slowfast.slowfast_tiny,
+    "tpn_resnet50": tpn.tpn_tiny,
+    "tpn_resnet101": tpn.tpn_tiny,
+}
+
+
+def _family(name: str) -> str:
+    return name.split("_")[0]
+
+
+# per-architecture target layers (reference: base_attacks.py:737-743)
+TAP_TAPS = {
+    "i3d": ("res_layer1", "res_layer2"),
+    "slowfast": ("slow_res2", "slow_res3", "fast_res2", "fast_res3"),
+    "tpn": ("layer1", "layer2"),
+}
+
+# ILAF mid-layers (reference: image_attacks.py:513-519)
+ILAF_TAPS = {
+    "i3d": ("res_layer2",),
+    "slowfast": ("slow_res2", "fast_res2"),
+    "tpn": ("layer2",),
+}
+
+
+def tap_keys_for(model_name: str, purpose: str = "tap") -> tuple:
+    table = TAP_TAPS if purpose == "tap" else ILAF_TAPS
+    return table[_family(model_name)]
+
+
+def _ckpt_path(name: str, ucf: bool) -> str:
+    root = os.environ.get("I2V_TPU_CKPTS", "./checkpoints")
+    suffix = "_ucf101" if ucf else ""
+    return os.path.join(root, f"{name}{suffix}.msgpack")
+
+
+def get_video_model(
+    name: str,
+    *,
+    tiny: bool = False,
+    ucf101: bool = False,
+    dtype=jnp.float32,
+    example_shape: Optional[tuple] = None,
+    seed: int = 0,
+) -> VideoModel:
+    """Build a video-model bundle for a reference model name.
+
+    ``ucf101=True`` loads the fine-tuned 101-class checkpoint (reference:
+    reference_ucf101.py:107-117)."""
+    if name not in VIDEO_BUILDERS:
+        raise ValueError(f"unknown video model {name!r}; have {sorted(VIDEO_BUILDERS)}")
+    builder = TINY_BUILDERS[name] if tiny else VIDEO_BUILDERS[name]
+    kw = {"dtype": dtype}
+    if not tiny and ucf101:
+        kw["num_classes"] = 101
+    module = builder(**kw)
+
+    params = None
+    if not tiny:
+        path = _ckpt_path(name, ucf101)
+        if os.path.exists(path):
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                params = serialization.msgpack_restore(f.read())
+            if "params" not in params:
+                params = {"params": params}
+    if params is None:
+        if not tiny:
+            warnings.warn(
+                f"no converted checkpoint for {name!r}"
+                f"{' (ucf101)' if ucf101 else ''}; using random init "
+                "(run tools/convert_gluoncv.py)"
+            )
+        if example_shape is None:
+            example_shape = (1, 3, 8, 32, 32) if tiny else (1, 3, 32, 224, 224)
+        example = jnp.zeros(example_shape, dtype=jnp.float32)
+        params = module.init(jax.random.PRNGKey(seed), example)
+    return VideoModel(name=name, module=module, params=params,
+                      tap_keys=tap_keys_for(name, "tap"))
