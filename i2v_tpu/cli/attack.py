@@ -1,0 +1,60 @@
+"""White-box attack CLI, Kinetics-400 (reference C22: attack.py).
+
+    python -m i2v_tpu.cli.attack --model i3d_resnet50 --attack_method BIM \
+        --step 10 [--data kinetics|synthetic] [--tiny]
+
+Writes per-sample ``{label}-adv.npy`` AND ``{label}-ori.npy`` into
+``OPT_PATH/{model}-{method}-{step}-{prefix}`` (reference: attack.py:55-60,92-96).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..models import get_video_model
+from ..utils import artifacts, get_paths
+from . import common
+
+
+def arg_parse(argv=None):
+    p = argparse.ArgumentParser(description="white-box video attack (Kinetics-400)")
+    p.add_argument("--model", default="i3d_resnet50")
+    p.add_argument("--attack_method", default="BIM",
+                   choices=common.WHITEBOX_METHODS)
+    p.add_argument("--step", type=int, default=10)
+    p.add_argument("--file_prefix", default="")
+    # TemporalTranslation params (reference: attack.py:13-61)
+    p.add_argument("--kernlen", type=int, default=15)
+    p.add_argument("--momentum", type=int, default=0)
+    p.add_argument("--augmentation_weight", type=float, default=0.0)
+    p.add_argument("--move_type", default="adj", choices=["adj", "large", "random"])
+    p.add_argument("--kernel_mode", default="gaussian",
+                   choices=["gaussian", "linear", "uniform", "random"])
+    common.add_data_args(p)
+    args = p.parse_args(argv)
+    args.adv_path = os.path.join(
+        get_paths().opt_path,
+        artifacts.run_dir_name(args.model, args.attack_method, args.step,
+                               args.file_prefix))
+    return args
+
+
+def main(argv=None) -> str:
+    args = arg_parse(argv)
+    print(args)
+    dataset, iterate = common.build_dataset(args)
+    bundle = get_video_model(args.model, tiny=args.tiny)
+    attack = common.build_whitebox_attack(args, bundle)
+    done = artifacts.existing_labels(args.adv_path)
+    for step, batch in enumerate(iterate(dataset, args.batch_size)):
+        if all(int(l) in done for l in batch["labels"]):
+            continue  # idempotent resume
+        print(f"Running {args.attack_method}, {step + 1}")
+        adv = attack(batch["clips"], batch["labels"])
+        common.save_attack_outputs(args.adv_path, batch, adv, save_ori=True)
+    return args.adv_path
+
+
+if __name__ == "__main__":
+    main()

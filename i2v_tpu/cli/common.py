@@ -1,0 +1,130 @@
+"""Shared CLI plumbing: dataset construction, model construction, dispatch.
+
+Replaces the reference's seven overlapping argparse scripts' shared idioms
+(cfg→data→model→attack loop→artifacts; SURVEY.md §1 L4). ``--data synthetic``
+gives a dataset-free smoke path; ``--tiny`` swaps width-reduced backbones so
+every CLI runs end-to-end without checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .. import attacks
+from ..data import kinetics as kinetics_mod
+from ..data import synthetic as synthetic_mod
+from ..data import ucf101 as ucf101_mod
+from ..models import get_image_models, get_video_model
+from ..utils import artifacts, get_paths
+
+IMAGE_GUIDED_METHODS = (
+    "ImageGuidedStd_Adam",
+    "ImageGuidedFMDirection_Adam",
+    "ImageGuidedFML2_Adam_MultiModels",
+    "AENS_I2V_MF",
+)
+WHITEBOX_METHODS = (
+    "FGSM", "BIM", "MIFGSM", "DIFGSM", "TIFGSM", "TIFGSM3D", "SGM", "SIM",
+    "TAP", "TemporalTranslation",
+)
+
+
+def add_data_args(p: argparse.ArgumentParser, ucf: bool = False) -> None:
+    p.add_argument("--data", default="synthetic",
+                   choices=["kinetics", "ucf101", "synthetic"],
+                   help="data source (synthetic = dataset-free smoke path)")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--n_synthetic", type=int, default=4)
+    p.add_argument("--clip_len", type=int, default=32)
+    p.add_argument("--crop_size", type=int, default=224)
+    p.add_argument("--tiny", action="store_true",
+                   help="width-reduced backbones (checkpoint-free runs)")
+
+
+def build_dataset(args):
+    """→ (dataset, iterate_batches) for the chosen source."""
+    paths = get_paths()
+    if args.data == "kinetics":
+        ds = kinetics_mod.KineticsAttackDataset(
+            paths.kinetics_anno, paths.kinetics_data,
+            clip_len=args.clip_len, crop_size=args.crop_size)
+        return ds, kinetics_mod.iterate_batches
+    if args.data == "ucf101":
+        used = ucf101_mod.load_used_idxs(paths.ucf_used_idxs) \
+            if os.path.exists(paths.ucf_used_idxs) else None
+        ds = ucf101_mod.UCF101AttackDataset(
+            paths.ucf_setting, paths.ucf_image_root, used_idxs=used,
+            clip_len=args.clip_len, crop_size=args.crop_size)
+        return ds, _ucf_iter_adapter
+    size = args.crop_size if not args.tiny else 32
+    clip_len = args.clip_len if not args.tiny else 8
+    ds = synthetic_mod.SyntheticAttackDataset(
+        n_samples=args.n_synthetic, clip_len=clip_len, size=size)
+    return ds, synthetic_mod.iterate_batches
+
+
+def _ucf_iter_adapter(dataset, batch_size, left=0, right=None):
+    yield from ucf101_mod.iterate_batches(dataset, batch_size, left, right)
+
+
+def build_whitebox_attack(args, bundle):
+    """Dispatch a white-box method name → attack instance (the reference's
+    getattr dispatch, attack.py:76-83)."""
+    name = args.attack_method
+    if name == "TemporalTranslation":
+        params = {
+            "kernlen": args.kernlen,
+            "momentum": bool(args.momentum),
+            "weight": args.augmentation_weight,
+            "move_type": args.move_type,
+            "kernel_mode": args.kernel_mode,
+        }
+        return attacks.TemporalTranslation(bundle, params, steps=args.step)
+    if name == "TAP":
+        params = {"kernlen": 3, "temporal_kernlen": 3, "eta": 1e3, "conv3d": True}
+        return attacks.TAP(bundle, params, steps=args.step)
+    cls = getattr(attacks, name)
+    return cls(bundle, steps=args.step)
+
+
+def build_image_guided_attack(args):
+    """Dispatch an image-guided method (reference: image_main.py:66-80),
+    incl. the AENS CLI the reference only defines but never wires."""
+    method = args.attack_method
+    tiny = args.tiny
+    hw = 32 if tiny else args.crop_size
+    if method in ("ImageGuidedStd_Adam", "ImageGuidedFMDirection_Adam"):
+        models = get_image_models([args.direction_image_model],
+                                  args.depth, tiny=tiny, input_hw=hw)
+        cls = getattr(attacks, method)
+        return cls(models, step_size=args.step_size, steps=args.step)
+    if method == "ImageGuidedFML2_Adam_MultiModels":
+        names = ["resnet", "vgg", "squeezenet", "alexnet"]
+        depths = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
+        models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
+        return attacks.ImageGuidedFML2_Adam_MultiModels(models, steps=args.step)
+    if method == "AENS_I2V_MF":
+        names = ["resnet", "vgg", "squeezenet", "alexnet"]
+        depths = {n: [2, 3] for n in names}
+        models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
+        return attacks.AENS_I2V_MF(models, step_size=args.step_size,
+                                   momentum=args.aens_momentum,
+                                   coef_CE=args.coef_CE, steps=args.step)
+    raise ValueError(f"unknown image-guided method {method!r}")
+
+
+def shard_bounds(args, n_samples: int) -> tuple[int, int]:
+    """The reference's 1-based --batch_nums/--batch_index contract
+    (image_main.py:61-63)."""
+    from ..parallel.dist import process_shard_bounds
+
+    return process_shard_bounds(n_samples, args.batch_nums, args.batch_index - 1)
+
+
+def save_attack_outputs(run_dir, batch, adv, save_ori: bool = False):
+    adv = np.asarray(adv)
+    artifacts.save_batch(run_dir, batch["labels"], adv,
+                         ori_batch=np.asarray(batch["clips"]) if save_ori else None)

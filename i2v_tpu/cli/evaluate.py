@@ -1,0 +1,43 @@
+"""Transfer-evaluation CLI, Kinetics-400 (reference C27: reference.py).
+
+    python -m i2v_tpu.cli.evaluate --adv_path <run-dir-or-name>
+
+Emits ``results_all_models_prediction.csv`` + ``top1_acc_all_models.json``
+into the run dir. Attack success rate = 100 − top-1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..eval import evaluate_run
+from ..utils import get_paths
+
+
+def arg_parse(argv=None, n_classes: int = 400):
+    p = argparse.ArgumentParser(description="transfer evaluation")
+    p.add_argument("--adv_path", required=True)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--models", nargs="*", default=None,
+                   help="subset of video models (default: all six)")
+    p.add_argument("--ucf101", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--n_classes", type=int, default=n_classes)
+    args = p.parse_args(argv)
+    if not os.path.isdir(args.adv_path):
+        args.adv_path = os.path.join(get_paths().opt_path, args.adv_path)
+    return args
+
+
+def main(argv=None) -> dict:
+    args = arg_parse(argv)
+    acc = evaluate_run(
+        args.adv_path, model_names=args.models, batch_size=args.batch_size,
+        n_classes=args.n_classes, ucf101=args.ucf101, tiny=args.tiny)
+    print(acc)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

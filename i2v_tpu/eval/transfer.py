@@ -1,0 +1,118 @@
+"""Transfer evaluation: run adversarial artifacts through the video-model zoo
+and emit reference-compatible reports (reference C27/C28: reference.py,
+reference_ucf101.py).
+
+Outputs, byte-compatible schemas:
+  - ``results_all_models_prediction.csv``: ``gt_label`` + one ``{model}-pre``
+    column per model, row-indexed by label (reference: reference.py:106-127)
+  - ``top1_acc_all_models.json``: per-model top-1 accuracy
+    (attack success rate = 100 − top-1)
+
+TPU design: each model's eval loop is ONE jitted forward per batch with
+device-side top-1; predictions all-gather through the data mesh when sharded.
+Models are loaded serially and dropped after use (the reference's
+del-model/empty_cache swap, reference.py:124-125, becomes letting the bundle
+go out of scope — XLA frees device buffers on GC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.video_zoo import VIDEO_BUILDERS, get_video_model
+from ..utils import AverageMeter, artifacts
+
+
+def accuracy_and_preds(logits, labels):
+    """Top-1 accuracy (%) + predictions (reference: reference.py:28-36)."""
+    preds = jnp.argmax(logits, axis=-1)
+    acc = 100.0 * jnp.mean((preds == labels).astype(jnp.float32))
+    return acc, preds
+
+
+def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
+                   *, normalized: bool = True, log=print):
+    """Evaluate one model over artifact batches → (preds, labels, top1_avg).
+
+    Artifacts are normalized-domain clips (the protocol); the bundle's
+    apply_norm consumes them directly.
+    """
+    data_time, batch_time, top1 = AverageMeter(), AverageMeter(), AverageMeter()
+    predictions: list[int] = []
+    labels_all: list[int] = []
+
+    fwd = jax.jit(lambda clips, labels: accuracy_and_preds(
+        bundle.apply_norm(clips), labels))
+
+    end = time.time()
+    for step, batch in enumerate(files_batches):
+        clips, labels = artifacts.load_adv_batch(run_dir, batch)
+        data_time.update(time.time() - end)
+        acc, preds = fwd(jnp.asarray(clips), jnp.asarray(labels))
+        preds = np.asarray(preds)
+        predictions += list(preds)
+        labels_all += list(labels)
+        top1.update(float(acc), len(labels))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if step % 5 == 0:
+            log("----validation----")
+            log(f"Process: [{step + 1}/{len(files_batches)}]")
+            log(f"data_time: {data_time.val:.3f}, batch time: {batch_time.val:.3f}")
+            log(f"top-1 accuracy: {top1.avg:.2f}%")
+    return predictions, labels_all, top1.avg
+
+
+def evaluate_run(
+    run_dir: str,
+    *,
+    model_names: Optional[Sequence[str]] = None,
+    batch_size: int = 16,
+    n_classes: int = 400,
+    ucf101: bool = False,
+    tiny: bool = False,
+    get_bundle: Optional[Callable] = None,
+    log=print,
+) -> dict:
+    """Evaluate a run directory against the six video models and write the
+    reference-compatible CSV + JSON reports. Returns {model: top1}."""
+    import pandas as pd
+
+    files = artifacts.list_adv_files(run_dir)
+    if not files:
+        raise FileNotFoundError(f"no adv artifacts under {run_dir!r}")
+    batches = artifacts.batch_files(files, batch_size)
+    if model_names is None:
+        model_names = list(VIDEO_BUILDERS)
+
+    model_val_acc: dict = {}
+    info = pd.DataFrame()
+    info["gt_label"] = list(range(n_classes))
+    for name in model_names:
+        log(f"Model-{name}:")
+        if get_bundle is not None:
+            bundle = get_bundle(name)
+        else:
+            bundle = get_video_model(name, ucf101=ucf101, tiny=tiny)
+        preds, labels, top1 = reference_eval(bundle, batches, run_dir, log=log)
+        # reorder predictions into label order (reference: reference.py:116-119)
+        ordered = np.zeros(n_classes, dtype=np.int64) - 1
+        for lab, pred in zip(labels, preds):
+            if 0 <= lab < n_classes:
+                ordered[lab] = pred
+        info[f"{name}-pre"] = ordered
+        model_val_acc[name] = top1
+        del bundle  # device buffers freed on GC (the model-swap pattern)
+
+    info.to_csv(os.path.join(run_dir, "results_all_models_prediction.csv"),
+                index=False)
+    with open(os.path.join(run_dir, "top1_acc_all_models.json"), "w") as f:
+        json.dump(model_val_acc, f)
+    return model_val_acc

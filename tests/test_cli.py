@@ -1,0 +1,125 @@
+"""End-to-end CLI smoke tests (SURVEY.md §4): synthetic clips, tiny models,
+full generate → evaluate → fine-tune chain through the real CLI mains."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def opt_path(tmp_path, monkeypatch):
+    p = str(tmp_path / "outputs")
+    monkeypatch.setenv("I2V_TPU_OPT_PATH", p)
+    return p
+
+
+class TestImageGuidedCLI:
+    def test_i2v_generate_and_evaluate(self, opt_path):
+        from i2v_tpu.cli import evaluate, image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "3", "--batch_size", "2",
+            "--file_prefix", "smoke",
+        ])
+        assert os.path.basename(run_dir) == "Image-ImageGuidedFMDirection_Adam-2-smoke"
+        advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
+        assert advs == ["0-adv.npy", "1-adv.npy", "2-adv.npy"]
+        clip = np.load(os.path.join(run_dir, advs[0]))
+        assert clip.shape == (3, 8, 32, 32) and clip.dtype == np.float32
+        assert os.path.exists(os.path.join(run_dir, "loss_info_1.json"))
+
+        acc = evaluate.main([
+            "--adv_path", run_dir, "--tiny", "--n_classes", "3",
+            "--models", "i3d_resnet50", "tpn_resnet50",
+        ])
+        assert set(acc) == {"i3d_resnet50", "tpn_resnet50"}
+        df_path = os.path.join(run_dir, "results_all_models_prediction.csv")
+        assert os.path.exists(df_path)
+        with open(os.path.join(run_dir, "top1_acc_all_models.json")) as f:
+            report = json.load(f)
+        assert set(report) == set(acc)
+        import pandas as pd
+
+        df = pd.read_csv(df_path)
+        assert list(df.columns) == ["gt_label", "i3d_resnet50-pre",
+                                    "tpn_resnet50-pre"]
+        assert len(df) == 3
+
+    def test_shard_contract(self, opt_path):
+        from i2v_tpu.cli import image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedStd_Adam", "--step", "2",
+            "--tiny", "--data", "synthetic", "--n_synthetic", "4",
+            "--batch_nums", "2", "--batch_index", "2",
+            "--file_prefix", "shard",
+        ])
+        advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
+        assert advs == ["2-adv.npy", "3-adv.npy"]  # second shard of 4
+        assert os.path.exists(os.path.join(run_dir, "loss_info_2.json"))
+
+    def test_aens_cli(self, opt_path):
+        from i2v_tpu.cli import image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "AENS_I2V_MF", "--step", "2",
+            "--step_size", "0.005", "--tiny", "--data", "synthetic",
+            "--n_synthetic", "2", "--file_prefix", "aens",
+        ])
+        assert len([f for f in os.listdir(run_dir) if "adv" in f]) == 2
+
+
+class TestWhiteboxCLI:
+    def test_bim_saves_adv_and_ori(self, opt_path):
+        from i2v_tpu.cli import attack
+
+        run_dir = attack.main([
+            "--model", "i3d_resnet50", "--attack_method", "BIM", "--step", "2",
+            "--tiny", "--data", "synthetic", "--n_synthetic", "2",
+            "--file_prefix", "wb",
+        ])
+        files = sorted(os.listdir(run_dir))
+        assert "0-adv.npy" in files and "0-ori.npy" in files
+        adv = np.load(os.path.join(run_dir, "0-adv.npy"))
+        ori = np.load(os.path.join(run_dir, "0-ori.npy"))
+        from i2v_tpu.ops import pixel
+        import jax.numpy as jnp
+
+        d = pixel.unnormalize(jnp.asarray(adv), channel_axis=0) - \
+            pixel.unnormalize(jnp.asarray(ori), channel_axis=0)
+        assert float(jnp.abs(d).max()) <= 16 / 255 + 1e-5
+
+    def test_idempotent_resume(self, opt_path, capsys):
+        from i2v_tpu.cli import attack
+
+        args = ["--model", "i3d_resnet50", "--attack_method", "FGSM",
+                "--step", "1", "--tiny", "--data", "synthetic",
+                "--n_synthetic", "1", "--file_prefix", "resume"]
+        attack.main(args)
+        out1 = capsys.readouterr().out
+        assert "Running FGSM" in out1
+        attack.main(args)
+        out2 = capsys.readouterr().out
+        assert "Running FGSM" not in out2  # skip-if-exists
+
+
+class TestILAFCLI:
+    def test_fine_tune_chain(self, opt_path):
+        from i2v_tpu.cli import attack, fine_tune
+
+        wb_dir = attack.main([
+            "--model", "i3d_resnet50", "--attack_method", "BIM", "--step", "2",
+            "--tiny", "--data", "synthetic", "--n_synthetic", "2",
+            "--file_prefix", "forilaf",
+        ])
+        out_dir = fine_tune.main([
+            "--used_adv", wb_dir, "--model", "i3d_resnet50", "--step", "2",
+            "--tiny",
+        ])
+        advs = [f for f in os.listdir(out_dir) if f.endswith("-adv.npy")]
+        assert len(advs) == 2
