@@ -1,0 +1,111 @@
+"""GradCAM saliency (reference C21: image_cam.py + image_cam_utils.py).
+
+For a tapped image bundle:
+    cam = ReLU(Σ_k mean_spatial(∂logit_y/∂A_k) · A_k),  min-max normalized,
+nearest-upsampled to input size (reference: image_cam.py:97-140).
+
+∂logit/∂(tap activation) is exact: the image modules accept a ``tap_offset``
+added to the tap in-flow, and we differentiate w.r.t. the offset at 0 — the
+functional replacement for the reference's forward+backward hook pair.
+
+The 'update' branch returns ∂‖cam − ref‖₂/∂input (image_cam.py:132-138);
+``average_grad_cam`` reproduces ``average_grad_cam_from_images``
+(image_cam.py:9-37); ``visualize_cam`` uses a numpy jet colormap (no cv2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.api import ImageModel
+
+
+def _forward_with_offset(bundle: ImageModel, frames01, offset_key, offset):
+    logits, _ = bundle.module.apply(bundle.params, frames01,
+                                    tap_offset={offset_key: offset})
+    return logits
+
+
+def _cam_raw(bundle: ImageModel, frames01, labels):
+    """(cam (B,h,w), acts) before normalization."""
+    logits, taps = bundle.module.apply(bundle.params, frames01)
+    key = bundle.tap_keys[0]
+    acts = taps[key]
+    labs = jnp.argmax(logits, -1) if labels is None else jnp.asarray(labels)
+
+    def score(offset):
+        lg = _forward_with_offset(bundle, frames01, key, offset)
+        return jnp.take_along_axis(lg, labs[:, None], axis=-1).sum()
+
+    grads = jax.grad(score)(jnp.zeros_like(acts))
+    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)  # α_k (GAP of grads)
+    return jax.nn.relu(jnp.sum(weights * acts, axis=-1)), acts
+
+
+def _minmax(cam):
+    lo = jnp.min(cam, axis=(1, 2), keepdims=True)
+    hi = jnp.max(cam, axis=(1, 2), keepdims=True)
+    return (cam - lo) / jnp.maximum(hi - lo, 1e-12)
+
+
+def _upsample(cam, size: int):
+    # nearest upsample to (size, size) via gather (any integer ratio)
+    idx_r = (jnp.arange(size) * cam.shape[1]) // size
+    idx_c = (jnp.arange(size) * cam.shape[2]) // size
+    return cam[:, idx_r][:, :, idx_c]
+
+
+def grad_cam(bundle: ImageModel, frames01, labels=None,
+             upsample_to: Optional[int] = None) -> jnp.ndarray:
+    """Normalized saliency maps (B, H, W) in [0,1] for the bundle's first tap."""
+    cam, _ = _cam_raw(bundle, jnp.asarray(frames01), labels)
+    cam = _minmax(cam)
+    if upsample_to:
+        cam = _upsample(cam, upsample_to)
+    return cam
+
+
+def grad_cam_update(bundle: ImageModel, frames01, ref_cam, labels=None):
+    """The 'update' branch: ∂‖cam(x) − ref‖₂ / ∂x (image_cam.py:132-138)."""
+    frames01 = jnp.asarray(frames01)
+    ref_cam = jnp.asarray(ref_cam)
+
+    def loss(x):
+        cam, _ = _cam_raw(bundle, x, labels)
+        return jnp.linalg.norm(_minmax(cam) - ref_cam)
+
+    return jax.grad(loss)(frames01)
+
+
+def average_grad_cam(bundles: Sequence[ImageModel], frames01,
+                     upsample_to: int = 224) -> jnp.ndarray:
+    """Mean saliency over several image models, each at its own tap
+    (reference: average_grad_cam_from_images, image_cam.py:9-37)."""
+    cams = [grad_cam(b, frames01, upsample_to=upsample_to) for b in bundles]
+    return jnp.mean(jnp.stack(cams), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# visualization (cv2-free)
+# ---------------------------------------------------------------------------
+
+def _jet(v: np.ndarray) -> np.ndarray:
+    """Jet colormap: v in [0,1] → RGB in [0,1]."""
+    r = np.clip(1.5 - np.abs(4 * v - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * v - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * v - 1), 0, 1)
+    return np.stack([r, g, b], axis=-1)
+
+
+def visualize_cam(cam, frame01, alpha: float = 0.5) -> np.ndarray:
+    """Overlay a (H,W) cam onto an (H,W,3) [0,1] frame → uint8 RGB image
+    (reference: image_cam_utils.visualize_cam)."""
+    cam = np.asarray(cam)
+    frame01 = np.asarray(frame01)
+    heat = _jet(cam)
+    out = alpha * heat + (1 - alpha) * frame01
+    return (np.clip(out, 0, 1) * 255).astype(np.uint8)

@@ -28,13 +28,18 @@ from . import resnet as _resnet
 from . import vgg as _vgg
 from .api import ImageModel
 
-IMAGE_MODEL_NAMES = ("resnet", "vgg", "alexnet", "squeezenet")
+IMAGE_MODEL_NAMES = ("resnet", "vgg", "alexnet", "squeezenet", "densenet", "vit")
 
 DEPTH_TO_TAP: Mapping[str, Mapping[int, int]] = {
     "resnet": {1: 1, 2: 2, 3: 3, 4: 4},
     "alexnet": {1: 1, 2: 4, 3: 7, 4: 11},
     "vgg": {1: 1, 2: 11, 3: 20, 4: 29},
     "squeezenet": {1: 3, 2: 6, 3: 9, 4: 12},
+    # densenet161 is in the reference zoo (image_attacks.py:96-99) but has no
+    # attack tap table there; dense-block outputs are the natural analogue
+    "densenet": {1: 1, 2: 2, 3: 3, 4: 4},
+    # ViT (TPAMI get_vits): transformer block outputs
+    "vit": {1: 2, 2: 5, 3: 8, 4: 11},
 }
 
 
@@ -65,6 +70,21 @@ def build_image_model(
         module = _vgg.AlexNet(width_mult=0.125 if tiny else 1.0, **kw)
     elif name == "squeezenet":
         module = _vgg.SqueezeNet11(width_mult=0.25 if tiny else 1.0, **kw)
+    elif name == "densenet":
+        from . import densenet as _densenet
+
+        kw2 = dict(taps=kw["taps"], dtype=kw["dtype"])  # no truncation support
+        module = (_densenet.densenet_tiny(**kw2) if tiny
+                  else _densenet.densenet161(**kw2))
+    elif name == "vit":
+        from . import vit as _vit
+
+        kw2 = dict(dtype=kw["dtype"])
+        if tiny:
+            module = _vit.vit_tiny(**kw2)
+            tap_keys = tuple(min(t, module.depth - 1) for t in tap_keys)
+        else:
+            module = _vit.vit_base_patch16_224(**kw2)
     else:
         raise ValueError(f"unknown image model {name!r}; have {IMAGE_MODEL_NAMES}")
     return module, tap_keys

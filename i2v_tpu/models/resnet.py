@@ -49,7 +49,9 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tap_offset=None):
+        # tap_offset: {depth: array} added to the tap activation in-flow —
+        # autodiff w.r.t. it at 0 gives exact ∂/∂(tap) (GradCAM support).
         taps = {}
         if self.normalize:
             x = NormalizeInput()(x)
@@ -70,6 +72,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x)
+            if tap_offset is not None and stage + 1 in tap_offset:
+                x = x + tap_offset[stage + 1]
             if stage + 1 in self.taps:
                 taps[stage + 1] = x
         if self.truncate and self.taps:

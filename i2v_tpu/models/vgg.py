@@ -31,7 +31,7 @@ class VGG16(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tap_offset=None):
         taps = {}
         if self.normalize:
             x = NormalizeInput()(x)
@@ -49,6 +49,8 @@ class VGG16(nn.Module):
                 x = conv(ch, 3, 1, 1, dtype=self.dtype, name=f"conv{idx}")(x)
                 idx += 1  # conv
                 x = nn.relu(x)
+                if tap_offset is not None and idx in tap_offset:
+                    x = x + tap_offset[idx]
                 if idx in self.taps:
                     taps[idx] = x
                 idx += 1  # relu
@@ -72,7 +74,7 @@ class AlexNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tap_offset=None):
         taps = {}
         if self.normalize:
             x = NormalizeInput()(x)
@@ -90,6 +92,8 @@ class AlexNet(nn.Module):
             if self.truncate and conv_idx > deepest:
                 return None, taps
             x = nn.relu(conv(w(ch), k, s, p, dtype=self.dtype, name=f"conv{conv_idx}")(x))
+            if tap_offset is not None and conv_idx + 1 in tap_offset:
+                x = x + tap_offset[conv_idx + 1]
             if conv_idx + 1 in self.taps:
                 taps[conv_idx + 1] = x
             if pool_after:
@@ -109,12 +113,15 @@ class Fire(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, offset=None):
         """Returns (concat output, expand3x3 ReLU) — the second value is the
-        reference's SqueezeNet tap (``expand3x3_activation``)."""
+        reference's SqueezeNet tap (``expand3x3_activation``). ``offset`` is
+        added to e3 in-flow (GradCAM ∂/∂tap support)."""
         s = nn.relu(conv(self.squeeze, 1, dtype=self.dtype, name="squeeze")(x))
         e1 = nn.relu(conv(self.expand, 1, dtype=self.dtype, name="expand1x1")(s))
         e3 = nn.relu(conv(self.expand, 3, 1, 1, dtype=self.dtype, name="expand3x3")(s))
+        if offset is not None:
+            e3 = e3 + offset
         return jnp.concatenate([e1, e3], axis=-1), e3
 
 
@@ -127,7 +134,7 @@ class SqueezeNet11(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tap_offset=None):
         taps = {}
         if self.normalize:
             x = NormalizeInput()(x)
@@ -149,7 +156,8 @@ class SqueezeNet11(nn.Module):
                 return None, taps
             if pool_before:
                 x = max_pool(x, 3, 2, ceil_mode=True)
-            x, e3 = Fire(w(sq), w(ex), dtype=self.dtype, name=f"fire{idx}")(x)
+            off = tap_offset.get(idx) if tap_offset is not None else None
+            x, e3 = Fire(w(sq), w(ex), dtype=self.dtype, name=f"fire{idx}")(x, off)
             if idx in self.taps:
                 taps[idx] = e3
         if self.truncate and self.taps:

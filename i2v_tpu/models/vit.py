@@ -1,0 +1,92 @@
+"""Flax ViT-B/16 (timm `vit_base_patch16_224` topology).
+
+Equivalent of the reference's ``get_vits`` loader (TPAMI_attack.py:88-98) —
+defined there but unused by shipped attack paths; provided for zoo parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import NormalizeInput
+
+
+class MHSA(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, d = x.shape
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, d // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhc,bmhc->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = nn.softmax(attn / jnp.sqrt(d / self.heads), axis=-1)
+        y = jnp.einsum("bhnm,bmhc->bnhc", attn.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
+            y.reshape(b, n, d).astype(x.dtype))
+
+
+class Block(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(name="norm1")(x)
+        x = x + MHSA(self.dim, self.heads, dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    patch: int = 16
+    dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    num_classes: int = 1000
+    normalize: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        taps = {}
+        if self.normalize:
+            x = NormalizeInput()(x)
+        x = x.astype(self.dtype)
+        b = x.shape[0]
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), dtype=self.dtype,
+                    name="patch_embed")(x)
+        x = x.reshape(b, -1, self.dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (b, 1, 1)), x], axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, x.shape[1], self.dim))
+        x = x + pos.astype(x.dtype)
+        for i in range(self.depth):
+            x = Block(self.dim, self.heads, dtype=self.dtype, name=f"block{i}")(x)
+            taps[i] = x
+        x = nn.LayerNorm(name="norm")(x)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x[:, 0])
+        return logits.astype(jnp.float32), taps
+
+
+def vit_base_patch16_224(**kw) -> ViT:
+    return ViT(**kw)
+
+
+def vit_tiny(**kw) -> ViT:
+    return ViT(patch=8, dim=32, depth=2, heads=4, num_classes=10, **kw)

