@@ -120,6 +120,7 @@ class Attack:
         self.model = model
         self._targeted = 1
         self._attack_mode = "default"
+        self._return_type = "float"
         self._target_map_function = None
         self.loss_info: dict = {}
 
@@ -145,6 +146,31 @@ class Attack:
             return jnp.argmin(logits, axis=-1)
         return labels
 
+    def set_return_type(self, type: str) -> None:
+        """'float' (normalized clips) or 'int' (uint8 [0,255] pixel clips)
+        (reference: base_attacks.py:82-93)."""
+        if type not in ("float", "int"):
+            raise ValueError(f"{type} is not a valid type. [Options: float, int]")
+        self._return_type = type
+
+    def save(self, save_dir: str, batches, verbose: bool = True) -> None:
+        """Attack every batch and persist per-sample artifacts — the
+        reference's Attack.save loop (base_attacks.py:95-136) re-expressed on
+        the artifact protocol. ``batches`` yields dicts with clips/labels."""
+        from ..utils import artifacts
+
+        correct = total = 0
+        for step, batch in enumerate(batches):
+            adv = self(batch["clips"], batch["labels"])
+            artifacts.save_batch(save_dir, batch["labels"], jnp.asarray(adv))
+            if verbose and self.model is not None:
+                preds = jnp.argmax(self.model.apply_norm(jnp.asarray(adv)), -1)
+                labels = jnp.asarray(batch["labels"])
+                total += int(labels.shape[0])
+                correct += int(jnp.sum(preds == labels))
+                print(f"- Save Progress [{step + 1}] "
+                      f"Accuracy: {100.0 * correct / max(total, 1):.2f} %")
+
     # -- subclass hook -------------------------------------------------------
     def _attack01(self, clean01, labels, rng):
         raise NotImplementedError
@@ -158,6 +184,8 @@ class Attack:
             rng = jax.random.PRNGKey(0)
         adv01, costs = self._attack01(clean01, labels, rng)
         self._record_costs(costs, video_names)
+        if self._return_type == "int":
+            return (adv01 * 255).astype(jnp.uint8)
         return pixel.normalize(adv01, channel_axis=1)
 
     def _record_costs(self, costs, video_names) -> None:

@@ -34,6 +34,8 @@ def arg_parse(argv=None, kind: str = "Image"):
                    choices=["resnet", "vgg", "alexnet", "squeezenet"])
     p.add_argument("--aens_momentum", type=float, default=0.0)
     p.add_argument("--coef_CE", action="store_true")
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     common.add_data_args(p)
     args = p.parse_args(argv)
     args.adv_path = os.path.join(
@@ -45,16 +47,22 @@ def arg_parse(argv=None, kind: str = "Image"):
 
 
 def run(args) -> str:
+    from ..utils.profiling import StepTimer, trace
+
     print(args)
     dataset, iterate = common.build_dataset(args)
     left, right = common.shard_bounds(args, len(dataset))
     attack = common.build_image_guided_attack(args)
-    for step, batch in enumerate(iterate(dataset, args.batch_size, left, right)):
-        print(f"Running {args.attack_method}, {step + 1}")
-        out = attack(batch["clips"], batch["labels"], batch["names"])
-        adv = out[0] if isinstance(out, tuple) else out  # AENS triple-return
-        common.save_attack_outputs(args.adv_path, batch, adv)
+    timer = StepTimer(steps_per_call=args.step, clips_per_call=args.batch_size)
+    with trace(getattr(args, "profile", None)):
+        for step, batch in enumerate(iterate(dataset, args.batch_size, left, right)):
+            print(f"Running {args.attack_method}, {step + 1}")
+            with timer:
+                out = attack(batch["clips"], batch["labels"], batch["names"])
+            adv = out[0] if isinstance(out, tuple) else out  # AENS triple-return
+            common.save_attack_outputs(args.adv_path, batch, adv)
     artifacts.save_loss_info(args.adv_path, attack.loss_info, args.batch_index)
+    print(f"[summary] {timer.summary()}")
     return args.adv_path
 
 

@@ -115,6 +115,63 @@ def temporal_random_crop(frame_indices: list[int], size: int) -> list[int]:
     return loop_padding(frame_indices[begin:end], size)
 
 
+def random_horizontal_flip(img: Image.Image) -> Image.Image:
+    """RandomHorizontalFlip with the reference's frozen seed — p<0.5 drawn
+    from a freshly re-seeded RNG is CONSTANT, so this never flips
+    (transforms_ucf101.py RandomHorizontalFlip + frozen randomize); kept for
+    transform-set parity with the quirk preserved."""
+    random.seed(_FROZEN_SEED)
+    if random.random() < 0.5:
+        return img.transpose(Image.FLIP_LEFT_RIGHT)
+    return img
+
+
+_MULTISCALE_POSITIONS = ("c", "tl", "tr", "bl", "br")
+
+
+def _corner_crop(img: Image.Image, size: int, position: str) -> Image.Image:
+    w, h = img.size
+    if position == "c":
+        x1, y1 = (w - size) // 2, (h - size) // 2
+    elif position == "tl":
+        x1, y1 = 0, 0
+    elif position == "tr":
+        x1, y1 = w - size, 0
+    elif position == "bl":
+        x1, y1 = 0, h - size
+    else:  # br
+        x1, y1 = w - size, h - size
+    return img.crop((x1, y1, x1 + size, y1 + size))
+
+
+def multiscale_corner_crop(img: Image.Image, size: int,
+                           scales=(1.0, 0.8)) -> Image.Image:
+    """MultiScaleCornerCrop with frozen-seed 'random' scale/corner choice
+    (transforms_ucf101.py:376-469): deterministic by construction."""
+    random.seed(_FROZEN_SEED)
+    scale = scales[random.randint(0, len(scales) - 1)]
+    position = _MULTISCALE_POSITIONS[
+        random.randint(0, len(_MULTISCALE_POSITIONS) - 1)]
+    min_len = min(img.size)
+    crop = int(min_len * scale)
+    return _corner_crop(img, crop, position).resize((size, size), Image.BILINEAR)
+
+
+def multiscale_random_crop(img: Image.Image, size: int,
+                           scales=(1.0, 0.8)) -> Image.Image:
+    """MultiScaleRandomCrop with frozen-seed position (transforms_ucf101.py:
+    471-503)."""
+    random.seed(_FROZEN_SEED)
+    scale = scales[random.randint(0, len(scales) - 1)]
+    tl_x, tl_y = random.random(), random.random()
+    min_len = min(img.size)
+    crop = int(min_len * scale)
+    x1 = int(tl_x * (img.size[0] - crop))
+    y1 = int(tl_y * (img.size[1] - crop))
+    return img.crop((x1, y1, x1 + crop, y1 + crop)).resize(
+        (size, size), Image.BILINEAR)
+
+
 def kinetics_clip_indices(n_frames: int, clip_ind: int, clip_len: int = 32,
                           frame_sample_rate: int = 2,
                           num_segment: int = 1) -> np.ndarray:

@@ -1,0 +1,96 @@
+"""Tests for return types, Attack.save, profiling, extra transforms."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+import i2v_tpu.attacks as attacks
+from i2v_tpu.data import transforms
+from i2v_tpu.models import TinyVideoNet, init_bundle
+from i2v_tpu.ops import pixel
+from i2v_tpu.utils.profiling import StepTimer, trace
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return init_bundle(TinyVideoNet(), jnp.zeros((1, 3, 4, 16, 16)), "tiny")
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    clips01 = rng.rand(1, 3, 4, 16, 16).astype(np.float32)
+    return pixel.normalize(jnp.asarray(clips01), channel_axis=1), jnp.asarray([1])
+
+
+class TestReturnTypes:
+    def test_int_return(self, bundle):
+        videos, labels = _batch()
+        atk = attacks.FGSM(bundle)
+        atk.set_return_type("int")
+        adv = atk(videos, labels)
+        assert adv.dtype == jnp.uint8
+        assert int(adv.max()) <= 255
+
+    def test_invalid_return_type(self, bundle):
+        with pytest.raises(ValueError):
+            attacks.FGSM(bundle).set_return_type("double")
+
+    def test_str_dump(self, bundle):
+        s = str(attacks.BIM(bundle, steps=3))
+        assert s.startswith("BIM(") and "attack_mode=default" in s
+
+
+class TestSave:
+    def test_save_loop(self, bundle, tmp_path, capsys):
+        videos, labels = _batch()
+        batches = [{"clips": videos, "labels": np.asarray([1])},
+                   {"clips": videos, "labels": np.asarray([2])}]
+        atk = attacks.FGSM(bundle)
+        atk.save(str(tmp_path), batches)
+        assert sorted(f for f in __import__("os").listdir(tmp_path)) == \
+            ["1-adv.npy", "2-adv.npy"]
+        assert "Save Progress" in capsys.readouterr().out
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        timer = StepTimer(steps_per_call=10, clips_per_call=2, report_every=0)
+        for _ in range(3):
+            with timer:
+                pass
+        s = timer.summary()
+        assert s["calls"] == 3
+        assert s["attack_steps_per_sec_per_chip"] > 0
+
+    def test_trace_noop(self):
+        with trace(None):
+            pass
+
+    def test_trace_writes(self, tmp_path):
+        with trace(str(tmp_path)):
+            jnp.ones((4,)).block_until_ready()
+        import os
+
+        assert os.listdir(tmp_path)  # trace directory populated
+
+
+class TestExtraTransforms:
+    def test_horizontal_flip_frozen(self):
+        img = Image.fromarray(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+        a = transforms.random_horizontal_flip(img)
+        b = transforms.random_horizontal_flip(img)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_multiscale_crops_deterministic(self):
+        img = Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (100, 120, 3), np.uint8))
+        a = transforms.multiscale_corner_crop(img, 64)
+        b = transforms.multiscale_corner_crop(img, 64)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.size == (64, 64)
+        c = transforms.multiscale_random_crop(img, 64)
+        d = transforms.multiscale_random_crop(img, 64)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+        assert c.size == (64, 64)
