@@ -51,9 +51,15 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     fwd = jax.jit(lambda clips, labels: accuracy_and_preds(
         bundle.apply_norm(clips), labels))
 
+    # disk IO overlaps device compute (the reference's DataLoader-worker
+    # role, datasets.py:272-274)
+    from ..data.pipeline import threaded_prefetch
+
+    loaded = threaded_prefetch(
+        lambda: (artifacts.load_adv_batch(run_dir, b) for b in files_batches))
+
     end = time.time()
-    for step, batch in enumerate(files_batches):
-        clips, labels = artifacts.load_adv_batch(run_dir, batch)
+    for step, (clips, labels) in enumerate(loaded):
         data_time.update(time.time() - end)
         acc, preds = fwd(jnp.asarray(clips), jnp.asarray(labels))
         preds = np.asarray(preds)

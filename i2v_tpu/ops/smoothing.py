@@ -158,6 +158,19 @@ def cycle_variants(clip_bcthw: jnp.ndarray, shifts) -> jnp.ndarray:
     return jax.vmap(lambda ix: jnp.take(clip_bcthw, ix, axis=2))(idx)
 
 
+def exchange_frames(clip_bcthw: jnp.ndarray, exchange_pairs) -> jnp.ndarray:
+    """Swap frame pairs — TemporalTranslation's 'Exchange' move variant
+    (reference: video_attacks.py:142-148; defined there but unused by the
+    shipped forward, kept for API parity). NOTE the reference's sequential
+    in-place swap loses the first frame of each pair when pairs share an
+    index; this version is a single permutation gather (the intent)."""
+    t = clip_bcthw.shape[2]
+    perm = list(range(t))
+    for a, b in exchange_pairs:
+        perm[a], perm[b] = perm[b], perm[a]
+    return jnp.take(clip_bcthw, jnp.asarray(perm), axis=2)
+
+
 def smooth_variant_grads(grads_dbcthw: jnp.ndarray, kernel1d) -> jnp.ndarray:
     """Weighted sum of per-variant gradients with a 1-D kernel over the variant
     axis (reference: video_attacks.py:81-91, expressed there as a matmul on a

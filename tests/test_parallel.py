@@ -144,3 +144,36 @@ def test_ensemble_parallel_gradient_matches_sequential():
     assert adv.shape == clean01.shape
     assert np.isfinite(np.asarray(adv)).all()
     np.testing.assert_allclose(float(costs[0]) * 2, float(cost_ref), rtol=1e-4)
+
+
+def test_whitebox_dp_sharding_matches_single_device():
+    """White-box attacks are data-parallel by sharding propagation alone:
+    device_put the clip batch with the mesh sharding and the jitted scan
+    runs sharded (CE-mean psum inserted by XLA)."""
+    import i2v_tpu.attacks as attacks
+    from i2v_tpu.models import TinyVideoNet, init_bundle
+    from i2v_tpu.ops import pixel
+
+    bundle = init_bundle(TinyVideoNet(), jnp.zeros((8, 3, 4, 16, 16)), "t")
+    clips01 = jnp.asarray(
+        np.random.RandomState(0).rand(8, 3, 4, 16, 16).astype(np.float32))
+    videos = pixel.normalize(clips01, channel_axis=1)
+    labels = jnp.arange(8) % 10
+
+    mesh = attack_mesh(data=8, frames=1)
+    adv_sharded = attacks.BIM(bundle, steps=3)(
+        shard_clips(videos, mesh), jax.device_put(labels))
+    adv_single = attacks.BIM(bundle, steps=3)(videos, labels)
+    np.testing.assert_allclose(
+        np.asarray(adv_sharded), np.asarray(adv_single), atol=1e-5)
+
+
+def test_exchange_frames():
+    from i2v_tpu.ops import smoothing
+
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 3, 6, 2, 2).astype(np.float32))
+    y = smoothing.exchange_frames(x, [(0, 5), (1, 3)])
+    np.testing.assert_array_equal(np.asarray(y[:, :, 0]), np.asarray(x[:, :, 5]))
+    np.testing.assert_array_equal(np.asarray(y[:, :, 5]), np.asarray(x[:, :, 0]))
+    np.testing.assert_array_equal(np.asarray(y[:, :, 1]), np.asarray(x[:, :, 3]))
+    np.testing.assert_array_equal(np.asarray(y[:, :, 2]), np.asarray(x[:, :, 2]))
