@@ -23,7 +23,6 @@ is a positive per-channel affine map.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional
 
 import jax

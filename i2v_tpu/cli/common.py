@@ -24,7 +24,7 @@ from .. import attacks
 from ..data import kinetics as kinetics_mod
 from ..data import synthetic as synthetic_mod
 from ..data import ucf101 as ucf101_mod
-from ..models import get_image_models, get_video_model
+from ..models import get_image_models
 from ..utils import artifacts, get_paths
 
 IMAGE_GUIDED_METHODS = (

@@ -16,7 +16,6 @@ import numpy as np
 from .. import attacks
 from ..models import get_video_model, tap_keys_for
 from ..utils import artifacts, get_paths
-from . import common
 
 
 def arg_parse(argv=None):

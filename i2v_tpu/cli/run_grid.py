@@ -98,8 +98,27 @@ def _eval_extra(passthrough):
 def main(argv=None):
     p = argparse.ArgumentParser(description="paper-reproduction grid driver")
     p.add_argument("grid", choices=sorted(GRIDS))
+    p.add_argument("--limit", type=int, default=None,
+                   help="run only the first N grid configs (smoke runs)")
     args, passthrough = p.parse_known_args(argv)
+    if args.limit is not None:
+        _install_limit(args.limit)
     GRIDS[args.grid](passthrough)
+
+
+def _install_limit(n: int) -> None:
+    """Cap the number of (generate, evaluate) pairs executed."""
+    global _gen_and_eval
+    state = {"left": n}
+    orig = _gen_and_eval
+
+    def limited(*a, **kw):
+        if state["left"] <= 0:
+            return None
+        state["left"] -= 1
+        return orig(*a, **kw)
+
+    _gen_and_eval = limited
 
 
 if __name__ == "__main__":

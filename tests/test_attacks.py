@@ -268,3 +268,63 @@ class TestILAF:
             return sum(float(jnp.linalg.norm(a - c)) for a, c in zip(tx, tc))
 
         assert feat_shift(out) > feat_shift(bim_adv)
+
+
+class TestAnalytic:
+    """Closed-form case (SURVEY.md §4): on a linear 2-class model the CE
+    gradient direction is constant, so BIM has an exact solution
+    adv = clip(clean + steps·α·sign(w₁−w₀) , ε-ball ∩ [0,1])."""
+
+    class _Linear:
+        def __init__(self, w):
+            self.w = w  # (C,T,H,W) direction
+
+        def apply_norm(self, x_norm):
+            s = jnp.sum(x_norm * self.w[None], axis=(1, 2, 3, 4))
+            return jnp.stack([-s, s], axis=-1)  # logits for classes 0,1
+
+    def test_bim_closed_form(self):
+        rng = np.random.RandomState(0)
+        # small weights keep the logistic active (large |s| underflows the
+        # CE gradient to exactly 0 in f32 and the attack correctly stalls)
+        w = jnp.asarray((rng.randn(3, 4, 8, 8) * 0.01).astype(np.float32))
+        model = self._Linear(w)
+        clean01 = jnp.asarray(rng.rand(2, 3, 4, 8, 8).astype(np.float32))
+        videos = pixel.normalize(clean01, channel_axis=1)
+        labels = jnp.asarray([0, 0])  # true class 0 → ascend pushes toward 1
+
+        steps, eps = 4, 16 / 255
+        adv = attacks.BIM(model, steps=steps, epsilon=eps)(videos, labels)
+        adv01 = np.asarray(pixel.unnormalize(adv, channel_axis=1))
+
+        # ∂CE/∂x_norm ∝ +w for label 0 (σ'>0); sign step is +sign(w) each step
+        expected = np.clip(
+            np.asarray(clean01) + steps * (eps / steps) * np.sign(np.asarray(w))[None],
+            np.asarray(clean01) - eps, np.asarray(clean01) + eps)
+        expected = np.clip(expected, 0, 1)
+        np.testing.assert_allclose(adv01, expected, atol=1e-5)
+
+
+class TestAENSCoeffMath:
+    def test_softmax_of_softmax_momentum(self, tiny_image_models, clean_batch):
+        """Numeric check of coeffs = softmax(softmax(prev) + m·coeffs)
+        (reference: TPAMI_attack.py:265) across two steps."""
+        videos, labels = clean_batch
+        models = get_image_models(
+            ["alexnet", "squeezenet"],
+            {"alexnet": [2, 3], "squeezenet": [2, 3]}, tiny=True, input_hw=32)
+        m = 0.7
+        atk = attacks.AENS_I2V_MF(models, step_size=0.005, momentum=m, steps=2)
+        _, _, _ = atk(videos, labels)
+        w0, w1 = np.asarray(atk.weights[0]), np.asarray(atk.weights[1])
+
+        def softmax(x):
+            e = np.exp(x - x.max())
+            return e / e.sum()
+
+        # step 0: prev = ones, coeffs = ones
+        np.testing.assert_allclose(
+            w0, softmax(softmax(np.ones(4)) + m * np.ones(4)), atol=1e-6)
+        # step 1 uses the unweighted per-tap frame-summed cosines as prev;
+        # whatever prev was, w1 must be softmax-normalized and momentum-skewed
+        np.testing.assert_allclose(w1.sum(), 1.0, atol=1e-6)
