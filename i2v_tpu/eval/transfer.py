@@ -38,7 +38,7 @@ def accuracy_and_preds(logits, labels):
 
 
 def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
-                   *, normalized: bool = True, log=print):
+                   *, log=print):
     """Evaluate one model over artifact batches → (preds, labels, top1_avg).
 
     Artifacts are normalized-domain clips (the protocol); the bundle's
