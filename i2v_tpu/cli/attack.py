@@ -20,6 +20,9 @@ from . import common
 def arg_parse(argv=None):
     p = argparse.ArgumentParser(description="white-box video attack (Kinetics-400)")
     p.add_argument("--model", default="i3d_resnet50")
+    p.add_argument("--attack_type", default="image", choices=["image", "video"],
+                   help="reference-CLI compatibility flag (attack.py:76-83); "
+                        "dispatch here is by method name")
     p.add_argument("--attack_method", default="BIM",
                    choices=common.WHITEBOX_METHODS)
     p.add_argument("--step", type=int, default=10)
