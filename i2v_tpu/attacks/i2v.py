@@ -21,6 +21,7 @@ Class names match the reference so CLI dispatch works unchanged
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Sequence
 
 import jax
@@ -28,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.api import ImageModel, VideoModel
+from ..models.api import ImageModel, VideoModel, rebind_params
 from ..ops import losses, pixel
 from ..ops import pallas_kernels as pk
 from .core import Attack
@@ -101,20 +102,22 @@ class _FrameAttack(Attack):
         self.step_size = step_size
         self._jit_cache: dict = {}
 
-    def _make_loss(self, clean_taps):
+    def _make_loss(self, models, clean_taps):
         raise NotImplementedError
 
     def _state0(self):
         return None
 
     def _build_runner(self):
-        models = self.models
-
-        def runner(clean01):
+        def runner(params_list, clean01):
+            # params as runtime args (closure-captured arrays would embed the
+            # full weight set as HLO constants)
+            models = [rebind_params(m, p)
+                      for m, p in zip(self.models, params_list)]
             b = clean01.shape[0]
             frames = pixel.flatten_clip_to_frames(clean01)
             clean_taps = [jax.lax.stop_gradient(t) for t in _collect_taps(models, frames)]
-            loss_fn = self._make_loss(clean_taps)
+            loss_fn = self._make_loss(models, clean_taps)
             adv_frames, records = run_adam_modifier_attack(
                 loss_fn, frames, steps=self.steps, step_size=self.step_size,
                 epsilon=self.epsilon, state0=self._state0(),
@@ -123,11 +126,17 @@ class _FrameAttack(Attack):
 
         return runner
 
+    def _params_list(self):
+        return [m.params for m in self.models]
+
     def _attack01(self, clean01, labels, rng):
+        # labels/rng unused: the image-guided objectives are label-free
+        # feature losses (the reference likewise ignores labels,
+        # image_attacks.py:294-347); kept for the uniform Attack API.
         key = clean01.shape
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._build_runner())
-        adv01, records = self._jit_cache[key](clean01)
+        adv01, records = self._jit_cache[key](self._params_list(), clean01)
         return adv01, records
 
 
@@ -139,9 +148,7 @@ class ImageGuidedStd_Adam(_FrameAttack):
                  epsilon=16 / 255, steps=10):
         super().__init__("ImageGuidedStd_Adam", models, epsilon, steps, step_size)
 
-    def _make_loss(self, clean_taps):
-        models = self.models
-
+    def _make_loss(self, models, clean_taps):
         def loss_fn(adv01, state):
             taps = _collect_taps(models, adv01)
             cost = losses.dispersion_cost(taps)
@@ -158,9 +165,7 @@ class ImageGuidedFMDirection_Adam(_FrameAttack):
                  epsilon=16 / 255, steps=10):
         super().__init__("ImageGuidedFMDirection_Adam", models, epsilon, steps, step_size)
 
-    def _make_loss(self, clean_taps):
-        models = self.models
-
+    def _make_loss(self, models, clean_taps):
         def loss_fn(adv01, state):
             taps = _collect_taps(models, adv01)
             cost = losses.i2v_cost(taps, clean_taps)
@@ -202,8 +207,7 @@ class AENS_I2V_MF(_FrameAttack):
         prev = jnp.ones((self.n_taps,), dtype=jnp.float32)
         return (coeffs, prev)
 
-    def _make_loss(self, clean_taps):
-        models = self.models
+    def _make_loss(self, models, clean_taps):
         momentum = self.momentum
         coef_ce = self.coef_CE
 
@@ -230,9 +234,9 @@ class AENS_I2V_MF(_FrameAttack):
         key = clean01.shape
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._build_runner())
-            self._jit_cache[key](clean01)[0].block_until_ready()  # compile
+            self._jit_cache[key](self._params_list(), clean01)[0].block_until_ready()
         begin = time.time()
-        adv01, (costs, coeffs) = self._jit_cache[key](clean01)
+        adv01, (costs, coeffs) = self._jit_cache[key](self._params_list(), clean01)
         adv01.block_until_ready()
         used_time = time.time() - begin
         cost_saved = np.asarray(costs)
@@ -262,10 +266,10 @@ class ILAF(Attack):
         self._jit_cache: dict = {}
 
     def _build_runner(self):
-        model = self.model
         eps, alpha, steps = self.epsilon, self.step_size, self.steps
 
-        def runner(adv01, clean01):
+        def runner(params, adv01, clean01):
+            model = rebind_params(self.model, params)
             _, clean_taps = model.apply01_taps(clean01)
             clean_taps = [jax.lax.stop_gradient(t) for t in clean_taps]
             _, adv_taps = model.apply01_taps(adv01)
@@ -297,6 +301,6 @@ class ILAF(Attack):
         key = adv01.shape
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._build_runner())
-        out01, costs = self._jit_cache[key](adv01, clean01)
+        out01, costs = self._jit_cache[key](self.model.params, adv01, clean01)
         self._record_costs(costs, video_names)
         return pixel.normalize(out01, channel_axis=1)

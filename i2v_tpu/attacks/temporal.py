@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.api import VideoModel
+from ..models.api import VideoModel, rebind_params
 from ..ops import losses, pixel, smoothing
 from ..ops import pallas_kernels as pk
 from .core import Attack, SignAttackConfig
@@ -67,10 +67,9 @@ class TemporalTranslation(Attack):
         key = (clean01.shape, self._targeted)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._build_runner(clean01.shape))
-        return self._jit_cache[key](clean01, labels, rng)
+        return self._jit_cache[key](self.model.params, clean01, labels, rng)
 
     def _build_runner(self, shape):
-        model = self.model
         targeted = self._targeted
         kernel = jnp.asarray(self._kernel)
         weight = self.weight
@@ -86,22 +85,24 @@ class TemporalTranslation(Attack):
                                use_momentum=self.momentum, decay=self.delay,
                                grad_norm="frame" if self.momentum else None)
 
-        def ce_cost(x_norm, labels):
-            return targeted * losses.cross_entropy(model.apply_norm(x_norm), labels)
+        def runner(params, clean01, labels, rng):
+            model = rebind_params(self.model, params)
 
-        grad_one = jax.grad(ce_cost)
+            def ce_cost(x_norm, labels):
+                return targeted * losses.cross_entropy(model.apply_norm(x_norm), labels)
 
-        def variant_grads(adv_norm, labels, shifts):
-            """(D, B, C, T, H, W) gradients of the shifted variants."""
-            variants = smoothing.cycle_variants(adv_norm, shifts)
+            grad_one = jax.grad(ce_cost)
 
-            def per_chunk(vc):
-                return jax.vmap(lambda v: grad_one(v, labels))(vc)
+            def variant_grads(adv_norm, labels, shifts):
+                """(D, B, C, T, H, W) gradients of the shifted variants."""
+                variants = smoothing.cycle_variants(adv_norm, shifts)
 
-            grouped = variants.reshape(d // chunk, chunk, *variants.shape[1:])
-            return jax.lax.map(per_chunk, grouped).reshape(d, *variants.shape[1:])
+                def per_chunk(vc):
+                    return jax.vmap(lambda v: grad_one(v, labels))(vc)
 
-        def runner(clean01, labels, rng):
+                grouped = variants.reshape(d // chunk, chunk, *variants.shape[1:])
+                return jax.lax.map(per_chunk, grouped).reshape(d, *variants.shape[1:])
+
             mom0 = jnp.zeros_like(clean01)
 
             def step(carry, _):

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.api import VideoModel
+from ..models.api import VideoModel, rebind_params
 from ..ops import diversity, grads as grad_ops, losses, pixel, smoothing
 from .core import Attack, SignAttackConfig, make_ce_grad_fn, run_sign_attack
 
@@ -31,7 +31,12 @@ EPS_DEFAULT = 16 / 255
 
 
 class _SignEngineAttack(Attack):
-    """Shared machinery: per-shape jit cache around run_sign_attack."""
+    """Shared machinery: per-shape jit cache around run_sign_attack.
+
+    Model params are passed as runtime jit ARGUMENTS (not closure captures):
+    captured arrays become HLO constants, bloating the program with the full
+    weight set — slow compiles and, on tunneled devices, upload-size limits.
+    """
 
     def __init__(self, name: str, model: VideoModel, cfg: SignAttackConfig):
         super().__init__(name, model)
@@ -41,8 +46,8 @@ class _SignEngineAttack(Attack):
         self.step_size = cfg.alpha
         self._jit_cache: dict = {}
 
-    def _build_grad_fn(self):
-        return make_ce_grad_fn(self.model.apply_norm, self._targeted)
+    def _build_grad_fn(self, bundle):
+        return make_ce_grad_fn(bundle.apply_norm, self._targeted)
 
     def _build_smooth_fn(self):
         return None
@@ -50,15 +55,16 @@ class _SignEngineAttack(Attack):
     def _attack01(self, clean01, labels, rng):
         key = (clean01.shape, str(clean01.dtype), self._targeted)
         if key not in self._jit_cache:
-            grad_fn = self._build_grad_fn()
             smooth_fn = self._build_smooth_fn()
             cfg = self.cfg
 
-            def runner(c, l, r):
+            def runner(params, c, l, r):
+                bundle = rebind_params(self.model, params)
+                grad_fn = self._build_grad_fn(bundle)
                 return run_sign_attack(grad_fn, c, l, cfg, smooth_fn=smooth_fn, rng=r)
 
             self._jit_cache[key] = jax.jit(runner)
-        return self._jit_cache[key](clean01, labels, rng)
+        return self._jit_cache[key](self.model.params, clean01, labels, rng)
 
 
 class FGSM(_SignEngineAttack):
@@ -104,8 +110,8 @@ class DIFGSM(_SignEngineAttack):
         )
         super().__init__("DIFGSM", model, cfg)
 
-    def _build_grad_fn(self):
-        apply_norm = self.model.apply_norm
+    def _build_grad_fn(self, bundle):
+        apply_norm = bundle.apply_norm
         targeted = self._targeted
 
         def cost_fn(x_norm, labels, rng):
@@ -188,8 +194,8 @@ class SIM(_SignEngineAttack):
         super().__init__("SIM", model, cfg)
         self.scale_steps = scale_steps
 
-    def _build_grad_fn(self):
-        apply_norm = self.model.apply_norm
+    def _build_grad_fn(self, bundle):
+        apply_norm = bundle.apply_norm
         targeted = self._targeted
         n = self.scale_steps
 
@@ -251,10 +257,9 @@ class TAP(Attack):
         key = (clean01.shape, self._targeted)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._build_runner())
-        return self._jit_cache[key](clean01, labels, rng)
+        return self._jit_cache[key](self.model.params, clean01, labels, rng)
 
     def _build_runner(self):
-        model = self.model
         targeted = self._targeted
         kernel = self._kernel
         conv3d = self.conv3d
@@ -262,7 +267,8 @@ class TAP(Attack):
         cfg = SignAttackConfig(epsilon=self.epsilon, steps=self.steps,
                                step_size=self.step_size)
 
-        def runner(clean01, labels, rng):
+        def runner(params, clean01, labels, rng):
+            model = rebind_params(self.model, params)
             x_norm_clean = pixel.normalize(clean01, channel_axis=1)
             _, clean_taps = model.apply_norm_taps(x_norm_clean)
             clean_taps = [jax.lax.stop_gradient(t) for t in clean_taps]

@@ -48,8 +48,16 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     predictions: list[int] = []
     labels_all: list[int] = []
 
-    fwd = jax.jit(lambda clips, labels: accuracy_and_preds(
-        bundle.apply_norm(clips), labels))
+    from ..models.api import rebind_params
+
+    def _fwd(params, clips, labels):
+        return accuracy_and_preds(rebind_params(bundle, params).apply_norm(clips),
+                                  labels)
+
+    fwd_jit = jax.jit(_fwd)
+
+    def fwd(clips, labels):
+        return fwd_jit(bundle.params, clips, labels)
 
     # disk IO overlaps device compute (the reference's DataLoader-worker
     # role, datasets.py:272-274)

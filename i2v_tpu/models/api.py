@@ -117,6 +117,20 @@ class TinyVideoNet(nn.Module):
         return nn.Dense(self.num_classes, name="head")(x), taps
 
 
+def rebind_params(bundle, params):
+    """Shallow-rebind a bundle's params (used by jitted attack runners to
+    take params as runtime arguments instead of HLO constants). Works on the
+    dataclass bundles and on duck-typed test models alike."""
+    import copy
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(bundle):
+        return _dc.replace(bundle, params=params)
+    clone = copy.copy(bundle)
+    clone.params = params
+    return clone
+
+
 def init_bundle(module, example, name: str, tap_keys=(), seed: int = 0):
     """Initialize params and wrap into the right bundle type by example rank."""
     params = module.init(jax.random.PRNGKey(seed), example)

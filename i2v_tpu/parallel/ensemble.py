@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..attacks.i2v import MODIFIER_INIT, adam_like_torch
-from ..models.api import ImageModel
+from ..models.api import ImageModel, rebind_params
 from ..ops import losses, pixel
 from ..ops import pallas_kernels as pk
 
@@ -55,18 +55,20 @@ def make_ensemble_parallel_runner(
     if k % m_size:
         raise ValueError(f"{k} models do not split over model axis {m_size}")
     per = k // m_size
-    groups = [list(models[g * per:(g + 1) * per]) for g in range(m_size)]
     opt = adam_like_torch(step_size)
 
-    def group_taps(g: int, frames01):
-        taps = []
-        for mdl in groups[g]:
-            _, t = mdl.apply01_taps(frames01)
-            taps.extend(t)
-        return taps
-
-    def body(frames_local):
+    def body(params_list, frames_local):
         """Runs per (model-group, frame-shard) device."""
+        bound = [rebind_params(m, p) for m, p in zip(models, params_list)]
+        groups = [list(bound[g * per:(g + 1) * per]) for g in range(m_size)]
+
+        def group_taps(g: int, frames01):
+            taps = []
+            for mdl in groups[g]:
+                _, t = mdl.apply01_taps(frames01)
+                taps.extend(t)
+            return taps
+
         clean_taps = [
             [jax.lax.stop_gradient(t) for t in group_taps(g, frames_local)]
             for g in range(m_size)
@@ -98,15 +100,21 @@ def make_ensemble_parallel_runner(
 
     sharded_body = shard_map(
         body, mesh=mesh,
-        in_specs=P("frames"),          # frame shards; replicated over 'model'
+        in_specs=(P(), P("frames")),   # params replicated; frame shards
         out_specs=(P("frames"), P()),  # costs identical on every device
         check_rep=False,
     )
 
-    def runner(clean01):
+    def inner(params_list, clean01):
         b = clean01.shape[0]
         frames = pixel.flatten_clip_to_frames(clean01)
-        adv_frames, costs = sharded_body(frames)
+        adv_frames, costs = sharded_body(params_list, frames)
         return pixel.unflatten_frames_to_clip(adv_frames, b), costs
 
-    return jax.jit(runner)
+    jitted = jax.jit(inner)
+    params_list = [m.params for m in models]
+
+    def runner(clean01):
+        return jitted(params_list, clean01)
+
+    return runner

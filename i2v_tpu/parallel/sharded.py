@@ -37,26 +37,35 @@ def make_sharded_i2v_runner(
 
     runner(clean01_clips (B,C,T,H,W) [0,1]) -> (adv01 clips, per-step costs).
     """
+    from ..models.api import rebind_params
+
     fsharding = frame_sharding(mesh)
     n_taps = sum(len(m.tap_keys) for m in models)
     opt = adam_like_torch(step_size)
 
-    def collect(frames01):
+    def collect(bound_models, frames01):
         taps = []
-        for m in models:
+        for m in bound_models:
             _, t = m.apply01_taps(frames01)
             taps.extend(t)
         return taps
 
-    def runner(clean01):
+    def inner(params_list, clean01):
+        # params as runtime args: closure-captured weights would be embedded
+        # as HLO constants (huge programs, slow/oversized compiles)
+        bound = [rebind_params(m, p) for m, p in zip(models, params_list)]
+
+        def collect_b(frames01):
+            return collect(bound, frames01)
+
         b = clean01.shape[0]
         frames = pixel.flatten_clip_to_frames(clean01)
         frames = jax.lax.with_sharding_constraint(frames, fsharding)
-        clean_taps = [jax.lax.stop_gradient(t) for t in collect(frames)]
+        clean_taps = [jax.lax.stop_gradient(t) for t in collect_b(frames)]
 
         def objective(modifier, coeffs_prev):
             adv01 = pk.rebuild_adv(frames, modifier, epsilon)
-            taps = collect(adv01)
+            taps = collect_b(adv01)
             if adaptive:
                 coeffs, prev = coeffs_prev
                 coeffs = jax.nn.softmax(jax.nn.softmax(prev) + aens_momentum * coeffs)
@@ -88,5 +97,11 @@ def make_sharded_i2v_runner(
         return pixel.unflatten_frames_to_clip(adv, b), costs
 
     csharding = clip_sharding(mesh)
-    return jax.jit(runner, in_shardings=csharding,
-                   out_shardings=(csharding, jax.sharding.NamedSharding(mesh, P())))
+    jitted = jax.jit(inner, in_shardings=(None, csharding),
+                     out_shardings=(csharding, jax.sharding.NamedSharding(mesh, P())))
+    params_list = [m.params for m in models]
+
+    def runner(clean01):
+        return jitted(params_list, clean01)
+
+    return runner

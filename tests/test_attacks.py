@@ -276,8 +276,9 @@ class TestAnalytic:
     adv = clip(clean + steps·α·sign(w₁−w₀) , ε-ball ∩ [0,1])."""
 
     class _Linear:
-        def __init__(self, w):
+        def __init__(self, w, params=()):
             self.w = w  # (C,T,H,W) direction
+            self.params = params  # attack engines pass params as jit args
 
         def apply_norm(self, x_norm):
             s = jnp.sum(x_norm * self.w[None], axis=(1, 2, 3, 4))
