@@ -91,14 +91,17 @@ def build_image_model(
 
 
 def _load_params(name: str):
-    """Load converted pretrained params if present, else None."""
+    """Load converted pretrained params if present, else None. Arrays are
+    device_put once here — params are runtime jit arguments, and host numpy
+    arrays would otherwise re-upload the weights on every attack call."""
     path = os.path.join(ckpt_dir(), f"{name}.msgpack")
     if not os.path.exists(path):
         return None
     from flax import serialization
 
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        restored = serialization.msgpack_restore(f.read())
+    return jax.device_put(restored)
 
 
 def get_image_models(

@@ -96,6 +96,8 @@ def get_video_model(
                 params = serialization.msgpack_restore(f.read())
             if "params" not in params:
                 params = {"params": params}
+            # device_put once: params are runtime jit args (see registry)
+            params = jax.device_put(params)
     if params is None:
         if not tiny:
             warnings.warn(

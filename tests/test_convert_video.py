@@ -114,3 +114,113 @@ def test_gluoncv_i3d_converter_parity():
                        width=8, num_classes=10)
     got, _ = module.apply({"params": params}, jnp.asarray(x01))
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
+class TorchSFBottleneck(tnn.Module):
+    def __init__(self, cin, feats, out_feats, spatial_stride=1, tk=1,
+                 downsample=False):
+        super().__init__()
+        st = (1, spatial_stride, spatial_stride)
+        self.conv1 = tnn.Conv3d(cin, feats, (tk, 1, 1),
+                                padding=((tk - 1) // 2, 0, 0), bias=False)
+        self.bn1 = tnn.BatchNorm3d(feats)
+        self.conv2 = tnn.Conv3d(feats, feats, (1, 3, 3), st, (0, 1, 1), bias=False)
+        self.bn2 = tnn.BatchNorm3d(feats)
+        self.conv3 = tnn.Conv3d(feats, out_feats, 1, bias=False)
+        self.bn3 = tnn.BatchNorm3d(out_feats)
+        self.relu = tnn.ReLU(True)
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv3d(cin, out_feats, 1, st, bias=False),
+                tnn.BatchNorm3d(out_feats))
+
+    def forward(self, x):
+        r = self.downsample(x) if self.downsample is not None else x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        return self.relu(self.bn3(self.conv3(y)) + r)
+
+
+class TorchMiniSlowFast(tnn.Module):
+    """Gluoncv-style naming: slow_conv1/slow_bn1/slow_res{2..5},
+    fast_*, lateral_p1/lateral_res{2..4}, fc."""
+
+    def __init__(self, width=8, beta_inv=4, alpha=4, num_classes=10):
+        super().__init__()
+        self.alpha = alpha
+        fw = width // beta_inv
+        self.fast_conv1 = tnn.Conv3d(3, fw, (5, 7, 7), (1, 2, 2), (2, 3, 3))
+        self.fast_bn1 = tnn.Identity()
+        self.slow_conv1 = tnn.Conv3d(3, width, (1, 7, 7), (1, 2, 2), (0, 3, 3))
+        self.slow_bn1 = tnn.Identity()
+        self.relu = tnn.ReLU(True)
+        self.pool = tnn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1))
+        self.lateral_p1 = tnn.Conv3d(fw, 2 * fw, (5, 1, 1), (alpha, 1, 1),
+                                     (2, 0, 0))
+        fast_in, slow_in = fw, width + 2 * fw
+        fast_stages, slow_stages, laterals = [], [], []
+        for stage in range(4):
+            f_feats = (width * 2**stage) // beta_inv
+            s_feats = width * 2**stage
+            ss = 2 if stage > 0 else 1
+            fast_stages.append(tnn.Sequential(TorchSFBottleneck(
+                fast_in, f_feats, f_feats * 4, ss, 3, True)))
+            slow_stages.append(tnn.Sequential(TorchSFBottleneck(
+                slow_in, s_feats, s_feats * 4, ss, 3 if stage in (2, 3) else 1,
+                True)))
+            fast_in = f_feats * 4
+            slow_in = s_feats * 4
+            if stage < 3:
+                laterals.append(tnn.Conv3d(fast_in, 2 * fast_in, (5, 1, 1),
+                                           (alpha, 1, 1), (2, 0, 0)))
+                slow_in += 2 * fast_in
+        for i in range(4):
+            setattr(self, f"fast_res{i+2}", fast_stages[i])
+            setattr(self, f"slow_res{i+2}", slow_stages[i])
+        for i in range(3):
+            setattr(self, f"lateral_res{i+2}", laterals[i])
+        self.fc = tnn.Linear(slow_in + fast_in, num_classes)
+
+    def forward(self, x):
+        fast = self.pool(self.relu(self.fast_conv1(x)))
+        slow = self.pool(self.relu(self.slow_conv1(x[:, :, ::self.alpha])))
+        slow = torch.cat([slow, self.relu(self.lateral_p1(fast))], 1)
+        for stage in range(4):
+            fast = getattr(self, f"fast_res{stage+2}")(fast)
+            slow = getattr(self, f"slow_res{stage+2}")(slow)
+            if stage < 3:
+                lat = self.relu(getattr(self, f"lateral_res{stage+2}")(fast))
+                slow = torch.cat([slow, lat], 1)
+        pooled = torch.cat([slow.mean((2, 3, 4)), fast.mean((2, 3, 4))], 1)
+        return self.fc(pooled)
+
+
+def test_gluoncv_slowfast_converter_parity():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_gluoncv",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "convert_gluoncv.py"))
+    cg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cg)
+
+    from i2v_tpu.models.slowfast import SlowFast
+
+    tm = TorchMiniSlowFast().eval()
+    _randomize_bn(tm)
+    # (conv1s carry biases and Identity bn placeholders here — the
+    # converter's _maybe() tolerates missing BN stats)
+    sd = tm.state_dict()
+    x01 = np.random.RandomState(1).rand(1, 3, 8, 32, 32).astype(np.float32)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
+    with torch.no_grad():
+        want = tm((torch.from_numpy(x01) - mean) / std).numpy()
+
+    params = cg.convert_slowfast(sd, stage_sizes=(1, 1, 1, 1))
+    module = SlowFast(stage_sizes=(1, 1, 1, 1), width=8, beta_inv=4,
+                      num_classes=10)
+    got, _ = module.apply({"params": params}, jnp.asarray(x01))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
