@@ -224,3 +224,66 @@ def test_gluoncv_slowfast_converter_parity():
                       num_classes=10)
     got, _ = module.apply({"params": params}, jnp.asarray(x01))
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
+class TorchMiniTPNBackbone(tnn.Module):
+    """Gluoncv-style slow-only backbone naming: conv1/bn1, layer{1..4}, fc."""
+
+    def __init__(self, width=8, num_classes=10):
+        super().__init__()
+        self.conv1 = tnn.Conv3d(3, width, (1, 7, 7), (1, 2, 2), (0, 3, 3),
+                                bias=False)
+        self.bn1 = tnn.BatchNorm3d(width)
+        self.relu = tnn.ReLU(True)
+        self.pool = tnn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1))
+        cin = width
+        for stage in range(4):
+            feats = width * 2**stage
+            tk = 3 if stage in (2, 3) else 1
+            setattr(self, f"layer{stage + 1}", tnn.Sequential(
+                TorchSFBottleneck(cin, feats, feats * 4,
+                                  2 if stage > 0 else 1, tk, True)))
+            cin = feats * 4
+
+    def forward(self, x):
+        x = self.pool(self.relu(self.bn1(self.conv1(x))))
+        taps = []
+        for stage in range(4):
+            x = getattr(self, f"layer{stage + 1}")(x)
+            taps.append(x)
+        return taps
+
+
+def test_gluoncv_tpn_backbone_converter_parity():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_gluoncv",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "convert_gluoncv.py"))
+    cg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cg)
+
+    from i2v_tpu.models.tpn import TPN
+
+    tm = TorchMiniTPNBackbone().eval()
+    _randomize_bn(tm)
+    x01 = np.random.RandomState(2).rand(1, 3, 4, 32, 32).astype(np.float32)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
+    with torch.no_grad():
+        want_taps = tm((torch.from_numpy(x01) - mean) / std)
+
+    params = cg.convert_tpn(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+    module = TPN(stage_sizes=(1, 1, 1, 1), width=8, neck_channels=32,
+                 num_classes=10)
+    # backbone taps only (the neck/head are init-fresh in this partial load)
+    import jax
+
+    full = module.init(jax.random.PRNGKey(0), jnp.asarray(x01))["params"]
+    full.update(params)
+    _, taps = module.apply({"params": full}, jnp.asarray(x01))
+    for i in range(4):
+        got = np.asarray(taps[f"layer{i + 1}"])  # (B,T,H,W,C)
+        want = want_taps[i].permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=5e-4, err_msg=f"layer{i+1}")
