@@ -20,7 +20,16 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import functools
+
+try:  # jax>=0.8 top-level API (check_vma kwarg); experimental for older jax
+    from jax import shard_map as _shard_map
+
+    shard_map = functools.partial(_shard_map, check_vma=False)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    shard_map = functools.partial(_shard_map, check_rep=False)
 
 from ..attacks.i2v import MODIFIER_INIT, adam_like_torch
 from ..models.api import ImageModel, rebind_params
@@ -102,7 +111,6 @@ def make_ensemble_parallel_runner(
         body, mesh=mesh,
         in_specs=(P(), P("frames")),   # params replicated; frame shards
         out_specs=(P("frames"), P()),  # costs identical on every device
-        check_rep=False,
     )
 
     def inner(params_list, clean01):

@@ -85,7 +85,7 @@ def test_ensemble_parallel_gradient_matches_sequential():
     step-0 gradients are ~1e-6 and Adam's rsqrt amplifies float-summation-
     order differences chaotically; the per-step GRADIENT is the invariant.)
     """
-    from jax.experimental.shard_map import shard_map
+    from i2v_tpu.parallel.ensemble import shard_map
     from jax.sharding import PartitionSpec as P
 
     from i2v_tpu.attacks.i2v import MODIFIER_INIT
@@ -133,7 +133,7 @@ def test_ensemble_parallel_gradient_matches_sequential():
 
     cost_par, g_par = jax.jit(shard_map(
         body, mesh=mesh, in_specs=P("frames"),
-        out_specs=(P(), P("frames")), check_rep=False))(frames)
+        out_specs=(P(), P("frames"))))(frames)
     # per-frame-shard costs differ; psum over 'frames' too for the total
     np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_ref),
                                atol=1e-7, rtol=1e-3)
