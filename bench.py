@@ -16,8 +16,10 @@ stated here explicitly.
 
 Roofline: XLA cost analysis puts the single-surrogate I2V step at the HBM
 bandwidth bound (~78 GB/step ÷ 819 GB/s ≈ measured 85 ms); the ENS step is
-likewise bandwidth-dominated. Verified non-wins: bf16 param pre-cast (XLA
-hoists it), batch 32 (memory pressure), frame-chunked grad accumulation.
+likewise bandwidth-dominated. Verified non-wins (tools/perf_probe.py): bf16
+param pre-cast (XLA hoists it), batch 32 (memory pressure), frame-chunked
+grad accumulation, remat'd tap collection (2.09 vs 2.90 steps/s — recompute
+costs more than the saved activation traffic), scan unroll=2 (2.88, parity).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

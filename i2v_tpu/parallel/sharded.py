@@ -32,6 +32,8 @@ def make_sharded_i2v_runner(
     epsilon: float = 16 / 255,
     adaptive: bool = False,
     aens_momentum: float = 0.0,
+    remat: bool = False,
+    unroll: int = 1,
 ):
     """Build a jitted, mesh-sharded I2V/ENS/AENS attack runner.
 
@@ -57,6 +59,11 @@ def make_sharded_i2v_runner(
 
         def collect_b(frames01):
             return collect(bound, frames01)
+
+        if remat:
+            # trade MXU recompute for HBM traffic: save only the taps, not
+            # the conv residuals, and replay the forward in the backward pass
+            collect_b = jax.checkpoint(collect_b)
 
         b = clean01.shape[0]
         frames = pixel.flatten_clip_to_frames(clean01)
@@ -91,7 +98,8 @@ def make_sharded_i2v_runner(
         )
         state0 = (jnp.ones((n_taps,)), jnp.ones((n_taps,))) if adaptive else None
         (modifier, _, _), costs = jax.lax.scan(
-            step, (mod0, opt.init(mod0), state0), None, length=steps
+            step, (mod0, opt.init(mod0), state0), None, length=steps,
+            unroll=unroll,
         )
         adv = pk.rebuild_adv(frames, jax.lax.stop_gradient(modifier), epsilon)
         return pixel.unflatten_frames_to_clip(adv, b), costs

@@ -1,0 +1,55 @@
+"""One-off perf probe for the ENS-I2V hot step on the real chip.
+
+Times make_sharded_i2v_runner variants on the bench config (BASELINE.md
+north-star: 4 surrogates, 60 steps, 16x32x224^2). Usage:
+
+    python tools/perf_probe.py remat      # jax.checkpoint'd tap collection
+    python tools/perf_probe.py base       # current production config
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+STEPS = 60
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+    from i2v_tpu.models import get_image_models
+    from i2v_tpu.parallel import attack_mesh, shard_clips
+    from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
+
+    mesh = attack_mesh()
+    models = get_image_models(
+        ["resnet", "vgg", "squeezenet", "alexnet"],
+        {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3},
+        input_hw=224, dtype=jnp.bfloat16)
+    runner = make_sharded_i2v_runner(
+        models, mesh, steps=STEPS, step_size=0.005,
+        remat=(variant == "remat"),
+        unroll=2 if variant == "unroll2" else 1)
+    clean01 = shard_clips(jnp.full((16, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+    t0 = time.time()
+    adv, costs = runner(clean01)
+    jax.block_until_ready(adv)
+    print(f"[{variant}] compile+first: {time.time()-t0:.1f}s "
+          f"cost[0]={float(costs[0]):.2f} cost[-1]={float(costs[-1]):.2f}")
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        adv, costs = runner(clean01)
+    jax.block_until_ready(adv)
+    dt = time.time() - t0
+    print(f"[{variant}] {STEPS*reps/dt:.3f} steps/s  cost[-1]={float(costs[-1]):.2f}")
+
+
+if __name__ == "__main__":
+    main()
