@@ -61,18 +61,16 @@ class KineticsAttackDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def _load(self, sample: KineticsSample) -> Optional[np.ndarray]:
+    def _fname(self, sample: KineticsSample) -> Optional[str]:
         fname = os.path.join(self.data_path, sample.path)
         if not os.path.exists(fname):
             return None
         if os.path.getsize(fname) < 1024:  # reference: datasets.py:197-199
             warnings.warn(f"SKIP tiny file: {fname}")
             return None
-        try:
-            frames = decode_video(fname, width=self.new_width, height=self.new_height)
-        except Exception as e:
-            warnings.warn(f"video cannot be decoded: {fname}: {e}")
-            return None
+        return fname
+
+    def _select_clip(self, frames, sample: KineticsSample) -> Optional[np.ndarray]:
         if frames is None or len(frames) == 0:
             return None
         idx = transforms.kinetics_clip_indices(
@@ -80,6 +78,47 @@ class KineticsAttackDataset:
             self.frame_sample_rate, self.num_segment,
         )
         return frames[idx]
+
+    def _load(self, sample: KineticsSample) -> Optional[np.ndarray]:
+        fname = self._fname(sample)
+        if fname is None:
+            return None
+        try:
+            frames = decode_video(fname, width=self.new_width, height=self.new_height)
+        except Exception as e:
+            warnings.warn(f"video cannot be decoded: {fname}: {e}")
+            return None
+        return self._select_clip(frames, sample)
+
+    def load_batch(self, indices) -> list:
+        """Batch decode on the native thread pool (one GIL-free C++ call for
+        the whole batch — the runtime dual of the reference's 9 DataLoader
+        workers, datasets.py:272-274). Per-item failures fall back to
+        __getitem__'s skip-and-resample. Returns the __getitem__ tuples."""
+        from . import native
+
+        if not native.available():
+            return [self[i] for i in indices]
+        samples = [self.samples[i] for i in indices]
+        fnames = [self._fname(s) for s in samples]
+        todo = [(j, f) for j, f in enumerate(fnames) if f is not None]
+        decoded = native.decode_videos(
+            [f for _, f in todo], width=self.new_width, height=self.new_height
+        )
+        buffers: list = [None] * len(samples)
+        for (j, _), frames in zip(todo, decoded):
+            buffers[j] = self._select_clip(frames, samples[j])
+        out = []
+        for i, sample, buffer in zip(indices, samples, buffers):
+            if buffer is None:
+                out.append(self[i])  # skip-and-resample path
+                continue
+            clip = transforms.kinetics_val_transform(
+                buffer, self.short_side_size, self.crop_size
+            )
+            out.append((clip, sample.label, sample.path.split(".")[0],
+                        sample.clip_index))
+        return out
 
     def __getitem__(self, index: int):
         sample = self.samples[index]
@@ -101,8 +140,10 @@ def iterate_batches(dataset, batch_size: int, left: int = 0,
     """Sequential batcher over a [left, right) manifest shard. Returns dicts
     with stacked 'clips' (B,3,T,H,W), 'labels', 'names', 'clip_inds'."""
     right = len(dataset) if right is None else min(right, len(dataset))
+    batched = getattr(dataset, "load_batch", None)
     for start in range(left, right, batch_size):
-        items = [dataset[i] for i in range(start, min(start + batch_size, right))]
+        idxs = range(start, min(start + batch_size, right))
+        items = batched(idxs) if batched else [dataset[i] for i in idxs]
         clips, labels, names, inds = zip(*items)
         yield {
             "clips": np.stack(clips),

@@ -41,6 +41,18 @@ def _load():
     ]
     lib.i2v_decode_jpeg.restype = ctypes.c_int
     lib.i2v_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
+    intp = ctypes.POINTER(ctypes.c_int)
+    lib.i2v_decode_videos.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, u8pp, intp, intp,
+    ]
+    lib.i2v_decode_videos.restype = ctypes.c_int
+    lib.i2v_decode_jpegs.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        u8pp, intp, intp, intp,
+    ]
+    lib.i2v_decode_jpegs.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -65,6 +77,64 @@ def decode_video(path: str, width: int = 340, height: int = 256) -> np.ndarray:
     finally:
         lib.i2v_free(out)
     return arr
+
+
+def decode_videos(paths: list, width: int = 340, height: int = 256,
+                  threads: int = 0) -> list:
+    """Decode a batch of videos on the native thread pool (one GIL-free call).
+    Returns per-path (T,H,W,3) uint8 arrays, None where decode failed."""
+    lib = _load()
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    n_frames = (ctypes.c_int * n)()
+    rcs = (ctypes.c_int * n)()
+    lib.i2v_decode_videos(c_paths, n, width, height, threads,
+                          outs, n_frames, rcs)
+    results = []
+    for i in range(n):
+        if rcs[i] != 0 or not outs[i]:
+            results.append(None)
+            continue
+        try:
+            size = n_frames[i] * height * width * 3
+            results.append(
+                np.ctypeslib.as_array(outs[i], shape=(size,))
+                .reshape(n_frames[i], height, width, 3).copy()
+            )
+        finally:
+            lib.i2v_free(outs[i])
+    return results
+
+
+def decode_jpegs(paths: list, threads: int = 0) -> list:
+    """Decode a batch of JPEGs on the native thread pool. Returns per-path
+    (H,W,3) uint8 arrays, None where decode failed."""
+    lib = _load()
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    ws = (ctypes.c_int * n)()
+    hs = (ctypes.c_int * n)()
+    rcs = (ctypes.c_int * n)()
+    lib.i2v_decode_jpegs(c_paths, n, threads, outs, ws, hs, rcs)
+    results = []
+    for i in range(n):
+        if rcs[i] != 0 or not outs[i]:
+            results.append(None)
+            continue
+        try:
+            results.append(
+                np.ctypeslib.as_array(outs[i], shape=(hs[i] * ws[i] * 3,))
+                .reshape(hs[i], ws[i], 3).copy()
+            )
+        finally:
+            lib.i2v_free(outs[i])
+    return results
 
 
 def decode_jpeg(path: str) -> Optional[np.ndarray]:

@@ -66,16 +66,33 @@ class UCF101AttackDataset:
         frame_indices = transforms.loop_padding(
             list(range(1, sample.duration + 1)), self.clip_len
         )
-        frames = []
+        paths = []
         for i in frame_indices:
             path = os.path.join(sample.directory, f"image_{i:05d}.jpg")
             if not os.path.exists(path):
                 break
-            frames.append(decode_jpeg(path))
-        if not frames:
+            paths.append(path)
+        if not paths:
             raise FileNotFoundError(f"no frames under {sample.directory}")
+        frames = self._decode(paths)
         clip = transforms.ucf_test_transform(frames, self.crop_size)
         return clip, sample.label
+
+    def _decode(self, paths: list) -> list:
+        """Decode the clip's frame JPEGs — unique paths once on the native
+        thread pool (LoopPadding repeats indices; decoding a path once and
+        reusing the image is pixel-identical), PIL fallback otherwise."""
+        from . import native
+
+        if native.available():
+            uniq = sorted(set(paths))
+            arrs = native.decode_jpegs(uniq)
+            if all(a is not None for a in arrs):
+                from PIL import Image
+
+                by_path = {p: Image.fromarray(a) for p, a in zip(uniq, arrs)}
+                return [by_path[p] for p in paths]
+        return [decode_jpeg(p) for p in paths]
 
 
 def iterate_batches(dataset, batch_size: int, left: int = 0,

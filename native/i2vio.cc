@@ -14,10 +14,14 @@
 //  - All buffers are malloc'd here and released by i2v_free — no hidden
 //    ownership across the ctypes boundary.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -28,6 +32,10 @@ extern "C" {
 }
 
 extern "C" {
+
+__attribute__((constructor)) static void i2v_init() {
+  av_log_set_level(AV_LOG_ERROR);  // silence per-frame swscale deprecation spam
+}
 
 void i2v_free(uint8_t* ptr) { free(ptr); }
 
@@ -70,8 +78,13 @@ int i2v_decode_video(const char* path, int width, int height,
 
   auto emit = [&](AVFrame* f) {
     if (!sws) {
+      // BITEXACT: swscale's SIMD tail paths vary with buffer alignment on
+      // non-multiple-of-16 widths (e.g. the reference's 340), making output
+      // depend on heap state; force the bit-exact path so decode is
+      // deterministic across call patterns and thread pools.
       sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format,
-                           width, height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                           width, height, AV_PIX_FMT_RGB24,
+                           SWS_BILINEAR | SWS_BITEXACT | SWS_ACCURATE_RND,
                            nullptr, nullptr, nullptr);
     }
     if (count == cap) {
@@ -143,6 +156,64 @@ int i2v_decode_jpeg(const char* path, uint8_t** out, int* w, int* h) {
   fclose(f);
   *out = buf;
   return 0;
+}
+
+// ---- batch decode: native thread-pool executor ----
+//
+// The reference gets decode parallelism from 9 DataLoader fork-workers
+// (datasets.py:272-274). Here the fan-out lives in the runtime: one call
+// decodes a whole batch with a std::thread pool (atomic work-stealing index),
+// entirely GIL-free. Per-item outputs/return codes land in caller arrays so
+// one bad video never poisons the batch (skip-and-resample stays upstream).
+
+// Decode n videos in parallel. outs[i] ← malloc'd (n_frames[i],h,w,3) RGB or
+// NULL; rcs[i] ← the i2v_decode_video return code. threads<=0 → #cores
+// (capped at n). Returns the number of successfully decoded videos.
+int i2v_decode_videos(const char** paths, int n, int width, int height,
+                      int threads, uint8_t** outs, int* n_frames, int* rcs) {
+  if (n <= 0) return 0;
+  int workers = threads > 0 ? threads
+                            : (int)std::thread::hardware_concurrency();
+  workers = std::max(1, std::min(workers, n));
+  std::atomic<int> next(0), ok(0);
+  auto run = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      outs[i] = nullptr;
+      n_frames[i] = 0;
+      rcs[i] = i2v_decode_video(paths[i], width, height, &outs[i],
+                                &n_frames[i]);
+      if (rcs[i] == 0) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < workers; ++t) pool.emplace_back(run);
+  run();
+  for (auto& t : pool) t.join();
+  return ok.load();
+}
+
+// Decode n JPEGs in parallel (UCF-101 loads 32 frame JPEGs per clip,
+// dataset_ucf101.py:66-79). Same contract as i2v_decode_videos.
+int i2v_decode_jpegs(const char** paths, int n, int threads, uint8_t** outs,
+                     int* ws, int* hs, int* rcs) {
+  if (n <= 0) return 0;
+  int workers = threads > 0 ? threads
+                            : (int)std::thread::hardware_concurrency();
+  workers = std::max(1, std::min(workers, n));
+  std::atomic<int> next(0), ok(0);
+  auto run = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      outs[i] = nullptr;
+      ws[i] = hs[i] = 0;
+      rcs[i] = i2v_decode_jpeg(paths[i], &outs[i], &ws[i], &hs[i]);
+      if (rcs[i] == 0) ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < workers; ++t) pool.emplace_back(run);
+  run();
+  for (auto& t : pool) t.join();
+  return ok.load();
 }
 
 }  // extern "C"

@@ -53,6 +53,41 @@ class TestNativeDecode:
         means = arr.reshape(5, -1).mean(axis=1)
         assert (np.diff(means) > 10).all()
 
+    def test_batch_video_decode_matches_sequential(self, tmp_path):
+        from i2v_tpu.data import native
+
+        from .avi_helper import write_mjpeg_avi
+
+        rng = np.random.RandomState(3)
+        paths = []
+        for v in range(6):
+            frames = [Image.fromarray(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+                      for _ in range(3 + v)]
+            p = str(tmp_path / f"clip{v}.avi")
+            write_mjpeg_avi(p, frames)
+            paths.append(p)
+        bad = str(tmp_path / "bad.avi")
+        with open(bad, "wb") as f:
+            f.write(b"junk" * 64)
+        batch = native.decode_videos(paths + [bad], width=32, height=24, threads=4)
+        assert batch[-1] is None  # per-item failure doesn't poison the batch
+        for p, arr in zip(paths, batch[:-1]):
+            np.testing.assert_array_equal(arr, native.decode_video(p, 32, 24))
+
+    def test_batch_jpeg_decode_matches_sequential(self, tmp_path):
+        from i2v_tpu.data import native
+
+        rng = np.random.RandomState(4)
+        paths = []
+        for i in range(8):
+            p = str(tmp_path / f"f{i}.jpg")
+            Image.fromarray(rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)).save(p)
+            paths.append(p)
+        batch = native.decode_jpegs(paths, threads=3)
+        for p, arr in zip(paths, batch):
+            np.testing.assert_array_equal(arr, native.decode_jpeg(p))
+        assert native.decode_jpegs([]) == []
+
     def test_decode_error_path(self, tmp_path):
         from i2v_tpu.data import native
 
@@ -199,3 +234,83 @@ class TestArtifacts:
     def test_loss_info(self, tmp_path):
         p = artifacts.save_loss_info(str(tmp_path), {"v": {0: {"cost": "1.0"}}}, 2)
         assert os.path.basename(p) == "loss_info_2.json"
+
+
+class TestRealDatasets:
+    """End-to-end dataset contracts over real (tmp) media files."""
+
+    def _make_kinetics(self, tmp_path, n_videos=3, n_frames=8):
+        from .avi_helper import write_mjpeg_avi
+
+        rng = np.random.RandomState(7)
+        rows = ["path,gt_label,clip_index"]
+        for v in range(n_videos):
+            frames = [
+                Image.fromarray(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+                for _ in range(n_frames)
+            ]
+            write_mjpeg_avi(str(tmp_path / f"vid{v}.avi"), frames)
+            rows.append(f"vid{v}.avi,{v},{v}")
+        anno = tmp_path / "anno.csv"
+        anno.write_text("\n".join(rows) + "\n")
+        from i2v_tpu.data.kinetics import KineticsAttackDataset
+
+        return KineticsAttackDataset(str(anno), str(tmp_path))
+
+    def test_kinetics_item_contract(self, tmp_path):
+        ds = self._make_kinetics(tmp_path)
+        clip, label, name, clip_ind = ds[1]
+        assert clip.shape == (3, 32, 224, 224)
+        assert clip.dtype == np.float32
+        assert (label, name, clip_ind) == (1, "vid1", 1)
+        # ImageNet-normalized domain, not [0,1]
+        assert clip.min() < -0.5
+
+    def test_kinetics_load_batch_matches_sequential(self, tmp_path):
+        ds = self._make_kinetics(tmp_path, n_videos=4)
+        seq = [ds[i] for i in range(4)]
+        par = ds.load_batch(range(4))
+        for (c1, l1, n1, i1), (c2, l2, n2, i2) in zip(seq, par):
+            np.testing.assert_array_equal(c1, c2)
+            assert (l1, n1, i1) == (l2, n2, i2)
+
+    def test_kinetics_batch_resamples_bad_video(self, tmp_path):
+        ds = self._make_kinetics(tmp_path, n_videos=3)
+        bad = tmp_path / "vid1.avi"
+        bad.write_bytes(b"x" * 4096)  # >1KiB so decode (not size check) fails
+        np.random.seed(0)
+        with pytest.warns(UserWarning):
+            items = ds.load_batch(range(3))
+        assert len(items) == 3
+        assert all(it[0].shape == (3, 32, 224, 224) for it in items)
+        # the resampled stand-in is one of the healthy manifest entries
+        assert items[1][1] in (0, 2)
+
+    def test_kinetics_iterate_batches_uses_batch_loader(self, tmp_path):
+        from i2v_tpu.data.kinetics import iterate_batches as kin_batches
+
+        ds = self._make_kinetics(tmp_path, n_videos=3)
+        batches = list(kin_batches(ds, 2))
+        assert [b["clips"].shape[0] for b in batches] == [2, 1]
+        assert batches[0]["clips"].shape[1:] == (3, 32, 224, 224)
+        assert batches[0]["names"] == ["vid0", "vid1"]
+
+    def test_ucf_native_batch_matches_pil(self, tmp_path, monkeypatch):
+        rng = np.random.RandomState(9)
+        d = tmp_path / "v_Test_g01_c01"
+        d.mkdir()
+        for i in range(1, 6):  # 5 frames, LoopPadding to 32
+            Image.fromarray(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)).save(
+                str(d / f"image_{i:05d}.jpg")
+            )
+        setting = tmp_path / "setting.txt"
+        setting.write_text(f"{d.name} 5 17\n")
+        from i2v_tpu.data import native
+        from i2v_tpu.data.ucf101 import UCF101AttackDataset
+
+        ds = UCF101AttackDataset(str(setting), str(tmp_path))
+        clip_native, label = ds[0]
+        assert clip_native.shape == (3, 32, 224, 224) and label == 17
+        monkeypatch.setattr(native, "available", lambda: False)
+        clip_pil, _ = ds[0]
+        np.testing.assert_array_equal(clip_native, clip_pil)
