@@ -101,11 +101,16 @@ class KineticsAttackDataset:
             return [self[i] for i in indices]
         samples = [self.samples[i] for i in indices]
         fnames = [self._fname(s) for s in samples]
-        todo = [(j, f) for j, f in enumerate(fnames) if f is not None]
+        # sidecar (.npy/.npz) entries go through decode.decode_video's
+        # dispatch, not the FFmpeg pool (which would fail-and-refall-back)
+        todo = [(j, f) for j, f in enumerate(fnames)
+                if f is not None and not f.endswith((".npy", ".npz"))]
         decoded = native.decode_videos(
             [f for _, f in todo], width=self.new_width, height=self.new_height
         )
-        buffers: list = [None] * len(samples)
+        buffers = [self._load(s) if f is None or f.endswith((".npy", ".npz"))
+                   else None
+                   for f, s in zip(fnames, samples)]
         for (j, _), frames in zip(todo, decoded):
             buffers[j] = self._select_clip(frames, samples[j])
         out = []
@@ -113,12 +118,16 @@ class KineticsAttackDataset:
             if buffer is None:
                 out.append(self[i])  # skip-and-resample path
                 continue
-            clip = transforms.kinetics_val_transform(
-                buffer, self.short_side_size, self.crop_size
-            )
-            out.append((clip, sample.label, sample.path.split(".")[0],
-                        sample.clip_index))
+            out.append(self._pack(sample, buffer))
         return out
+
+    def _pack(self, sample: KineticsSample, buffer: np.ndarray):
+        """Apply the validation transform and build the item tuple — the
+        single home of the reference item contract (datasets.py:138-150)."""
+        clip = transforms.kinetics_val_transform(
+            buffer, self.short_side_size, self.crop_size
+        )
+        return clip, sample.label, sample.path.split(".")[0], sample.clip_index
 
     def __getitem__(self, index: int):
         sample = self.samples[index]
@@ -128,11 +137,7 @@ class KineticsAttackDataset:
             index = np.random.randint(len(self))
             sample = self.samples[index]
             buffer = self._load(sample)
-        clip = transforms.kinetics_val_transform(
-            buffer, self.short_side_size, self.crop_size
-        )
-        name = sample.path.split(".")[0]
-        return clip, sample.label, name, sample.clip_index
+        return self._pack(sample, buffer)
 
 
 def iterate_batches(dataset, batch_size: int, left: int = 0,

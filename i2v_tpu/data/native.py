@@ -10,6 +10,7 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_HAS_BATCH = False  # batch entry points present in the loaded library
 
 
 def _lib_path() -> str:
@@ -41,24 +42,36 @@ def _load():
     ]
     lib.i2v_decode_jpeg.restype = ctypes.c_int
     lib.i2v_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
-    u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
-    intp = ctypes.POINTER(ctypes.c_int)
-    lib.i2v_decode_videos.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, u8pp, intp, intp,
-    ]
-    lib.i2v_decode_videos.restype = ctypes.c_int
-    lib.i2v_decode_jpegs.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        u8pp, intp, intp, intp,
-    ]
-    lib.i2v_decode_jpegs.restype = ctypes.c_int
+    try:  # batch entry points: absent in pre-pool builds of the library
+        u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
+        intp = ctypes.POINTER(ctypes.c_int)
+        lib.i2v_decode_videos.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, u8pp, intp, intp,
+        ]
+        lib.i2v_decode_videos.restype = ctypes.c_int
+        lib.i2v_decode_jpegs.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            u8pp, intp, intp, intp,
+        ]
+        lib.i2v_decode_jpegs.restype = ctypes.c_int
+        global _HAS_BATCH
+        _HAS_BATCH = True
+    except AttributeError:
+        pass
     _LIB = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def _maybe(fn, *args):
+    try:
+        return fn(*args)
+    except RuntimeError:
+        return None
 
 
 def decode_video(path: str, width: int = 340, height: int = 256) -> np.ndarray:
@@ -87,6 +100,8 @@ def decode_videos(paths: list, width: int = 340, height: int = 256,
     n = len(paths)
     if n == 0:
         return []
+    if not _HAS_BATCH:  # pre-pool library build: decode sequentially
+        return [_maybe(decode_video, p, width, height) for p in paths]
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     outs = (ctypes.POINTER(ctypes.c_uint8) * n)()
     n_frames = (ctypes.c_int * n)()
@@ -116,6 +131,8 @@ def decode_jpegs(paths: list, threads: int = 0) -> list:
     n = len(paths)
     if n == 0:
         return []
+    if not _HAS_BATCH:  # pre-pool library build: decode sequentially
+        return [decode_jpeg(p) for p in paths]
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     outs = (ctypes.POINTER(ctypes.c_uint8) * n)()
     ws = (ctypes.c_int * n)()

@@ -85,13 +85,16 @@ class UCF101AttackDataset:
         from . import native
 
         if native.available():
+            from PIL import Image
+
             uniq = sorted(set(paths))
             arrs = native.decode_jpegs(uniq)
-            if all(a is not None for a in arrs):
-                from PIL import Image
-
-                by_path = {p: Image.fromarray(a) for p, a in zip(uniq, arrs)}
-                return [by_path[p] for p in paths]
+            # per-path PIL fallback keeps the batch win when one frame fails
+            by_path = {
+                p: Image.fromarray(a) if a is not None else decode_jpeg(p)
+                for p, a in zip(uniq, arrs)
+            }
+            return [by_path[p] for p in paths]
         return [decode_jpeg(p) for p in paths]
 
 

@@ -21,15 +21,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 import functools
+import inspect
 
-try:  # jax>=0.8 top-level API (check_vma kwarg); experimental for older jax
+try:  # jax>=0.8 exports shard_map at top level; experimental for older jax
     from jax import shard_map as _shard_map
-
-    shard_map = functools.partial(_shard_map, check_vma=False)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-    shard_map = functools.partial(_shard_map, check_rep=False)
+# key the replication-check kwarg on the actual signature (the kwarg was
+# renamed check_rep → check_vma independently of where the symbol lives)
+_CHECK_KW = ("check_vma" if "check_vma" in
+             inspect.signature(_shard_map).parameters else "check_rep")
+shard_map = functools.partial(_shard_map, **{_CHECK_KW: False})
 
 from ..attacks.i2v import MODIFIER_INIT, adam_like_torch
 from ..models.api import ImageModel, rebind_params

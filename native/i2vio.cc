@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <csetjmp>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -125,6 +126,19 @@ int i2v_decode_video(const char* path, int width, int height,
   return err;
 }
 
+// libjpeg's default error_exit calls exit(); route fatal errors through
+// setjmp/longjmp (the canonical libjpeg recovery pattern) so a corrupt frame
+// returns an error code instead of killing the process — required for the
+// batch decoder's per-item failure isolation.
+struct I2vJpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf env;
+};
+
+static void i2v_jpeg_error_exit(j_common_ptr cinfo) {
+  longjmp(((I2vJpegErr*)cinfo->err)->env, 1);
+}
+
 // Decode a JPEG file to (height, width, 3) uint8 RGB.
 int i2v_decode_jpeg(const char* path, uint8_t** out, int* w, int* h) {
   *out = nullptr;
@@ -132,8 +146,17 @@ int i2v_decode_jpeg(const char* path, uint8_t** out, int* w, int* h) {
   if (!f) return -1;
 
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  I2vJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = i2v_jpeg_error_exit;
+  // volatile: written between setjmp and longjmp, read in the handler
+  uint8_t* volatile buf = nullptr;
+  if (setjmp(jerr.env)) {  // any fatal libjpeg error lands here
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    free(buf);
+    return -3;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -146,7 +169,7 @@ int i2v_decode_jpeg(const char* path, uint8_t** out, int* w, int* h) {
   *w = (int)cinfo.output_width;
   *h = (int)cinfo.output_height;
   size_t stride = (size_t)(*w) * 3;
-  uint8_t* buf = (uint8_t*)malloc((size_t)(*h) * stride);
+  buf = (uint8_t*)malloc((size_t)(*h) * stride);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = buf + cinfo.output_scanline * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);

@@ -314,3 +314,42 @@ class TestRealDatasets:
         monkeypatch.setattr(native, "available", lambda: False)
         clip_pil, _ = ds[0]
         np.testing.assert_array_equal(clip_native, clip_pil)
+
+    def test_corrupt_jpeg_does_not_kill_process(self, tmp_path):
+        """libjpeg fatal errors must come back as rc!=0 (setjmp recovery),
+        not exit() the process — per-item isolation for the batch pool."""
+        from i2v_tpu.data import native
+
+        good = str(tmp_path / "good.jpg")
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(good)
+        with open(good, "rb") as f:
+            data = f.read()
+        corrupt = str(tmp_path / "corrupt.jpg")
+        with open(corrupt, "wb") as f:  # valid header, truncated+mangled body
+            f.write(data[: len(data) // 2] + b"\xff\x00garbage")
+        notjpeg = str(tmp_path / "not.jpg")
+        with open(notjpeg, "wb") as f:
+            f.write(b"PNG?nope" * 16)
+        out = native.decode_jpegs([good, corrupt, notjpeg, good])
+        assert out[0] is not None and out[3] is not None
+        assert out[2] is None
+        np.testing.assert_array_equal(out[0], out[3])
+
+    def test_kinetics_batch_with_sidecar_manifest(self, tmp_path):
+        """Sidecar (.npy) manifest entries must flow through the decode
+        dispatch, not the FFmpeg pool."""
+        rng = np.random.RandomState(11)
+        rows = ["path,gt_label,clip_index"]
+        for v in range(2):
+            arr = rng.randint(0, 255, (8, 256, 340, 3), dtype=np.uint8)
+            np.save(str(tmp_path / f"clip{v}.npy"), arr)
+            rows.append(f"clip{v}.npy,{v},{v}")
+        (tmp_path / "anno.csv").write_text("\n".join(rows) + "\n")
+        from i2v_tpu.data.kinetics import KineticsAttackDataset
+
+        ds = KineticsAttackDataset(str(tmp_path / "anno.csv"), str(tmp_path))
+        seq = [ds[i] for i in range(2)]
+        par = ds.load_batch(range(2))
+        for a, b in zip(seq, par):
+            np.testing.assert_array_equal(a[0], b[0])
+            assert a[1:] == b[1:]
