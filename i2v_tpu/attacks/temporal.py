@@ -20,9 +20,7 @@ import jax.numpy as jnp
 
 from ..models.api import VideoModel, rebind_params
 from ..ops import losses, pixel, smoothing
-from ..ops import pallas_kernels as pk
-from .core import Attack, SignAttackConfig
-from ..ops.grads import norm_grads
+from .core import Attack, SignAttackConfig, run_sign_attack
 
 
 class TemporalTranslation(Attack):
@@ -91,46 +89,39 @@ class TemporalTranslation(Attack):
             def ce_cost(x_norm, labels):
                 return targeted * losses.cross_entropy(model.apply_norm(x_norm), labels)
 
-            grad_one = jax.grad(ce_cost)
+            cost_and_grad_one = jax.value_and_grad(ce_cost)
 
             def variant_grads(adv_norm, labels, shifts):
-                """(D, B, C, T, H, W) gradients of the shifted variants."""
+                """Per-step cost + (D, B, C, T, H, W) variant gradients."""
                 variants = smoothing.cycle_variants(adv_norm, shifts)
 
                 def per_chunk(vc):
-                    return jax.vmap(lambda v: grad_one(v, labels))(vc)
+                    return jax.vmap(lambda v: cost_and_grad_one(v, labels))(vc)
 
                 grouped = variants.reshape(d // chunk, chunk, *variants.shape[1:])
-                return jax.lax.map(per_chunk, grouped).reshape(d, *variants.shape[1:])
+                costs, g = jax.lax.map(per_chunk, grouped)
+                return costs.reshape(d).mean(), g.reshape(d, *variants.shape[1:])
 
-            mom0 = jnp.zeros_like(clean01)
-
-            def step(carry, _):
-                adv, mom, key = carry
-                key, sub = jax.random.split(key)
+            def tt_grad_fn(adv01, labels, key):
+                """The TemporalTranslation gradient, as a core-engine GradFn:
+                variant fan-out → chunked grads → unshift → 1-D smooth → mix."""
                 if static_shifts is not None:
                     shifts = static_shifts
                 else:  # 'random' move type (video_attacks.py:124-140)
-                    rand = jax.random.randint(sub, (d,), 0, 101) % frames
+                    rand = jax.random.randint(key, (d,), 0, 101) % frames
                     shifts = jnp.where(moves == 0, 0, jnp.sign(moves) * rand)
-                adv_norm = pixel.normalize(adv, channel_axis=1)
-                g = variant_grads(adv_norm, labels, shifts)
-                # unshift each variant's gradient back into clip alignment
-                idx = (jnp.arange(frames)[None, :] + shifts[:, None]) % frames
+                adv_norm = pixel.normalize(adv01, channel_axis=1)
+                cost, g = variant_grads(adv_norm, labels, shifts)
+                # unshift each variant's gradient by the NOMINAL move list —
+                # the reference rolls back by self.cycle_move_list even when
+                # 'large'/'random' applied a different actual shift
+                # (video_attacks.py:169-170); parity requires the same.
+                idx = (jnp.arange(frames)[None, :] + moves[:, None]) % frames
                 g_unshift = jax.vmap(lambda gi, ix: jnp.take(gi, ix, axis=2))(g, idx)
                 s_grad = smoothing.smooth_variant_grads(g, kernel)
                 d_grad = smoothing.smooth_variant_grads(g_unshift, kernel)
-                grad = (1.0 - weight) * s_grad + weight * d_grad
-                if cfg.use_momentum:
-                    grad = norm_grads(grad, frame_level=True)
-                    grad = grad + mom * cfg.decay
-                    mom = grad
-                adv = pk.sign_step_project(adv, grad, clean01, cfg.alpha, cfg.epsilon)
-                return (adv, mom, key), 0.0
+                return cost, (1.0 - weight) * s_grad + weight * d_grad
 
-            (adv, _, _), costs = jax.lax.scan(
-                step, (clean01, mom0, rng), None, length=cfg.steps
-            )
-            return adv, costs
+            return run_sign_attack(tt_grad_fn, clean01, labels, cfg, rng=rng)
 
         return runner

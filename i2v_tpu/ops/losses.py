@@ -99,9 +99,11 @@ def ilaf_cost(
         taps_step, taps_clean, init_directions, init_norms
     ):
         delta = (step_t - clean_t).astype(jnp.float32)
-        step_norm = jnp.linalg.norm(delta)
+        # smooth safe norm: ∂‖δ‖/∂δ is NaN at δ=0 under autodiff; the epsilon
+        # inside the sqrt keeps the adv==clean degenerate case finite
+        step_norm = jnp.sqrt(jnp.sum(delta * delta) + 1e-24)
         step_dir = delta / step_norm
-        magnitude_gain = step_norm / init_norm
+        magnitude_gain = step_norm / (init_norm + 1e-12)
         angle = jnp.sum(init_dir.astype(jnp.float32) * step_dir)
         total = total + -(0.5 * magnitude_gain + angle)
     return total
@@ -114,7 +116,7 @@ def feature_delta_direction(taps_adv, taps_clean):
     for a, c in zip(taps_adv, taps_clean):
         d = (a - c).astype(jnp.float32)
         n = jnp.linalg.norm(d)
-        dirs.append(d / n)
+        dirs.append(d / (n + 1e-12))  # 0/0 guard when adv == clean
         norms.append(n)
     return dirs, norms
 

@@ -329,3 +329,56 @@ class TestAENSCoeffMath:
         # step 1 uses the unweighted per-tap frame-summed cosines as prev;
         # whatever prev was, w1 must be softmax-normalized and momentum-skewed
         np.testing.assert_allclose(w1.sum(), 1.0, atol=1e-6)
+
+
+class TestReviewRegressions:
+    def test_aens_coeffs_persist_across_calls(self, tiny_image_models, clean_batch):
+        """Reference TPAMI_attack.py:165,265: self.coeffs is instance state —
+        video N+1's first step starts from video N's final coefficients
+        (previous_cs_loss resets per call, :257)."""
+        videos, labels = clean_batch
+        atk = attacks.AENS_I2V_MF(tiny_image_models, step_size=0.005,
+                                  momentum=0.5, steps=3)
+        atk(videos, labels)
+        first_run_w0 = np.asarray(atk.weights[0])
+        final_coeffs = np.asarray(atk.coeffs)
+        atk(videos, labels)
+        second_run_w0 = np.asarray(atk.weights[0])
+        # second call's step-0 coeffs = softmax(softmax(ones) + m*final_coeffs)
+        expect = jax.nn.softmax(
+            jax.nn.softmax(jnp.ones(2)) + 0.5 * jnp.asarray(final_coeffs))
+        np.testing.assert_allclose(second_run_w0, np.asarray(expect), atol=1e-6)
+        assert not np.allclose(second_run_w0, first_run_w0)
+
+    def test_ilaf_zero_delta_is_finite(self, video_bundle, clean_batch):
+        """adv == clean must not NaN the ILAF objective (0/0 guards)."""
+        videos, labels = clean_batch
+        out = attacks.ILAF(video_bundle, "tiny", steps=2)(videos, videos, labels)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_save_int_mode_accuracy_domain(self, video_bundle, clean_batch,
+                                           tmp_path, capsys):
+        """save() must evaluate accuracy in the same (normalized) domain for
+        both return types (reference fed the model raw [0,1] in int mode,
+        base_attacks.py:119-123 — consciously fixed)."""
+        videos, labels = clean_batch
+        batches = [{"clips": videos, "labels": labels}]
+        accs = {}
+        for rt in ("float", "int"):
+            atk = attacks.BIM(video_bundle, steps=2)
+            atk.set_return_type(rt)
+            atk.save(str(tmp_path / rt), batches)
+            out = capsys.readouterr().out
+            accs[rt] = out.strip().rsplit("Accuracy: ", 1)[1]
+        assert accs["float"] == accs["int"]
+
+    def test_tt_unshift_uses_nominal_moves(self, video_bundle, clean_batch):
+        """'large' move-type: the reference unshifts variant grads by the
+        NOMINAL move list (video_attacks.py:169-170), not the applied large
+        shifts — weight>0 results must reflect that."""
+        videos, labels = clean_batch
+        atk = attacks.TemporalTranslation(
+            video_bundle, dict(kernlen=3, weight=0.5, move_type="large"),
+            steps=2)
+        adv = atk(videos, labels)
+        _check_invariants(adv, videos)
