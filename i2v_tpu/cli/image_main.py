@@ -20,13 +20,16 @@ from ..utils import artifacts, get_paths
 from . import common
 
 
-def arg_parse(argv=None, kind: str = "Image"):
+def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
+    """``default_step``: 60 for Kinetics (image_main.py:28), 10 for UCF-101
+    (image_main_ucf101.py:26) — default runs must land in the same
+    {kind}-{method}-{step}- run dirs as the reference."""
     p = argparse.ArgumentParser(description="image-guided cross-modal attack")
     p.add_argument("--batch_nums", type=int, default=1)
     p.add_argument("--batch_index", type=int, default=1)
     p.add_argument("--attack_method", default="ImageGuidedFMDirection_Adam",
                    choices=common.IMAGE_GUIDED_METHODS)
-    p.add_argument("--step", type=int, default=60)
+    p.add_argument("--step", type=int, default=default_step)
     p.add_argument("--file_prefix", default="")
     p.add_argument("--depth", type=int, default=1, help="tap depth 1-4")
     p.add_argument("--step_size", type=float, default=0.004)

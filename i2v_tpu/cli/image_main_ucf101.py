@@ -10,7 +10,7 @@ from . import image_main
 
 
 def main(argv=None) -> str:
-    args = image_main.arg_parse(argv, kind="UCF101_Image")
+    args = image_main.arg_parse(argv, kind="UCF101_Image", default_step=10)
     if args.data == "kinetics":
         args.data = "ucf101"
     return image_main.run(args)

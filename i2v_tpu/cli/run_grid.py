@@ -27,8 +27,9 @@ def _gen_and_eval(gen_main, eval_main, gen_args, run_name, extra_eval=()):
 
 
 def steps_ablation(passthrough):
-    for steps in (10, 20, 30, 40, 50, 60):
-        for step_size in (0.002, 0.004, 0.006, 0.008, 0.01):
+    # Fig-4 grid points as published (run_image_guided.py:46-47)
+    for steps in (20, 40, 60, 80, 100):
+        for step_size in (0.001, 0.0025, 0.0050, 0.0075, 0.010):
             _gen_and_eval(
                 image_main.main, evaluate.main,
                 ["--attack_method", "ImageGuidedFMDirection_Adam",

@@ -47,11 +47,12 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
 
 
 def corner_crop_center(img: Image.Image, size: int) -> Image.Image:
-    """CornerCrop(size, 'c') — the center corner (reference:
-    transforms_ucf101.py CornerCrop 'c' branch)."""
+    """CornerCrop(size, 'c') — the center corner. The reference ROUNDS the
+    margin split (transforms_ucf101.py:345-346), which differs from floor
+    division by 1px on odd margins."""
     w, h = img.size
-    x1 = (w - size) // 2
-    y1 = (h - size) // 2
+    x1 = int(round((w - size) / 2.0))
+    y1 = int(round((h - size) / 2.0))
     return img.crop((x1, y1, x1 + size, y1 + size))
 
 
@@ -83,36 +84,46 @@ def ucf_test_transform(frames: Sequence[Image.Image], size: int = 224) -> np.nda
 # temporal
 # ---------------------------------------------------------------------------
 
-def loop_padding(frame_indices: list[int], size: int) -> list[int]:
-    """Cycle-pad an index list to ``size`` (reference: LoopPadding,
-    transforms_ucf101.py:23-43)."""
-    out = list(frame_indices[:size])
+def _cycle_pad(out: list[int], size: int) -> list[int]:
+    """Cycle-pad like the reference's self-growing `for index in out` loop
+    (the appended tail re-enters the iteration, so out[k] = out[k % len0])."""
     i = 0
-    while out and len(out) < size:  # cycle the (growing) list like the reference
+    while out and len(out) < size:
         out.append(out[i])
         i += 1
     return out
 
 
+def loop_padding(frame_indices: list[int], size: int) -> list[int]:
+    """LoopPadding (transforms_ucf101.py:23-39). NOTE the reference slices
+    ``frame_indices[1:size+1]`` — it SKIPS the first entry; with 1-based frame
+    indices [1..duration] the clip starts at image_00002."""
+    return _cycle_pad(list(frame_indices[1:size + 1]), size)
+
+
 def temporal_begin_crop(frame_indices: list[int], size: int) -> list[int]:
-    return loop_padding(frame_indices[:size], size)
+    """TemporalBeginCrop ≡ LoopPadding, same [1:size+1] slice
+    (transforms_ucf101.py:42-61)."""
+    return _cycle_pad(list(frame_indices[1:size + 1]), size)
 
 
 def temporal_center_crop(frame_indices: list[int], size: int) -> list[int]:
+    """TemporalCenterCrop: begin clamps to 1, not 0
+    (transforms_ucf101.py:84-94)."""
     center = len(frame_indices) // 2
-    begin = max(0, center - size // 2)
+    begin = max(1, center - size // 2)
     end = min(begin + size, len(frame_indices))
-    return loop_padding(frame_indices[begin:end], size)
+    return _cycle_pad(list(frame_indices[begin:end]), size)
 
 
 def temporal_random_crop(frame_indices: list[int], size: int) -> list[int]:
     """'Random' begin crop with the reference's frozen seed — deterministic
-    by construction (transforms_ucf101.py:117-128)."""
+    by construction; rand_end clamps to 1 (transforms_ucf101.py:115-128)."""
+    rand_end = max(1, len(frame_indices) - size - 1)
     random.seed(_FROZEN_SEED)
-    rand_end = max(0, len(frame_indices) - size - 1)
     begin = random.randint(0, rand_end)
     end = min(begin + size, len(frame_indices))
-    return loop_padding(frame_indices[begin:end], size)
+    return _cycle_pad(list(frame_indices[begin:end]), size)
 
 
 def random_horizontal_flip(img: Image.Image) -> Image.Image:
@@ -129,45 +140,47 @@ def random_horizontal_flip(img: Image.Image) -> Image.Image:
 _MULTISCALE_POSITIONS = ("c", "tl", "tr", "bl", "br")
 
 
-def _corner_crop(img: Image.Image, size: int, position: str) -> Image.Image:
-    w, h = img.size
-    if position == "c":
-        x1, y1 = (w - size) // 2, (h - size) // 2
-    elif position == "tl":
-        x1, y1 = 0, 0
-    elif position == "tr":
-        x1, y1 = w - size, 0
-    elif position == "bl":
-        x1, y1 = 0, h - size
-    else:  # br
-        x1, y1 = w - size, h - size
-    return img.crop((x1, y1, x1 + size, y1 + size))
-
-
 def multiscale_corner_crop(img: Image.Image, size: int,
                            scales=(1.0, 0.8)) -> Image.Image:
-    """MultiScaleCornerCrop with frozen-seed 'random' scale/corner choice
-    (transforms_ucf101.py:376-469): deterministic by construction."""
+    """MultiScaleCornerCrop (transforms_ucf101.py:401-469). The reference
+    RESEEDS to 1024 before EACH draw, so scale and position both take the
+    stream's first value (scale idx 0, position idx 0 = 'c'); its 'c' box is
+    center ± crop//2 (an even-sized box), not CornerCrop's rounded split."""
     random.seed(_FROZEN_SEED)
     scale = scales[random.randint(0, len(scales) - 1)]
+    random.seed(_FROZEN_SEED)
     position = _MULTISCALE_POSITIONS[
         random.randint(0, len(_MULTISCALE_POSITIONS) - 1)]
-    min_len = min(img.size)
-    crop = int(min_len * scale)
-    return _corner_crop(img, crop, position).resize((size, size), Image.BILINEAR)
+    w, h = img.size
+    crop = int(min(w, h) * scale)
+    if position == "c":
+        cx, cy, half = w // 2, h // 2, crop // 2
+        box = (cx - half, cy - half, cx + half, cy + half)
+    elif position == "tl":
+        box = (0, 0, crop, crop)
+    elif position == "tr":
+        box = (w - crop, 0, w, crop)
+    elif position == "bl":
+        box = (0, h - crop, crop, h)
+    else:  # br
+        box = (w - crop, h - crop, w, h)
+    return img.crop(box).resize((size, size), Image.BILINEAR)
 
 
 def multiscale_random_crop(img: Image.Image, size: int,
                            scales=(1.0, 0.8)) -> Image.Image:
-    """MultiScaleRandomCrop with frozen-seed position (transforms_ucf101.py:
-    471-503)."""
-    random.seed(_FROZEN_SEED)
+    """MultiScaleRandomCrop (transforms_ucf101.py:471-503). The reference
+    draws scale from the AMBIENT random state (no reseed), then reseeds
+    before tl_x and again before tl_y — so tl_x == tl_y always."""
     scale = scales[random.randint(0, len(scales) - 1)]
-    tl_x, tl_y = random.random(), random.random()
-    min_len = min(img.size)
-    crop = int(min_len * scale)
-    x1 = int(tl_x * (img.size[0] - crop))
-    y1 = int(tl_y * (img.size[1] - crop))
+    random.seed(_FROZEN_SEED)
+    tl_x = random.random()
+    random.seed(_FROZEN_SEED)
+    tl_y = random.random()
+    w, h = img.size
+    crop = int(min(w, h) * scale)
+    x1 = tl_x * (w - crop)
+    y1 = tl_y * (h - crop)
     return img.crop((x1, y1, x1 + crop, y1 + crop)).resize(
         (size, size), Image.BILINEAR)
 

@@ -47,8 +47,11 @@ def _cam_raw(bundle: ImageModel, frames01, labels):
 
 
 def _minmax(cam):
-    lo = jnp.min(cam, axis=(1, 2), keepdims=True)
-    hi = jnp.max(cam, axis=(1, 2), keepdims=True)
+    # GLOBAL min/max over the whole batch tensor — the reference normalizes
+    # with scalar saliency_map.min()/.max() (image_cam.py:128-129), so all
+    # frames of a clip share one scale
+    lo = jnp.min(cam)
+    hi = jnp.max(cam)
     return (cam - lo) / jnp.maximum(hi - lo, 1e-12)
 
 
@@ -70,13 +73,18 @@ def grad_cam(bundle: ImageModel, frames01, labels=None,
 
 
 def grad_cam_update(bundle: ImageModel, frames01, ref_cam, labels=None):
-    """The 'update' branch: ∂‖cam(x) − ref‖₂ / ∂x (image_cam.py:132-138)."""
+    """The 'update' branch: gradient of the summed PER-SAMPLE L2 norms
+    ‖cam_i(x) − ref_i‖₂ w.r.t. x (image_cam.py:132-138 computes dim=1 norms
+    and backprops grad_outputs=ones, i.e. their sum). NOTE the reference's
+    own update branch cannot run as written — it detaches the map via
+    ``.data`` before building the cost — so this implements the intent."""
     frames01 = jnp.asarray(frames01)
     ref_cam = jnp.asarray(ref_cam)
 
     def loss(x):
         cam, _ = _cam_raw(bundle, x, labels)
-        return jnp.linalg.norm(_minmax(cam) - ref_cam)
+        diff = (_minmax(cam) - ref_cam).reshape(cam.shape[0], -1)
+        return jnp.sum(jnp.sqrt(jnp.sum(diff * diff, axis=1) + 1e-24))
 
     return jax.grad(loss)(frames01)
 
@@ -84,7 +92,9 @@ def grad_cam_update(bundle: ImageModel, frames01, ref_cam, labels=None):
 def average_grad_cam(bundles: Sequence[ImageModel], frames01,
                      upsample_to: int = 224) -> jnp.ndarray:
     """Mean saliency over several image models, each at its own tap
-    (reference: average_grad_cam_from_images, image_cam.py:9-37)."""
+    (reference: average_grad_cam_from_images, image_cam.py:9-37; that code
+    stacks maps of UNEQUAL spatial sizes — unrunnable as written — so maps
+    are upsampled to a common size here before averaging)."""
     cams = [grad_cam(b, frames01, upsample_to=upsample_to) for b in bundles]
     return jnp.mean(jnp.stack(cams), axis=0)
 

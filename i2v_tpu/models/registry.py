@@ -58,6 +58,7 @@ def build_image_model(
     """Construct the Flax module + ordered tap keys for reference-style
     (model name, depth(s)). ``tiny=True`` builds a width-reduced variant for
     checkpoint-free tests."""
+    list_depths = not isinstance(depths, int)
     if isinstance(depths, int):
         depths = [depths]
     tap_keys = tuple(sorted(DEPTH_TO_TAP[name][d] for d in depths))
@@ -69,7 +70,11 @@ def build_image_model(
     elif name == "alexnet":
         module = _vgg.AlexNet(width_mult=0.125 if tiny else 1.0, **kw)
     elif name == "squeezenet":
-        module = _vgg.SqueezeNet11(width_mult=0.25 if tiny else 1.0, **kw)
+        # list depths (AENS) hook the whole Fire module — concat(e1,e3) —
+        # where scalar depths hook the expand3x3 ReLU (TPAMI_attack.py:197-200
+        # vs image_attacks.py:268-271)
+        module = _vgg.SqueezeNet11(width_mult=0.25 if tiny else 1.0,
+                                   fire_taps=list_depths, **kw)
     elif name == "densenet":
         from . import densenet as _densenet
 

@@ -126,11 +126,19 @@ class Fire(nn.Module):
 
 
 class SqueezeNet11(nn.Module):
+    """``fire_taps=False`` (scalar-depth attacks) taps the expand3x3 ReLU —
+    the reference's ``features[idx].expand3x3_activation`` hook
+    (image_attacks.py:268-271). ``fire_taps=True`` (AENS list-depth) taps the
+    whole Fire module output, concat(e1,e3) with 2x channels — the reference
+    hooks ``features[idx]`` itself for list depths (TPAMI_attack.py:197-200).
+    """
+
     num_classes: int = 1000
     taps: Sequence[int] = ()       # feature indices of Fire modules
     truncate: bool = False
     normalize: bool = True
     width_mult: float = 1.0
+    fire_taps: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -159,7 +167,7 @@ class SqueezeNet11(nn.Module):
             off = tap_offset.get(idx) if tap_offset is not None else None
             x, e3 = Fire(w(sq), w(ex), dtype=self.dtype, name=f"fire{idx}")(x, off)
             if idx in self.taps:
-                taps[idx] = e3
+                taps[idx] = x if self.fire_taps else e3
         if self.truncate and self.taps:
             return None, taps
         x = conv(self.num_classes, 1, dtype=self.dtype, name="classifier")(x)

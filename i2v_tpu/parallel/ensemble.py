@@ -100,7 +100,10 @@ def make_ensemble_parallel_runner(
             modifier, opt_state = carry
             cost, grad = jax.lax.switch(gidx, branches, modifier)
             grad = jax.lax.psum(grad, "model")
-            cost = jax.lax.psum(cost, "model")
+            # cost must reduce over BOTH axes: each device's i2v_cost covers
+            # only its local frame shard, and out_specs P() asserts the
+            # replicated full-batch value
+            cost = jax.lax.psum(cost, ("model", "frames"))
             updates, opt_state = opt.update(grad, opt_state)
             modifier = jax.tree.map(lambda a, b: a + b, modifier, updates)
             return (modifier, opt_state), cost

@@ -52,9 +52,9 @@ def make_sharded_i2v_runner(
             taps.extend(t)
         return taps
 
-    def inner(params_list, clean01):
-        # params as runtime args: closure-captured weights would be embedded
-        # as HLO constants (huge programs, slow/oversized compiles)
+    def inner(params_list, clean01, state0):
+        # params/adaptive-state as runtime args: closure-captured arrays
+        # would be embedded as HLO constants (huge programs, slow compiles)
         bound = [rebind_params(m, p) for m, p in zip(models, params_list)]
 
         def collect_b(frames01):
@@ -96,20 +96,32 @@ def make_sharded_i2v_runner(
         mod0 = jax.lax.with_sharding_constraint(
             jnp.full_like(frames, MODIFIER_INIT), fsharding
         )
-        state0 = (jnp.ones((n_taps,)), jnp.ones((n_taps,))) if adaptive else None
-        (modifier, _, _), costs = jax.lax.scan(
+        (modifier, _, final_state), costs = jax.lax.scan(
             step, (mod0, opt.init(mod0), state0), None, length=steps,
             unroll=unroll,
         )
         adv = pk.rebuild_adv(frames, jax.lax.stop_gradient(modifier), epsilon)
-        return pixel.unflatten_frames_to_clip(adv, b), costs
+        return pixel.unflatten_frames_to_clip(adv, b), costs, final_state
 
     csharding = clip_sharding(mesh)
-    jitted = jax.jit(inner, in_shardings=(None, csharding),
-                     out_shardings=(csharding, jax.sharding.NamedSharding(mesh, P())))
+    rep = jax.sharding.NamedSharding(mesh, P())
+    jitted = jax.jit(
+        inner,
+        in_shardings=(None, csharding, None),
+        out_shardings=(csharding, rep, (rep, rep) if adaptive else None),
+    )
     params_list = [m.params for m in models]
+    # coeffs persist across runner calls like the reference's instance state
+    # (TPAMI_attack.py:165,265; previous_cs_loss resets per call, :257) and
+    # like attacks/i2v.AENS_I2V_MF
+    coeffs_box = [jnp.ones((n_taps,), jnp.float32)]
 
     def runner(clean01):
-        return jitted(params_list, clean01)
+        state0 = ((coeffs_box[0], jnp.ones((n_taps,), jnp.float32))
+                  if adaptive else None)
+        adv, costs, final_state = jitted(params_list, clean01, state0)
+        if adaptive:
+            coeffs_box[0] = final_state[0]
+        return adv, costs
 
     return runner

@@ -118,13 +118,19 @@ class TestTransforms:
         assert transforms.center_crop(img, 40).size == (40, 40)
 
     def test_loop_padding(self):
-        assert transforms.loop_padding([1, 2, 3], 7) == [1, 2, 3, 1, 2, 3, 1]
-        assert transforms.loop_padding(list(range(1, 50)), 4) == [1, 2, 3, 4]
+        # truth values emulated from reference LoopPadding
+        # (transforms_ucf101.py:23-39): the [1:size+1] slice SKIPS the first
+        # index, and the self-growing pad loop cycles the sliced list
+        assert transforms.loop_padding([1, 2, 3], 7) == [2, 3, 2, 3, 2, 3, 2]
+        assert transforms.loop_padding(list(range(1, 50)), 4) == [2, 3, 4, 5]
 
     def test_temporal_crops(self):
         idx = list(range(1, 101))
-        assert len(transforms.temporal_center_crop(idx, 32)) == 32
-        assert transforms.temporal_begin_crop(idx, 8) == list(range(1, 9))
+        center = transforms.temporal_center_crop(idx, 32)
+        assert len(center) == 32
+        assert center[:4] == [35, 36, 37, 38]  # max(1,...) clamp, ref truth
+        # begin crop shares LoopPadding's [1:size+1] slice
+        assert transforms.temporal_begin_crop(idx, 8) == list(range(2, 10))
         # frozen-seed "random" crop is deterministic (reference quirk)
         a = transforms.temporal_random_crop(idx, 32)
         b = transforms.temporal_random_crop(idx, 32)

@@ -21,7 +21,9 @@ class TestGradCAM:
         assert cam.ndim == 3 and cam.shape[0] == 2
         c = np.asarray(cam)
         assert c.min() >= 0 and c.max() <= 1 + 1e-6
-        assert np.isclose(c.reshape(2, -1).max(axis=1), 1).all()  # min-max normed
+        # GLOBAL min-max scale (reference uses scalar .min()/.max(),
+        # image_cam.py:128-129): batch max is 1, batch min is 0
+        assert np.isclose(c.max(), 1) and np.isclose(c.min(), 0)
 
     def test_cam_upsample(self, tiny_resnet):
         x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32))

@@ -143,7 +143,8 @@ def test_ensemble_parallel_gradient_matches_sequential():
     adv, costs = runner(clean01)
     assert adv.shape == clean01.shape
     assert np.isfinite(np.asarray(adv)).all()
-    np.testing.assert_allclose(float(costs[0]) * 2, float(cost_ref), rtol=1e-4)
+    # per-step costs are the FULL-batch value (psum over model AND frames)
+    np.testing.assert_allclose(float(costs[0]), float(cost_ref), rtol=1e-4)
 
 
 def test_whitebox_dp_sharding_matches_single_device():
