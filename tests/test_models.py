@@ -31,11 +31,18 @@ class TestTapShapes:
         assert shapes[11] == (1, 13, 13, 256)
 
     def test_squeezenet(self):
+        # list depths (AENS semantics, TPAMI_attack.py:197-200) tap the Fire
+        # module concat → 2x the expand width
         shapes = _init_and_taps("squeezenet", [1, 2, 3, 4])
-        assert shapes[3] == (1, 55, 55, 64)
+        assert shapes[3] == (1, 55, 55, 128)
+        assert shapes[6] == (1, 27, 27, 256)
+        assert shapes[9] == (1, 13, 13, 384)
+        assert shapes[12] == (1, 13, 13, 512)
+
+    def test_squeezenet_scalar_depth_taps_e3(self):
+        # scalar depth (image_attacks.py:268-271) taps expand3x3_activation
+        shapes = _init_and_taps("squeezenet", 2)
         assert shapes[6] == (1, 27, 27, 128)
-        assert shapes[9] == (1, 13, 13, 192)
-        assert shapes[12] == (1, 13, 13, 256)
 
     def test_vgg_shallow(self):
         shapes = _init_and_taps("vgg", [1, 2])
