@@ -19,7 +19,9 @@ bandwidth bound (~78 GB/step ÷ 819 GB/s ≈ measured 85 ms); the ENS step is
 likewise bandwidth-dominated. Verified non-wins (tools/perf_probe.py): bf16
 param pre-cast (XLA hoists it), batch 32 (memory pressure), frame-chunked
 grad accumulation, remat'd tap collection (2.09 vs 2.90 steps/s — recompute
-costs more than the saved activation traffic), scan unroll=2 (2.88, parity).
+costs more than the saved activation traffic), scan unroll=2 (2.88, parity),
+bf16 Adam first moment (2.90, parity — optimizer-state traffic is too small
+a fraction); remat+batch32 exceeds the remote-compile path in this env.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

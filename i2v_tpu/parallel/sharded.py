@@ -34,6 +34,7 @@ def make_sharded_i2v_runner(
     aens_momentum: float = 0.0,
     remat: bool = False,
     unroll: int = 1,
+    mu_dtype=None,
 ):
     """Build a jitted, mesh-sharded I2V/ENS/AENS attack runner.
 
@@ -43,7 +44,15 @@ def make_sharded_i2v_runner(
 
     fsharding = frame_sharding(mesh)
     n_taps = sum(len(m.tap_keys) for m in models)
-    opt = adam_like_torch(step_size)
+    if mu_dtype is not None:
+        # opt-in HBM saving: first moment in bf16 (second moment stays f32);
+        # breaks bitwise torch-Adam parity, ASR-equivalent in practice
+        import optax
+
+        opt = optax.adam(step_size, b1=0.9, b2=0.999, eps=1e-8,
+                         eps_root=0.0, mu_dtype=mu_dtype)
+    else:
+        opt = adam_like_torch(step_size)
 
     def collect(bound_models, frames01):
         taps = []

@@ -32,11 +32,13 @@ def main():
         ["resnet", "vgg", "squeezenet", "alexnet"],
         {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3},
         input_hw=224, dtype=jnp.bfloat16)
+    batch = 32 if variant == "remat_b32" else 16
     runner = make_sharded_i2v_runner(
         models, mesh, steps=STEPS, step_size=0.005,
-        remat=(variant == "remat"),
-        unroll=2 if variant == "unroll2" else 1)
-    clean01 = shard_clips(jnp.full((16, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+        remat=variant in ("remat", "remat_b32"),
+        unroll=2 if variant == "unroll2" else 1,
+        mu_dtype=jnp.bfloat16 if variant == "mu_bf16" else None)
+    clean01 = shard_clips(jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
     t0 = time.time()
     adv, costs = runner(clean01)
     jax.block_until_ready(adv)
@@ -48,7 +50,9 @@ def main():
         adv, costs = runner(clean01)
     jax.block_until_ready(adv)
     dt = time.time() - t0
-    print(f"[{variant}] {STEPS*reps/dt:.3f} steps/s  cost[-1]={float(costs[-1]):.2f}")
+    norm = batch * 32 / 512  # normalize to the canonical 512-frame step
+    print(f"[{variant}] {STEPS*reps/dt*norm:.3f} steps/s (512-frame-normalized)"
+          f"  cost[-1]={float(costs[-1]):.2f}")
 
 
 if __name__ == "__main__":
