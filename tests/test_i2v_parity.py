@@ -1,0 +1,155 @@
+"""End-to-end I2V parity vs a 100%-torch oracle.
+
+The oracle reproduces the REFERENCE ImageGuidedFMDirection_Adam
+(image_attacks.py:294-364) wholesale in torch: hook-captured clean features,
+Adam on a 0.01/255-filled modifier Parameter, the
+clamp(unnorm + clamp(modifier, ±ε), 0, 1) → normalize rebuild, per-frame
+cosine-similarity summed over taps, and the final rebuild tail. The model is
+a live torch mini-ResNet whose weights flow to the Flax side through the
+production converter (BN folding exercised) — so the two paths share nothing
+but the checkpoint.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import torch.nn.functional as F  # noqa: E402
+
+import i2v_tpu.attacks as attacks  # noqa: E402
+from i2v_tpu.models import convert as cv  # noqa: E402
+from i2v_tpu.models.api import ImageModel  # noqa: E402
+from i2v_tpu.models.resnet import ResNet  # noqa: E402
+from i2v_tpu.ops import pixel  # noqa: E402
+
+from .test_convert import TorchMiniResNet, _norm_torch, _randomize_bn  # noqa: E402
+
+EPS = 16 / 255
+STEPS = 5
+STEP_SIZE = 0.01
+
+
+def _torch_oracle_i2v(model, videos_norm):
+    """Reference image_attacks.py:294-364 verbatim-in-spirit."""
+    videos = torch.from_numpy(np.asarray(videos_norm))
+    b, c, f, h, w = videos.shape
+    frames = videos.permute([0, 2, 1, 3, 4]).reshape(b * f, c, h, w)
+
+    acts = {}
+    handle = model.layer2.register_forward_hook(
+        lambda m, i, o: acts.__setitem__("v", o))
+
+    modifier = torch.nn.Parameter(
+        torch.full((b * f, c, h, w), 0.01 / 255))
+    optimizer = torch.optim.Adam([modifier], lr=STEP_SIZE)
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    unnorm = (frames * std + mean).detach()
+
+    model(frames)
+    init_feat = acts["v"].detach()
+
+    costs = []
+    for _ in range(STEPS):
+        true_image = torch.clamp(
+            unnorm + torch.clamp(modifier, min=-EPS, max=EPS), min=0, max=1)
+        model((true_image - mean) / std)
+        this = acts["v"].view(b * f, -1)
+        init = init_feat.view(b * f, -1)
+        cost = torch.sum(F.cosine_similarity(this, init))
+        optimizer.zero_grad()
+        cost.backward()
+        optimizer.step()
+        costs.append(float(cost.detach()))
+    handle.remove()
+
+    true_image = torch.clamp(
+        unnorm + torch.clamp(modifier, min=-EPS, max=EPS), min=0, max=1)
+    out = ((true_image - mean) / std).reshape(b, f, c, h, w)
+    return out.permute([0, 2, 1, 3, 4]).detach().numpy(), costs
+
+
+def test_i2v_matches_torch_oracle():
+    tm = TorchMiniResNet().eval()
+    _randomize_bn(tm)
+    params = cv.convert_resnet(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+    module = ResNet(stage_sizes=(1, 1, 1, 1), taps=(2,), truncate=True)
+    bundle = ImageModel(name="resnet", module=module,
+                        params={"params": params}, tap_keys=(2,))
+
+    rng = np.random.RandomState(7)
+    clips01 = rng.rand(1, 3, 4, 64, 64).astype(np.float32)
+    videos = pixel.normalize(jnp.asarray(clips01), channel_axis=1)
+
+    atk = attacks.ImageGuidedFMDirection_Adam(
+        [bundle], step_size=STEP_SIZE, epsilon=EPS, steps=STEPS)
+    got = np.asarray(atk(videos, jnp.asarray([0]), video_names=["v"]))
+    got_costs = [float(atk.loss_info["v"][i]["cost"]) for i in range(STEPS)]
+
+    want, want_costs = _torch_oracle_i2v(tm, np.asarray(videos))
+
+    # NOTE on what is (and isn't) comparable: the I2V objective starts at
+    # cosine similarity's FLAT MAXIMUM (adv ≈ clean), where the true gradient
+    # is ~0 and Adam's quasi-sign first steps amplify sub-1e-6 cross-framework
+    # fp32 noise into divergent ±lr pixel patterns — the reference itself is
+    # pixel-chaotic across hardware. The framework-parity invariants are the
+    # cost trajectory and the attack-ball constraints:
+    np.testing.assert_allclose(got_costs, want_costs, rtol=2e-4)
+    adv01 = np.asarray(pixel.unnormalize(jnp.asarray(got), channel_axis=1))
+    assert adv01.min() >= -1e-5 and adv01.max() <= 1 + 1e-5
+    assert np.abs(adv01 - clips01).max() <= EPS + 1e-5
+    assert got_costs[-1] < got_costs[0]  # cosine similarity descends
+
+
+def test_i2v_gradient_matches_torch_at_generic_point():
+    """Away from the flat top (a large random modifier), the cost gradient is
+    well-conditioned — there the two frameworks must agree elementwise."""
+    import jax
+
+    from i2v_tpu.ops import losses
+    from i2v_tpu.ops import pallas_kernels as pk
+
+    tm = TorchMiniResNet().eval()
+    _randomize_bn(tm)
+    params = cv.convert_resnet(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+    module = ResNet(stage_sizes=(1, 1, 1, 1), taps=(2,), truncate=True)
+    bundle = ImageModel(name="resnet", module=module,
+                        params={"params": params}, tap_keys=(2,))
+
+    rng = np.random.RandomState(3)
+    frames01 = rng.rand(4, 64, 64, 3).astype(np.float32)
+    modifier = (0.03 * np.sign(rng.randn(4, 64, 64, 3))).astype(np.float32)
+
+    # jax gradient of the I2V cost w.r.t. the modifier
+    _, clean_taps = bundle.apply01_taps(jnp.asarray(frames01))
+    clean_taps = [jax.lax.stop_gradient(t) for t in clean_taps]
+
+    def cost_fn(mod):
+        adv01 = pk.rebuild_adv(jnp.asarray(frames01), mod, EPS)
+        _, taps = bundle.apply01_taps(adv01)
+        return losses.i2v_cost(taps, clean_taps)
+
+    g_jax = np.asarray(jax.grad(cost_fn)(jnp.asarray(modifier)))
+
+    # torch gradient of the reference formulation
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    acts = {}
+    handle = tm.layer2.register_forward_hook(
+        lambda m, i, o: acts.__setitem__("v", o))
+    x01 = torch.from_numpy(frames01).permute(0, 3, 1, 2)
+    tm((x01 - mean) / std)
+    init = acts["v"].detach().reshape(4, -1)
+    mod_t = torch.from_numpy(modifier).permute(0, 3, 1, 2).requires_grad_(True)
+    true_image = torch.clamp(x01 + torch.clamp(mod_t, -EPS, EPS), 0, 1)
+    tm((true_image - mean) / std)
+    cost = torch.sum(F.cosine_similarity(acts["v"].reshape(4, -1), init))
+    cost.backward()
+    handle.remove()
+    g_torch = mod_t.grad.permute(0, 2, 3, 1).numpy()
+
+    scale = np.abs(g_torch).max()
+    np.testing.assert_allclose(g_jax, g_torch, atol=5e-4 * scale)
