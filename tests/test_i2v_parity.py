@@ -153,3 +153,81 @@ def test_i2v_gradient_matches_torch_at_generic_point():
 
     scale = np.abs(g_torch).max()
     np.testing.assert_allclose(g_jax, g_torch, atol=5e-4 * scale)
+
+
+def _torch_oracle_aens(model, videos_norm, momentum, coef_ce, steps, step_size):
+    """Reference AENS_I2V_MF (TPAMI_attack.py:223-320) in torch: one model,
+    two taps (layer1, layer2 — resnet list-depth semantics), coeffs updated
+    softmax(softmax(prev) + momentum*coeffs) BEFORE the loss, prev from the
+    weighted (coef_CE) or unweighted per-tap frame-summed cosines."""
+    videos = torch.from_numpy(np.asarray(videos_norm))
+    b, c, f, h, w = videos.shape
+    frames = videos.permute([0, 2, 1, 3, 4]).reshape(b * f, c, h, w)
+
+    acts = []
+    handles = [
+        model.layer1.register_forward_hook(lambda m, i, o: acts.append(o)),
+        model.layer2.register_forward_hook(lambda m, i, o: acts.append(o)),
+    ]
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    unnorm = (frames * std + mean).detach()
+
+    acts.clear()
+    model(frames)
+    init_feats = [a.detach() for a in acts]
+
+    modifier = torch.nn.Parameter(torch.full((b * f, c, h, w), 0.01 / 255))
+    optimizer = torch.optim.Adam([modifier], lr=step_size)
+    coeffs = torch.ones(2)
+    prev = torch.ones(2)
+    costs, weights = [], []
+    for _ in range(steps):
+        coeffs = torch.softmax(torch.softmax(prev, dim=0) + momentum * coeffs,
+                               dim=0)
+        weights.append(coeffs.detach().numpy().copy())
+        true_image = torch.clamp(
+            unnorm + torch.clamp(modifier, -EPS, EPS), 0, 1)
+        acts.clear()
+        model((true_image - mean) / std)
+        per_tap = torch.stack([
+            F.cosine_similarity(a.reshape(b * f, -1), i.reshape(b * f, -1))
+            for a, i in zip(acts, init_feats)
+        ])  # (2, b*f)
+        each = torch.sum(coeffs.unsqueeze(1) * per_tap, dim=1)
+        cost = torch.mean(each)
+        prev = (each if coef_ce else torch.sum(per_tap, dim=1)).detach()
+        optimizer.zero_grad()
+        cost.backward()
+        optimizer.step()
+        costs.append(float(cost.detach()))
+    for h_ in handles:
+        h_.remove()
+    return costs, weights
+
+
+@pytest.mark.parametrize("momentum,coef_ce", [(0.0, False), (0.8, False),
+                                              (0.5, True)])
+def test_aens_matches_torch_oracle(momentum, coef_ce):
+    tm = TorchMiniResNet().eval()
+    _randomize_bn(tm)
+    params = cv.convert_resnet(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+    module = ResNet(stage_sizes=(1, 1, 1, 1), taps=(1, 2), truncate=True)
+    bundle = ImageModel(name="resnet", module=module,
+                        params={"params": params}, tap_keys=(1, 2))
+
+    rng = np.random.RandomState(11)
+    clips01 = rng.rand(1, 3, 4, 64, 64).astype(np.float32)
+    videos = pixel.normalize(jnp.asarray(clips01), channel_axis=1)
+
+    atk = attacks.AENS_I2V_MF([bundle], step_size=STEP_SIZE,
+                              momentum=momentum, coef_CE=coef_ce,
+                              epsilon=EPS, steps=STEPS)
+    adv, used_time, cost_saved = atk(videos, jnp.asarray([0]))
+
+    want_costs, want_weights = _torch_oracle_aens(
+        tm, np.asarray(videos), momentum, coef_ce, STEPS, STEP_SIZE)
+
+    np.testing.assert_allclose(np.asarray(cost_saved), want_costs, rtol=3e-4)
+    np.testing.assert_allclose(np.stack(atk.weights), np.stack(want_weights),
+                               atol=1e-5)
