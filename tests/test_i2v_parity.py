@@ -231,3 +231,125 @@ def test_aens_matches_torch_oracle(momentum, coef_ce):
     np.testing.assert_allclose(np.asarray(cost_saved), want_costs, rtol=3e-4)
     np.testing.assert_allclose(np.stack(atk.weights), np.stack(want_weights),
                                atol=1e-5)
+
+
+def test_dr_matches_torch_oracle():
+    """DR (ImageGuidedStd_Adam, image_attacks.py:129-234): cost = Σ std(tap),
+    Adam-minimized. Same oracle skeleton as I2V with the std objective."""
+    tm = TorchMiniResNet().eval()
+    _randomize_bn(tm)
+    params = cv.convert_resnet(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+    module = ResNet(stage_sizes=(1, 1, 1, 1), taps=(2,), truncate=True)
+    bundle = ImageModel(name="resnet", module=module,
+                        params={"params": params}, tap_keys=(2,))
+    rng = np.random.RandomState(5)
+    clips01 = rng.rand(1, 3, 4, 64, 64).astype(np.float32)
+    videos = pixel.normalize(jnp.asarray(clips01), channel_axis=1)
+
+    atk = attacks.ImageGuidedStd_Adam([bundle], step_size=STEP_SIZE,
+                                      epsilon=EPS, steps=STEPS)
+    atk(videos, jnp.asarray([0]), video_names=["v"])
+    got_costs = [float(atk.loss_info["v"][i]["cost"]) for i in range(STEPS)]
+
+    # torch oracle
+    acts = {}
+    handle = tm.layer2.register_forward_hook(
+        lambda m, i, o: acts.__setitem__("v", o))
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    frames = torch.from_numpy(np.asarray(videos)).permute(
+        [0, 2, 1, 3, 4]).reshape(4, 3, 64, 64)
+    unnorm = (frames * std + mean).detach()
+    modifier = torch.nn.Parameter(torch.full((4, 3, 64, 64), 0.01 / 255))
+    optimizer = torch.optim.Adam([modifier], lr=STEP_SIZE)
+    want_costs = []
+    for _ in range(STEPS):
+        true_image = torch.clamp(unnorm + torch.clamp(modifier, -EPS, EPS), 0, 1)
+        tm((true_image - mean) / std)
+        cost = acts["v"].std()
+        optimizer.zero_grad()
+        cost.backward()
+        optimizer.step()
+        want_costs.append(float(cost.detach()))
+    handle.remove()
+    np.testing.assert_allclose(got_costs, want_costs, rtol=3e-4)
+
+
+def test_ilaf_matches_torch_oracle():
+    """ILAF (image_attacks.py:498-629) vs a torch oracle on a live mini-I3D
+    flowing to Flax through the gluoncv converter. Cost trajectory is the
+    parity invariant (sign descent is pixel-chaotic on fp32 noise, like BIM)."""
+    import importlib.util
+    import os
+
+    from i2v_tpu.models.api import VideoModel
+    from i2v_tpu.models.i3d import I3DResNet
+
+    from .test_convert_video import TorchMiniI3D
+    from .test_convert_video import _randomize_bn as _randomize_bn3d
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_gluoncv",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "convert_gluoncv.py"))
+    cg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cg)
+
+    tm = TorchMiniI3D().eval()
+    _randomize_bn3d(tm)
+    params = cg.convert_i3d(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+    module = I3DResNet(stage_sizes=(1, 1, 1, 1),
+                       inflate_freq=((1,), (1,), (1,), (0,)),
+                       nonlocal_pos=((), (), (), ()),
+                       width=8, num_classes=10)
+    bundle = VideoModel(name="i3d", module=module, params={"params": params},
+                        tap_keys=("res_layer2",))
+
+    rng = np.random.RandomState(9)
+    clean01 = rng.rand(1, 3, 8, 32, 32).astype(np.float32)
+    pert = (0.8 * EPS * np.sign(rng.randn(*clean01.shape))).astype(np.float32)
+    adv01 = np.clip(clean01 + pert, 0, 1)
+    ori_videos = pixel.normalize(jnp.asarray(clean01), channel_axis=1)
+    adv_videos = pixel.normalize(jnp.asarray(adv01), channel_axis=1)
+
+    steps = 4
+    atk = attacks.ILAF(bundle, "i3d", step_size=STEP_SIZE, epsilon=EPS,
+                       steps=steps)
+    atk(adv_videos, ori_videos, jnp.asarray([0]), video_names=["v"])
+    got_costs = [float(atk.loss_info["v"][i]["cost"]) for i in range(steps)]
+
+    # torch oracle (5-D throughout; _transform_video_ILAF broadcasting)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
+    acts = {}
+    handle = tm.res_layers[1].register_forward_hook(
+        lambda m, i, o: acts.__setitem__("v", o))
+
+    clean_t = torch.from_numpy(clean01)
+    adv_t = torch.from_numpy(adv01)
+    tm((clean_t - mean) / std)
+    ori_feat = acts["v"].detach()
+    tm((adv_t - mean) / std)
+    adv_feat = acts["v"].detach()
+    init_dir = (adv_feat - ori_feat)
+    init_norm = torch.norm(init_dir, p=2)
+    init_dir = init_dir / init_norm
+
+    modifier = (adv_t - clean_t).clone()
+    want_costs = []
+    for _ in range(steps):
+        modifier.requires_grad_(True)
+        true_image = torch.clamp(
+            clean_t + torch.clamp(modifier, -EPS, EPS), 0, 1)
+        tm((true_image - mean) / std)
+        step_dir = acts["v"] - ori_feat
+        step_norm = torch.norm(step_dir, p=2)
+        step_dir = step_dir / step_norm
+        magnitude_gain = step_norm / init_norm
+        angle = torch.mm(init_dir.view(1, -1), step_dir.view(1, -1).t())
+        cost = -(0.5 * magnitude_gain + angle.squeeze())
+        grad = torch.autograd.grad(cost, modifier)[0]
+        modifier = (modifier.detach() - STEP_SIZE * grad.sign())
+        want_costs.append(float(cost.detach()))
+    handle.remove()
+    np.testing.assert_allclose(got_costs, want_costs, rtol=1e-3)
