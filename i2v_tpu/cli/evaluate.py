@@ -23,6 +23,10 @@ def arg_parse(argv=None, n_classes: int = 400):
                    help="subset of video models (default: all six)")
     p.add_argument("--ucf101", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 model compute (halves eval HBM traffic; "
+                        "top-1 can differ on borderline clips — default "
+                        "stays f32 for report parity)")
     p.add_argument("--n_classes", type=int, default=n_classes)
     args = p.parse_args(argv)
     if not os.path.isdir(args.adv_path):
@@ -32,9 +36,12 @@ def arg_parse(argv=None, n_classes: int = 400):
 
 def main(argv=None) -> dict:
     args = arg_parse(argv)
+    import jax.numpy as jnp
+
     acc = evaluate_run(
         args.adv_path, model_names=args.models, batch_size=args.batch_size,
-        n_classes=args.n_classes, ucf101=args.ucf101, tiny=args.tiny)
+        n_classes=args.n_classes, ucf101=args.ucf101, tiny=args.tiny,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     print(acc)
     return acc
 

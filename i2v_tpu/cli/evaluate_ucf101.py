@@ -9,10 +9,13 @@ from . import evaluate
 
 
 def main(argv=None) -> dict:
+    import jax.numpy as jnp
+
     args = evaluate.arg_parse(argv, n_classes=101)
     acc = evaluate_run(
         args.adv_path, model_names=args.models, batch_size=args.batch_size,
-        n_classes=args.n_classes, ucf101=True, tiny=args.tiny)
+        n_classes=args.n_classes, ucf101=True, tiny=args.tiny,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     print(acc)
     return acc
 

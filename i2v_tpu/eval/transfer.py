@@ -92,6 +92,7 @@ def evaluate_run(
     n_classes: int = 400,
     ucf101: bool = False,
     tiny: bool = False,
+    dtype=jnp.float32,
     get_bundle: Optional[Callable] = None,
     log=print,
 ) -> dict:
@@ -114,7 +115,8 @@ def evaluate_run(
         if get_bundle is not None:
             bundle = get_bundle(name)
         else:
-            bundle = get_video_model(name, ucf101=ucf101, tiny=tiny)
+            bundle = get_video_model(name, ucf101=ucf101, tiny=tiny,
+                                     dtype=dtype)
         preds, labels, top1 = reference_eval(bundle, batches, run_dir, log=log)
         # reorder predictions into label order (reference: reference.py:116-119)
         ordered = np.zeros(n_classes, dtype=np.int64) - 1
