@@ -50,6 +50,13 @@ class TestImageGuidedCLI:
                                     "tpn_resnet50-pre"]
         assert len(df) == 3
 
+        # --bf16 plumbs through to the model dtype and still reports
+        acc_bf16 = evaluate.main([
+            "--adv_path", run_dir, "--tiny", "--n_classes", "3",
+            "--models", "i3d_resnet50", "--bf16",
+        ])
+        assert set(acc_bf16) == {"i3d_resnet50"}
+
     def test_shard_contract(self, opt_path):
         from i2v_tpu.cli import image_main
 
