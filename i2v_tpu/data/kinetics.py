@@ -108,15 +108,19 @@ class KineticsAttackDataset:
         decoded = native.decode_videos(
             [f for _, f in todo], width=self.new_width, height=self.new_height
         )
-        buffers = [self._load(s) if f is None or f.endswith((".npy", ".npz"))
+        # sidecars decode via dispatch; missing/tiny files (fname None) are
+        # already known failures — no point re-decoding them
+        buffers = [self._load(s) if f is not None and f.endswith((".npy", ".npz"))
                    else None
                    for f, s in zip(fnames, samples)]
         for (j, _), frames in zip(todo, decoded):
             buffers[j] = self._select_clip(frames, samples[j])
         out = []
-        for i, sample, buffer in zip(indices, samples, buffers):
+        for sample, buffer in zip(samples, buffers):
             if buffer is None:
-                out.append(self[i])  # skip-and-resample path
+                # decode already failed once here — resample directly
+                # instead of re-decoding the known-bad file via self[i]
+                out.append(self._resample(sample))
                 continue
             out.append(self._pack(sample, buffer))
         return out
@@ -129,14 +133,21 @@ class KineticsAttackDataset:
         )
         return clip, sample.label, sample.path.split(".")[0], sample.clip_index
 
+    def _resample(self, sample: KineticsSample):
+        """skip-and-resample (datasets.py:142-147): random picks until one
+        loads. ``sample`` is the already-failed item (for the warning)."""
+        buffer = None
+        while buffer is None:
+            warnings.warn(f"video {sample.path} not correctly loaded; resampling")
+            sample = self.samples[np.random.randint(len(self))]
+            buffer = self._load(sample)
+        return self._pack(sample, buffer)
+
     def __getitem__(self, index: int):
         sample = self.samples[index]
         buffer = self._load(sample)
-        while buffer is None:  # skip-and-resample (datasets.py:142-147)
-            warnings.warn(f"video {sample.path} not correctly loaded; resampling")
-            index = np.random.randint(len(self))
-            sample = self.samples[index]
-            buffer = self._load(sample)
+        if buffer is None:
+            return self._resample(sample)
         return self._pack(sample, buffer)
 
 

@@ -170,8 +170,12 @@ def multiscale_corner_crop(img: Image.Image, size: int,
 def multiscale_random_crop(img: Image.Image, size: int,
                            scales=(1.0, 0.8)) -> Image.Image:
     """MultiScaleRandomCrop (transforms_ucf101.py:471-503). The reference
-    draws scale from the AMBIENT random state (no reseed), then reseeds
-    before tl_x and again before tl_y — so tl_x == tl_y always."""
+    reseeds before tl_x and again before tl_y — so tl_x == tl_y always — but
+    draws scale from the AMBIENT random state; that would leak whatever the
+    caller last did with the global RNG into the output, so here the scale
+    draw is reseeded too (conscious fix: this module's contract is
+    determinism-by-construction; the transform has no shipped eval caller)."""
+    random.seed(_FROZEN_SEED)
     scale = scales[random.randint(0, len(scales) - 1)]
     random.seed(_FROZEN_SEED)
     tl_x = random.random()

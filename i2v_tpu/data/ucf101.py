@@ -73,7 +73,13 @@ class UCF101AttackDataset:
                 break
             paths.append(path)
         if not paths:
-            raise FileNotFoundError(f"no frames under {sample.directory}")
+            # duration=1 clips hit the reference's LoopPadding [1:size+1]
+            # slice (transforms_ucf101.py:33), which drops the only frame —
+            # the reference crashes on these too (empty torch.stack)
+            raise FileNotFoundError(
+                f"no frames under {sample.directory} "
+                f"(duration={sample.duration}; durations < 2 yield an empty "
+                "clip under the reference's LoopPadding first-frame skip)")
         frames = self._decode(paths)
         clip = transforms.ucf_test_transform(frames, self.crop_size)
         return clip, sample.label

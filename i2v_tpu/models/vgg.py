@@ -113,16 +113,21 @@ class Fire(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, offset=None):
+    def __call__(self, x, offset=None, offset_on_concat=False):
         """Returns (concat output, expand3x3 ReLU) — the second value is the
-        reference's SqueezeNet tap (``expand3x3_activation``). ``offset`` is
-        added to e3 in-flow (GradCAM ∂/∂tap support)."""
+        reference's scalar-depth SqueezeNet tap (``expand3x3_activation``).
+        ``offset`` is added in-flow to whichever tensor is the tap (GradCAM
+        ∂/∂tap support): e3 by default, the concat when ``offset_on_concat``
+        (list-depth/AENS Fire-module taps)."""
         s = nn.relu(conv(self.squeeze, 1, dtype=self.dtype, name="squeeze")(x))
         e1 = nn.relu(conv(self.expand, 1, dtype=self.dtype, name="expand1x1")(s))
         e3 = nn.relu(conv(self.expand, 3, 1, 1, dtype=self.dtype, name="expand3x3")(s))
-        if offset is not None:
+        if offset is not None and not offset_on_concat:
             e3 = e3 + offset
-        return jnp.concatenate([e1, e3], axis=-1), e3
+        out = jnp.concatenate([e1, e3], axis=-1)
+        if offset is not None and offset_on_concat:
+            out = out + offset
+        return out, e3
 
 
 class SqueezeNet11(nn.Module):
@@ -165,7 +170,8 @@ class SqueezeNet11(nn.Module):
             if pool_before:
                 x = max_pool(x, 3, 2, ceil_mode=True)
             off = tap_offset.get(idx) if tap_offset is not None else None
-            x, e3 = Fire(w(sq), w(ex), dtype=self.dtype, name=f"fire{idx}")(x, off)
+            x, e3 = Fire(w(sq), w(ex), dtype=self.dtype, name=f"fire{idx}")(
+                x, off, offset_on_concat=self.fire_taps)
             if idx in self.taps:
                 taps[idx] = x if self.fire_taps else e3
         if self.truncate and self.taps:

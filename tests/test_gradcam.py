@@ -145,3 +145,16 @@ class TestExtraZoo:
                           init_features=init_f, num_classes=10)
         got, _ = module.apply({"params": params}, jnp.asarray(x01))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_grad_cam_on_fire_concat_taps():
+    """List-depth (AENS) squeezenet taps the Fire concat; the GradCAM
+    tap_offset must land on that same tensor (regression: offset was added
+    to e3 while the tap was the 2x-channel concat — shape mismatch)."""
+    bundle = get_image_models(
+        ["squeezenet"], {"squeezenet": [2, 3]}, tiny=True, truncate=False,
+        input_hw=32)[0]
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 32, 32, 3).astype(np.float32))
+    cam = gradcam.grad_cam(bundle, x)
+    assert cam.shape[0] == 2
+    assert np.isfinite(np.asarray(cam)).all()
