@@ -138,6 +138,14 @@ def main(argv=None):
     p.add_argument("--ucf101", action="store_true")
     p.add_argument("--report", action="store_true",
                    help="print source keys and exit (naming discovery)")
+    p.add_argument("--verify", action="store_true",
+                   help="after converting, forward a random clip through the "
+                        "Flax model (finite-logits smoke); with --gluoncv-cfg "
+                        "also forward the gluoncv torch model and report "
+                        "max logit difference (full checkpoint-level parity)")
+    p.add_argument("--gluoncv-cfg", default=None,
+                   help="gluoncv yaml config for --verify logit comparison "
+                        "(requires gluoncv importable)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -157,6 +165,46 @@ def main(argv=None):
     suffix = "_ucf101" if args.ucf101 else ""
     path = cv.save_params(params, f"{args.name}{suffix}", args.out)
     print(f"wrote {path}")
+    if args.verify:
+        _verify(args.name, params, sd, ucf=args.ucf101,
+                gluoncv_cfg=args.gluoncv_cfg)
+
+
+def _verify(name, params, sd, *, ucf=False, gluoncv_cfg=None):
+    """Forward a fixed random clip through the converted Flax model; when a
+    gluoncv config is given (and gluoncv is importable), also through the
+    torch model and report the max logit difference — the checkpoint-level
+    parity check the zero-egress build image cannot run (COVERAGE.md gaps)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from i2v_tpu.models.video_zoo import VIDEO_BUILDERS
+
+    module = VIDEO_BUILDERS[name](num_classes=101 if ucf else 400)
+    x01 = np.random.RandomState(0).rand(1, 3, 32, 224, 224).astype(np.float32)
+    logits, _ = module.apply({"params": params}, jnp.asarray(x01))
+    logits = np.asarray(logits)
+    assert np.isfinite(logits).all(), "converted model produced non-finite logits"
+    print(f"flax logits: finite, top-5 {np.argsort(logits[0])[-5:][::-1]}")
+
+    if gluoncv_cfg is None:
+        print("(pass --gluoncv-cfg for a torch-side logit comparison)")
+        return
+    import torch
+    from gluoncv.torch.engine.config import get_cfg_defaults
+    from gluoncv.torch.model_zoo import get_model
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(gluoncv_cfg)
+    tm = get_model(cfg).eval()
+    tm.load_state_dict(sd, strict=False)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
+    with torch.no_grad():
+        want = tm((torch.from_numpy(x01) - mean) / std).numpy()
+    diff = np.abs(logits - want).max()
+    print(f"max |flax - torch| logit diff: {diff:.2e} "
+          f"({'OK' if diff < 1e-3 else 'MISMATCH — check --report naming'})")
 
 
 if __name__ == "__main__":
