@@ -359,3 +359,34 @@ class TestRealDatasets:
         for a, b in zip(seq, par):
             np.testing.assert_array_equal(a[0], b[0])
             assert a[1:] == b[1:]
+
+
+REF = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+class TestReferenceManifests:
+    """Parse the reference's REAL shipped manifests (C30) — pure data
+    fixtures validating the exact file formats the loaders must accept."""
+
+    def test_kinetics_manifest(self):
+        from i2v_tpu.data.kinetics import read_manifest
+
+        samples = read_manifest(os.path.join(REF, "kinetics400_attack_samples.csv"))
+        assert len(samples) == 400  # one clip per Kinetics-400 class
+        assert samples[0].path.endswith(".mp4")
+        assert samples[0].label == 0 and samples[0].clip_index == -1
+        assert sorted({s.label for s in samples}) == list(range(400))
+
+    def test_ucf_setting_and_used_idxs(self):
+        from i2v_tpu.data.ucf101 import load_used_idxs, read_setting
+
+        clips = read_setting(os.path.join(REF, "test01_setting.txt"), "/data")
+        assert len(clips) == 3783
+        assert clips[0].directory == "/data/ApplyEyeMakeup/v_ApplyEyeMakeup_g01_c01"
+        assert clips[0].duration == 165 and clips[0].label == 0
+        idxs = load_used_idxs(os.path.join(REF, "used_idxs.pkl"))
+        assert len(idxs) == 101 and idxs[:3] == [28, 53, 96]
+        # the subset selects one clip per UCF-101 class
+        labels = {clips[i].label for i in idxs}
+        assert labels == set(range(101))
