@@ -390,3 +390,24 @@ class TestReferenceManifests:
         # the subset selects one clip per UCF-101 class
         labels = {clips[i].label for i in idxs}
         assert labels == set(range(101))
+
+    def test_kinetics_real_manifest_path_shapes(self, tmp_path):
+        """Real-manifest-style entries: class subdirectory with a SPACE in
+        the name, clip_index=-1 (end-anchored window) — the exact row format
+        of kinetics400_attack_samples.csv."""
+        from .avi_helper import write_mjpeg_avi
+
+        from i2v_tpu.data.kinetics import KineticsAttackDataset
+
+        (tmp_path / "air drumming").mkdir()
+        rng = np.random.RandomState(0)
+        frames = [Image.fromarray(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+                  for _ in range(8)]
+        rel = "air drumming/--nQbRBEz2s_000104_000114.avi"
+        write_mjpeg_avi(str(tmp_path / rel), frames)
+        (tmp_path / "anno.csv").write_text(f"path,gt_label,clip_index\n{rel},1,-1\n")
+        ds = KineticsAttackDataset(str(tmp_path / "anno.csv"), str(tmp_path))
+        clip, label, name, ind = ds.load_batch([0])[0]
+        assert clip.shape == (3, 32, 224, 224)
+        assert (label, ind) == (1, -1)
+        assert name == "air drumming/--nQbRBEz2s_000104_000114"
