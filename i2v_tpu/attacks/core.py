@@ -121,6 +121,7 @@ class Attack:
         self._attack_mode = "default"
         self._return_type = "float"
         self._target_map_function = None
+        self._call_count = 0
         self.loss_info: dict = {}
 
     # -- attack modes (reference: base_attacks.py:49-80) --------------------
@@ -196,7 +197,12 @@ class Attack:
         clean01 = pixel.unnormalize(videos, channel_axis=1)
         labels = self._transform_labels(clean01, labels)
         if rng is None:
-            rng = jax.random.PRNGKey(0)
+            # fresh (but reproducible) randomness per call: the reference
+            # redraws DI/TT randomness every batch (base_attacks.py:359-370);
+            # a fixed PRNGKey(0) would perfectly correlate the stochastic
+            # transforms across the whole dataset
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), self._call_count)
+        self._call_count += 1
         adv01, costs = self._attack01(clean01, labels, rng)
         self._record_costs(costs, video_names)
         if self._return_type == "int":

@@ -49,8 +49,12 @@ class I3DResNet(nn.Module, ReluMixin):
     def __call__(self, clip01_bcthw):
         x = to_channel_last(clip01_bcthw, self.normalize, self.dtype)
         taps: dict = {}
-        x = self._relu(conv3d(self.width, (5, 7, 7), (2, 2, 2), dtype=self.dtype,
-                              name="conv1")(x))
+        # SGM grad-scale placement mirrors the reference's name-filtered hooks
+        # ('relu' in name and not '0.relu', base_attacks.py:509-511): the stem
+        # ReLU (an unnamed Sequential slot in gluoncv) and each stage's
+        # block-0 ReLUs are NOT scaled.
+        x = nn.relu(conv3d(self.width, (5, 7, 7), (2, 2, 2), dtype=self.dtype,
+                           name="conv1")(x))
         x = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         for stage in range(4):
             feats = self.width * (2**stage)
@@ -61,7 +65,7 @@ class I3DResNet(nn.Module, ReluMixin):
                     spatial_stride=2 if (first and stage > 0) else 1,
                     downsample=first,
                     inflate=bool(self.inflate_freq[stage][block]),
-                    relu_grad_scale=self.relu_grad_scale,
+                    relu_grad_scale=1.0 if first else self.relu_grad_scale,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x)
@@ -86,8 +90,9 @@ def i3d_resnet101(**kw) -> I3DResNet:
 
 
 def i3d_tiny(**kw) -> I3DResNet:
-    """Width-8 single-block variant for checkpoint-free tests."""
-    return I3DResNet(stage_sizes=(1, 1, 1, 1),
-                     inflate_freq=((1,), (1,), (1,), (0,)),
+    """Width-8 variant for checkpoint-free tests. Stage 2 has TWO blocks so
+    SGM's relu grad scaling (which skips every block 0) stays observable."""
+    return I3DResNet(stage_sizes=(1, 2, 1, 1),
+                     inflate_freq=((1,), (1, 0), (1,), (0,)),
                      nonlocal_pos=((), (0,), (), ()),
                      width=8, num_classes=10, **kw)

@@ -62,7 +62,7 @@ class SlowFast(nn.Module, ReluMixin):
     normalize: bool = True
     dtype: Any = jnp.float32
 
-    def _stage(self, x, pathway: str, stage: int, in_lateral: int):
+    def _stage(self, x, pathway: str, stage: int):
         feats = self.width * (2**stage)
         if pathway == "fast":
             feats //= self.beta_inv
@@ -76,17 +76,21 @@ class SlowFast(nn.Module, ReluMixin):
                 spatial_stride=2 if (first and stage > 0) else 1,
                 temporal_kernel=tk,
                 downsample=first,
-                relu_grad_scale=self.relu_grad_scale,
+                # reference SGM hooks skip '0.relu' names (base_attacks.py:
+                # 509-511) → each stage's block 0 is unscaled
+                relu_grad_scale=1.0 if first else self.relu_grad_scale,
                 dtype=self.dtype,
                 name=f"{pathway}_res{stage + 2}_{block}",
             )(x)
         return x
 
     def _lateral(self, fast, stage_name: str, channels: int):
-        """Time-strided fast→slow connection: Conv3d (5,1,1)/(α,1,1)."""
-        return self._relu(conv3d(channels, (5, 1, 1), (self.alpha, 1, 1),
-                                 dtype=self.dtype,
-                                 name=f"lateral_{stage_name}")(fast))
+        """Time-strided fast→slow connection: Conv3d (5,1,1)/(α,1,1). ReLU
+        unscaled: gluoncv lateral activations aren't named '*relu*', so the
+        reference's SGM hooks never touch them."""
+        return nn.relu(conv3d(channels, (5, 1, 1), (self.alpha, 1, 1),
+                              dtype=self.dtype,
+                              name=f"lateral_{stage_name}")(fast))
 
     @nn.compact
     def __call__(self, clip01_bcthw):
@@ -94,20 +98,21 @@ class SlowFast(nn.Module, ReluMixin):
         taps: dict = {}
         fast_w = self.width // self.beta_inv
 
-        fast = self._relu(conv3d(fast_w, (5, 7, 7), (1, 2, 2), dtype=self.dtype,
-                                 name="fast_conv1")(x))
+        # stem ReLUs unscaled (see _stage note on the reference's hook filter)
+        fast = nn.relu(conv3d(fast_w, (5, 7, 7), (1, 2, 2), dtype=self.dtype,
+                              name="fast_conv1")(x))
         fast = max_pool3d(fast, (1, 3, 3), (1, 2, 2), (0, 1, 1))
 
         slow = x[:, ::self.alpha]
-        slow = self._relu(conv3d(self.width, (1, 7, 7), (1, 2, 2), dtype=self.dtype,
-                                 name="slow_conv1")(slow))
+        slow = nn.relu(conv3d(self.width, (1, 7, 7), (1, 2, 2), dtype=self.dtype,
+                              name="slow_conv1")(slow))
         slow = max_pool3d(slow, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         slow = jnp.concatenate(
             [slow, self._lateral(fast, "p1", 2 * fast_w)], axis=-1)
 
         for stage in range(4):
-            fast = self._stage(fast, "fast", stage, 0)
-            slow = self._stage(slow, "slow", stage, 0)
+            fast = self._stage(fast, "fast", stage)
+            slow = self._stage(slow, "slow", stage)
             taps[f"fast_res{stage + 2}"] = fast
             taps[f"slow_res{stage + 2}"] = slow
             if stage < 3:
@@ -133,5 +138,6 @@ def slowfast_resnet101(**kw) -> SlowFast:
 
 
 def slowfast_tiny(**kw) -> SlowFast:
-    return SlowFast(stage_sizes=(1, 1, 1, 1), width=8, beta_inv=4,
+    # stage 2 has two blocks: SGM scaling skips block 0 (see _stage)
+    return SlowFast(stage_sizes=(1, 2, 1, 1), width=8, beta_inv=4,
                     num_classes=10, **kw)

@@ -61,8 +61,11 @@ class TPN(nn.Module, ReluMixin):
     def __call__(self, clip01_bcthw):
         x = to_channel_last(clip01_bcthw, self.normalize, self.dtype)
         taps: dict = {}
-        x = self._relu(conv3d(self.width, (1, 7, 7), (1, 2, 2), dtype=self.dtype,
-                              name="conv1")(x))
+        # stem + neck ReLUs unscaled; block-0 ReLUs unscaled — mirrors the
+        # reference SGM's name-filtered hooks ('relu' in name and not
+        # '0.relu', base_attacks.py:509-511)
+        x = nn.relu(conv3d(self.width, (1, 7, 7), (1, 2, 2), dtype=self.dtype,
+                           name="conv1")(x))
         x = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         feats_out = []
         for stage in range(4):
@@ -75,7 +78,7 @@ class TPN(nn.Module, ReluMixin):
                     spatial_stride=2 if (first and stage > 0) else 1,
                     temporal_kernel=tk,
                     downsample=first,
-                    relu_grad_scale=self.relu_grad_scale,
+                    relu_grad_scale=1.0 if first else self.relu_grad_scale,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x)
@@ -86,17 +89,17 @@ class TPN(nn.Module, ReluMixin):
         c = self.neck_channels
         fine, coarse = feats_out[2], feats_out[3]
         # spatial modulation: align fine level to coarse spatial size
-        fine = self._relu(conv3d(c, (1, 3, 3), (1, 2, 2), dtype=self.dtype,
-                                 name="spatial_mod_0")(fine))
-        coarse = self._relu(conv3d(c, (1, 1, 1), dtype=self.dtype,
-                                   name="spatial_mod_1")(coarse))
+        fine = nn.relu(conv3d(c, (1, 3, 3), (1, 2, 2), dtype=self.dtype,
+                              name="spatial_mod_0")(fine))
+        coarse = nn.relu(conv3d(c, (1, 1, 1), dtype=self.dtype,
+                                name="spatial_mod_1")(coarse))
         # temporal rate modulation: coarse level pooled 2× in time
         t = fine.shape[1]
         coarse = max_pool3d(coarse, (2, 1, 1), (2, 1, 1)) if t > 1 else coarse
-        # top-down flow: upsample coarse in time, add to fine
-        up = jnp.repeat(coarse, fine.shape[1] // max(coarse.shape[1], 1), axis=1)
-        up = up[:, :fine.shape[1]]
-        fine = fine + up
+        # top-down flow: nearest-upsample coarse in time (gather handles
+        # non-divisible T, e.g. odd clip lengths), add to fine
+        idx = (jnp.arange(fine.shape[1]) * coarse.shape[1]) // fine.shape[1]
+        fine = fine + coarse[:, idx]
         # bottom-up flow: downsample fine, add to coarse
         down = max_pool3d(fine, (2, 1, 1), (2, 1, 1)) if t > 1 else fine
         coarse = coarse + down[:, :coarse.shape[1]]
@@ -104,7 +107,7 @@ class TPN(nn.Module, ReluMixin):
         pooled = jnp.concatenate(
             [jnp.mean(fine, axis=(1, 2, 3)), jnp.mean(coarse, axis=(1, 2, 3))],
             axis=-1)
-        fused = self._relu(nn.Dense(2048, dtype=self.dtype, name="fusion")(pooled))
+        fused = nn.relu(nn.Dense(2048, dtype=self.dtype, name="fusion")(pooled))
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(fused)
         return logits.astype(jnp.float32), taps
 
@@ -118,5 +121,6 @@ def tpn_resnet101(**kw) -> TPN:
 
 
 def tpn_tiny(**kw) -> TPN:
-    return TPN(stage_sizes=(1, 1, 1, 1), width=8, neck_channels=32,
+    # stage 2 has two blocks: SGM scaling skips block 0
+    return TPN(stage_sizes=(1, 2, 1, 1), width=8, neck_channels=32,
                num_classes=10, **kw)

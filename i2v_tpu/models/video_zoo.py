@@ -86,28 +86,55 @@ def get_video_model(
         kw["num_classes"] = 101
     module = builder(**kw)
 
-    params = None
+    restored = None
     if not tiny:
         path = _ckpt_path(name, ucf101)
         if os.path.exists(path):
             from flax import serialization
 
             with open(path, "rb") as f:
-                params = serialization.msgpack_restore(f.read())
-            if "params" not in params:
-                params = {"params": params}
-            # device_put once: params are runtime jit args (see registry)
-            params = jax.device_put(params)
-    if params is None:
-        if not tiny:
+                restored = serialization.msgpack_restore(f.read())
+            if "params" in restored:
+                restored = restored["params"]
+    if restored is None and not tiny:
+        warnings.warn(
+            f"no converted checkpoint for {name!r}"
+            f"{' (ucf101)' if ucf101 else ''}; using random init "
+            "(run tools/convert_gluoncv.py)"
+        )
+    if example_shape is None:
+        example_shape = (1, 3, 8, 32, 32) if tiny else (1, 3, 32, 224, 224)
+    example = jnp.zeros(example_shape, dtype=jnp.float32)
+    params = module.init(jax.random.PRNGKey(seed), example)
+    if restored is not None:
+        # overlay the converted subtree onto the init tree: a checkpoint that
+        # maps only the backbone (e.g. TPN before its neck naming is
+        # discovered via convert_gluoncv --report) must load and run, with
+        # the random-init remainder called out loudly
+        merged, missing = _overlay(params["params"], restored)
+        if missing:
             warnings.warn(
-                f"no converted checkpoint for {name!r}"
-                f"{' (ucf101)' if ucf101 else ''}; using random init "
-                "(run tools/convert_gluoncv.py)"
+                f"checkpoint for {name!r} left {len(missing)} module(s) at "
+                f"random init: {sorted(missing)[:8]}"
+                f"{'…' if len(missing) > 8 else ''} — transfer numbers are "
+                "NOT valid until these convert (see convert_gluoncv --report)"
             )
-        if example_shape is None:
-            example_shape = (1, 3, 8, 32, 32) if tiny else (1, 3, 32, 224, 224)
-        example = jnp.zeros(example_shape, dtype=jnp.float32)
-        params = module.init(jax.random.PRNGKey(seed), example)
+        params = {"params": merged}
+    # device_put once: params are runtime jit args (see registry)
+    params = jax.device_put(params)
     return VideoModel(name=name, module=module, params=params,
                       tap_keys=tap_keys_for(name, "tap"))
+
+
+def _overlay(init: dict, restored: dict):
+    """Overlay ``restored`` onto ``init`` (same treedef where present).
+    Returns (merged, names of top-level init modules absent in restored)."""
+    merged = dict(init)
+    missing = {k for k in init if k not in restored}
+    for k, v in restored.items():
+        if k in init and isinstance(init[k], dict) and isinstance(v, dict):
+            sub, _ = _overlay(init[k], v)
+            merged[k] = sub
+        else:
+            merged[k] = v
+    return merged, missing

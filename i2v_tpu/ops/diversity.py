@@ -39,21 +39,26 @@ def input_diversity(
     pad_top = jnp.floor(jax.random.uniform(k_top) * h_rem).astype(jnp.int32)
     pad_left = jnp.floor(jax.random.uniform(k_left) * h_rem).astype(jnp.int32)
 
+    transformed = diversity_gather(x, rnd, pad_top, pad_left, low, high)
+    apply = jax.random.uniform(k_apply) >= prob
+    return jnp.where(apply, transformed, x)
+
+
+def diversity_gather(x, rnd, pad_top, pad_left, low: int, high: int):
+    """The deterministic resize(low→rnd, nearest) → pad(to high) →
+    resize(high→low, nearest) chain for pinned draws, as one gather."""
     out_idx = jnp.arange(low, dtype=jnp.int32)
-    # final nearest resize 250→224: source index in the padded canvas
+    # final nearest resize high→low: source index in the padded canvas
     pad_idx = (out_idx * high) // low
     # position inside the resized image (may be out of range → padding)
     in_resized_r = pad_idx - pad_top
     in_resized_c = pad_idx - pad_left
     valid_r = (in_resized_r >= 0) & (in_resized_r < rnd)
     valid_c = (in_resized_c >= 0) & (in_resized_c < rnd)
-    # nearest resize 224→rnd: source index in the original image
+    # nearest resize low→rnd: source index in the original image
     src_r = jnp.clip((jnp.clip(in_resized_r, 0, None) * low) // rnd, 0, low - 1)
     src_c = jnp.clip((jnp.clip(in_resized_c, 0, None) * low) // rnd, 0, low - 1)
 
     gathered = jnp.take(jnp.take(x, src_r, axis=-2), src_c, axis=-1)
     mask = (valid_r[:, None] & valid_c[None, :]).astype(x.dtype)
-    transformed = gathered * mask
-
-    apply = jax.random.uniform(k_apply) >= prob
-    return jnp.where(apply, transformed, x)
+    return gathered * mask

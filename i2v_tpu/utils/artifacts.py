@@ -38,7 +38,15 @@ def save_adv_clip(run_dir: str, label: int, clip_cthw: np.ndarray,
     if arr.ndim != 4 or arr.shape[0] != 3:
         raise ValueError(f"expected (3,T,H,W) clip, got {arr.shape}")
     path = os.path.join(run_dir, adv_filename(label, kind))
-    np.save(path, arr)
+    # atomic write: a run killed mid-save must not leave a truncated .npy
+    # that skip-if-exists resume would treat as complete (and eval would
+    # crash loading). ".tmp.npy" so np.save doesn't append another suffix;
+    # list_adv_files requires the ".npy" ending AND 'adv'/'ori' in the name,
+    # so a stray tmp ("...-adv.npy.tmp.npy") would match — hence replace, not
+    # rename-if-absent, and the tmp lives only within this call.
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
     return path
 
 
@@ -53,8 +61,10 @@ def save_batch(run_dir: str, labels: Sequence[int], adv_batch,
 
 
 def list_adv_files(run_dir: str, kind: str = "adv") -> list[str]:
-    """All ``*{kind}*`` artifact files (reference: reference.py:96-97)."""
-    return [f for f in sorted(os.listdir(run_dir)) if kind in f and f.endswith(".npy")]
+    """All ``*{kind}*`` artifact files (reference: reference.py:96-97).
+    ``.tmp.npy`` in-flight writes (save_adv_clip) are never artifacts."""
+    return [f for f in sorted(os.listdir(run_dir))
+            if kind in f and f.endswith(".npy") and not f.endswith(".tmp.npy")]
 
 
 def label_of(filename: str) -> int:

@@ -242,3 +242,53 @@ class TestPallasFallback:
         assert np.isfinite(dm).all()
         clipped_out = np.abs(np.asarray(m)) > eps
         assert (dm[clipped_out] == 0).all()
+
+
+class TestDiversityTorchParity:
+    def test_diversity_gather_matches_reference_chain(self):
+        """The static-shape DI gather must reproduce the reference's
+        interpolate(nearest, low->rnd) -> pad -> interpolate(nearest,
+        high->low) chain (base_attacks.py:356-376) for pinned draws."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as TF
+
+        from i2v_tpu.ops.diversity import diversity_gather
+
+        rng = np.random.RandomState(0)
+        low, high = 224, 250
+        x = rng.rand(2, 3, low, low).astype(np.float32)
+        for rnd, pad_top, pad_left in [(224, 10, 25), (236, 0, 13),
+                                       (249, 0, 0), (230, 19, 1)]:
+            t = torch.from_numpy(x)
+            resized = TF.interpolate(t, size=[rnd, rnd], mode="nearest")
+            padded = TF.pad(resized, [pad_left, high - rnd - pad_left,
+                                      pad_top, high - rnd - pad_top])
+            want = TF.interpolate(padded, size=[low, low], mode="nearest").numpy()
+            got = np.asarray(diversity_gather(
+                jnp.asarray(x), jnp.int32(rnd), jnp.int32(pad_top),
+                jnp.int32(pad_left), low, high))
+            np.testing.assert_array_equal(got, want, err_msg=f"rnd={rnd}")
+
+    def test_input_diversity_decorrelates_across_calls(self):
+        """Attack.__call__ folds a call counter into the default rng, so
+        DI draws differ batch to batch (the reference redraws per batch)."""
+        import i2v_tpu.attacks as attacks
+        from i2v_tpu.models import TinyVideoNet, init_bundle
+        from i2v_tpu.ops import pixel
+
+        clip = jnp.zeros((1, 3, 4, 32, 32), jnp.float32)
+        vb = init_bundle(TinyVideoNet(), clip, "t", tap_keys=())
+        videos = pixel.normalize(
+            jnp.asarray(np.random.RandomState(1).rand(1, 3, 4, 32, 32)
+                        .astype(np.float32)), channel_axis=1)
+        labels = jnp.asarray([1])
+        atk = attacks.DIFGSM(vb, steps=3)
+        a = np.asarray(atk(videos, labels))
+        b = np.asarray(atk(videos, labels))
+        assert not np.array_equal(a, b)
+        # explicit rng still gives reproducibility
+        atk2 = attacks.DIFGSM(vb, steps=3)
+        k = jax.random.PRNGKey(7)
+        np.testing.assert_array_equal(
+            np.asarray(atk2(videos, labels, rng=k)),
+            np.asarray(atk2(videos, labels, rng=k)))

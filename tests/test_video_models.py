@@ -105,3 +105,44 @@ class TestFullSizeShapes:
         assert logits.shape == (1, 400)
         assert taps["layer1"].shape == (1, 8, 16, 16, 256)
         assert taps["layer2"].shape == (1, 8, 8, 8, 512)
+
+
+class TestPartialCheckpointLoad:
+    def test_overlay_merge(self):
+        from i2v_tpu.models.video_zoo import _overlay
+
+        init = {"a": {"kernel": 1, "bias": 2}, "neck": {"kernel": 3}}
+        restored = {"a": {"kernel": 10, "bias": 20}}
+        merged, missing = _overlay(init, restored)
+        assert merged["a"] == {"kernel": 10, "bias": 20}
+        assert merged["neck"] == {"kernel": 3}  # stays init
+        assert missing == {"neck"}
+
+    def test_partial_checkpoint_loads_with_warning(self, tmp_path, monkeypatch):
+        """A backbone-only checkpoint (e.g. TPN before neck naming discovery)
+        must load, warn about random-init modules, and run — not crash with
+        ScopeParamNotFoundError (production regression)."""
+        import warnings as w
+
+        from flax import serialization
+
+        from i2v_tpu.models import video_zoo
+
+        monkeypatch.setenv("I2V_TPU_CKPTS", str(tmp_path))
+        # full-size builder swapped for the tiny one so init/apply are cheap
+        monkeypatch.setitem(video_zoo.VIDEO_BUILDERS, "tpn_resnet50",
+                            video_zoo.TINY_BUILDERS["tpn_resnet50"])
+        full = video_zoo.get_video_model("tpn_resnet50", tiny=True).params["params"]
+        partial = {k: v for k, v in full.items() if not k.startswith(
+            ("spatial_mod", "fusion", "fc"))}
+        with open(tmp_path / "tpn_resnet50.msgpack", "wb") as f:
+            f.write(serialization.msgpack_serialize(partial))
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            bundle = video_zoo.get_video_model(
+                "tpn_resnet50", example_shape=(1, 3, 8, 32, 32))
+        msgs = [str(r.message) for r in rec]
+        assert any("random init" in m and "spatial_mod_0" in m for m in msgs)
+        clip01 = jnp.zeros((1, 3, 8, 32, 32), jnp.float32)
+        logits = bundle.apply01(clip01)
+        assert np.isfinite(np.asarray(logits)).all()

@@ -118,9 +118,28 @@ def convert_tpn(sd, stage_sizes):
                 dsbn = _maybe(sd, f"{base}.downsample.bn", f"{base}.downsample.1")
                 entry["downsample"] = _conv3d(sd, ds, dsbn)
             p[f"layer{stage + 1}_{block}"] = entry
-    # neck + head: mapped when the real checkpoint exposes them (--report
-    # shows what the checkpoint actually contains)
-    fc = _maybe(sd, "fc", "cls_head.fc", "head.fc")
+    # neck: mmaction/gluoncv TPN naming candidates; anything unmatched stays
+    # random-init — get_video_model overlays converted params onto an init
+    # tree and warns loudly about the remainder (use --report to discover the
+    # checkpoint's actual naming and extend the candidates)
+    neck_map = {
+        "spatial_mod_0": ("necks.0.spatial_modulation.spatial_modulation.0.conv",
+                          "neck.spatial_modulation.spatial_modulation.0.conv",
+                          "necks.0.spatial_modulation.0.conv"),
+        "spatial_mod_1": ("necks.0.spatial_modulation.spatial_modulation.1.conv",
+                          "neck.spatial_modulation.spatial_modulation.1.conv",
+                          "necks.0.spatial_modulation.1.conv"),
+    }
+    for ours, candidates in neck_map.items():
+        src = _maybe(sd, *candidates)
+        if src:
+            bn = _maybe(sd, *[c[:-5] + ".bn" for c in candidates])
+            p[ours] = _conv3d(sd, src, bn)
+    fusion = _maybe(sd, "necks.0.level_fusion_op.fusion_conv.conv",
+                    "neck.level_fusion_op.fusion_conv.conv", "fusion")
+    if fusion:
+        p["fusion"] = cv._dense_entry(sd, fusion)
+    fc = _maybe(sd, "fc", "cls_head.fc", "head.fc", "cls_head.fc_cls")
     if fc:
         p["fc"] = cv._dense_entry(sd, fc)
     return p

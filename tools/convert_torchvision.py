@@ -27,6 +27,9 @@ TORCHVISION_BUILDERS = {
     "vgg": "vgg16",
     "alexnet": "alexnet",
     "squeezenet": "squeezenet1_1",
+    "densenet": "densenet161",
+    # 'vit' (TPAMI get_vits) is a timm model — no torchvision builder;
+    # --download uses timm when importable, else requires --weights
 }
 
 
@@ -37,6 +40,11 @@ def load_state_dict(name: str, weights: str | None, download: bool):
         sd = torch.load(weights, map_location="cpu", weights_only=True)
         return sd.get("state_dict", sd) if isinstance(sd, dict) else sd
     if download:
+        if name == "vit":  # timm model (TPAMI_attack.py:88-98)
+            import timm
+
+            return timm.create_model("vit_base_patch16_224",
+                                     pretrained=True).state_dict()
         import torchvision.models as tvm
 
         model = getattr(tvm, TORCHVISION_BUILDERS[name])(pretrained=True)
