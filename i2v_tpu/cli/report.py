@@ -1,0 +1,85 @@
+"""Aggregate per-run eval reports into one attack-success-rate table.
+
+The reference leaves table assembly to the reader: each generate→evaluate
+cycle drops a ``top1_acc_all_models.json`` in its run dir
+(reference.py:127-129) and the papers' tables are assembled by hand. This
+collects every run under the artifact root (or an explicit list) into one
+CSV/markdown table of ASR = 100 − top-1 (the papers' metric).
+
+    python -m i2v_tpu.cli.report                 # all runs under OPT_PATH
+    python -m i2v_tpu.cli.report --runs dirA dirB --format markdown
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from ..utils import get_paths
+
+
+def collect(run_dirs) -> tuple[list[str], list[dict]]:
+    """Read top1 JSONs → (sorted model names, per-run {run, model: asr})."""
+    rows = []
+    models: set[str] = set()
+    for d in run_dirs:
+        path = os.path.join(d, "top1_acc_all_models.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            top1 = json.load(f)
+        row = {"run": os.path.basename(os.path.normpath(d))}
+        for name, acc in top1.items():
+            row[name] = round(100.0 - float(acc), 2)  # ASR
+            models.add(name)
+        rows.append(row)
+    return sorted(models), rows
+
+
+def render(models, rows, fmt: str) -> str:
+    header = ["run"] + models
+    lines = []
+    if fmt == "markdown":
+        lines.append("| " + " | ".join(header) + " |")
+        lines.append("|" + "---|" * len(header))
+        for r in rows:
+            lines.append("| " + " | ".join(
+                str(r.get(k, "")) for k in header) + " |")
+    else:  # csv
+        lines.append(",".join(header))
+        for r in rows:
+            lines.append(",".join(str(r.get(k, "")) for k in header))
+    return "\n".join(lines)
+
+
+def main(argv=None) -> str:
+    p = argparse.ArgumentParser(description="ASR table aggregator")
+    p.add_argument("--runs", nargs="*", default=None,
+                   help="run dirs (default: every dir under OPT_PATH)")
+    p.add_argument("--format", choices=["csv", "markdown"], default="csv")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    args = p.parse_args(argv)
+
+    runs = args.runs
+    if runs is None:
+        root = get_paths().opt_path
+        runs = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+    models, rows = collect(runs)
+    if not rows:
+        raise SystemExit("no top1_acc_all_models.json found in the given runs")
+    table = render(models, rows, args.format)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(table + "\n")
+        print(f"wrote {args.out}")
+    else:
+        print(table)
+    return table
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,23 @@ class TestILAFCLI:
         ])
         advs = [f for f in os.listdir(out_dir) if f.endswith("-adv.npy")]
         assert len(advs) == 2
+
+
+class TestReport:
+    def test_asr_table(self, tmp_path, capsys):
+        import json as _json
+
+        from i2v_tpu.cli import report
+
+        for run, accs in (("Image-I2V-60-a", {"i3d_resnet50": 20.0,
+                                              "tpn_resnet50": 35.5}),
+                          ("Image-DR-60-b", {"i3d_resnet50": 60.0})):
+            d = tmp_path / run
+            d.mkdir()
+            (d / "top1_acc_all_models.json").write_text(_json.dumps(accs))
+        table = report.main(["--runs", str(tmp_path / "Image-I2V-60-a"),
+                             str(tmp_path / "Image-DR-60-b"),
+                             "--format", "markdown"])
+        assert "| run | i3d_resnet50 | tpn_resnet50 |" in table
+        assert "| Image-I2V-60-a | 80.0 | 64.5 |" in table  # ASR = 100 - top1
+        assert "| Image-DR-60-b | 40.0 |  |" in table
