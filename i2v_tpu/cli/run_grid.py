@@ -104,22 +104,33 @@ def main(argv=None):
     args, passthrough = p.parse_known_args(argv)
     if args.limit is not None:
         _install_limit(args.limit)
+    else:
+        _reset_limit()
     GRIDS[args.grid](passthrough)
 
 
+_ORIG_GEN_AND_EVAL = _gen_and_eval
+
+
 def _install_limit(n: int) -> None:
-    """Cap the number of (generate, evaluate) pairs executed."""
+    """Cap the number of (generate, evaluate) pairs executed. Always wraps
+    the ORIGINAL function — repeated in-process main() calls must each get a
+    fresh budget, not stack exhausted wrappers."""
     global _gen_and_eval
     state = {"left": n}
-    orig = _gen_and_eval
 
     def limited(*a, **kw):
         if state["left"] <= 0:
             return None
         state["left"] -= 1
-        return orig(*a, **kw)
+        return _ORIG_GEN_AND_EVAL(*a, **kw)
 
     _gen_and_eval = limited
+
+
+def _reset_limit() -> None:
+    global _gen_and_eval
+    _gen_and_eval = _ORIG_GEN_AND_EVAL
 
 
 if __name__ == "__main__":

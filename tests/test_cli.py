@@ -150,3 +150,22 @@ class TestReport:
         assert "| run | i3d_resnet50 | tpn_resnet50 |" in table
         assert "| Image-I2V-60-a | 80.0 | 64.5 |" in table  # ASR = 100 - top1
         assert "| Image-DR-60-b | 40.0 |  |" in table
+
+
+class TestGridDriver:
+    def test_grid_smoke(self, opt_path):
+        """One (generate, evaluate) pair of each Kinetics grid runs end to
+        end on tiny models + synthetic data (--limit caps the sweep)."""
+        from i2v_tpu.cli import run_grid
+
+        common = ["--limit", "1", "--tiny", "--data", "synthetic",
+                  "--n_synthetic", "2", "--batch_size", "2"]
+        run_grid.main(["steps_ablation", *common])
+        run_grid.main(["kinetics_perf", *common])
+        runs = os.listdir(opt_path)
+        assert any(r.startswith("Image-ImageGuidedFMDirection_Adam-20-ablation")
+                   for r in runs)
+        assert any("table3" in r for r in runs)
+        for r in runs:
+            assert os.path.exists(
+                os.path.join(opt_path, r, "top1_acc_all_models.json"))
