@@ -101,3 +101,136 @@ def test_tt_matches_reference_oracle(bundle, move_type, momentum, weight):
     agree = np.isclose(got, want, atol=2e-3)
     assert agree.mean() > 0.999, f"only {agree.mean():.4%} pixels agree"
     np.testing.assert_allclose(got.mean(), want.mean(), atol=1e-4)
+
+
+class TestTAPOracle:
+    def test_tap_cost_and_grad_match_torch_at_generic_point(self):
+        """TAP cost components (ce, reg, distance) and the full cost gradient
+        vs a 100%-torch re-expression of base_attacks.py:685-814, evaluated
+        at a FIXED perturbed point on a converted live mini-I3D.
+
+        (Full-trajectory comparison is not meaningful: the signed-sqrt
+        feature distance has an ill-conditioned gradient near adv == clean,
+        so sign steps amplify cross-framework fp32 noise — the reference is
+        itself pixel-chaotic across hardware. The per-step COST MATH and the
+        gradient at a generic point are the framework-parity invariants.)"""
+        torch = pytest.importorskip("torch")
+        import importlib.util
+        import os
+
+        import torch.nn.functional as TF
+
+        from i2v_tpu.models.api import VideoModel, rebind_params
+        from i2v_tpu.models.i3d import I3DResNet
+        from i2v_tpu.ops import smoothing as sm_ops
+
+        from .test_convert_video import TorchMiniI3D, _randomize_bn
+
+        spec = importlib.util.spec_from_file_location(
+            "convert_gluoncv",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "convert_gluoncv.py"))
+        cg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(cg)
+
+        tm = TorchMiniI3D().eval()
+        _randomize_bn(tm)
+        params = cg.convert_i3d(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+        module = I3DResNet(stage_sizes=(1, 1, 1, 1),
+                           inflate_freq=((1,), (1,), (1,), (0,)),
+                           nonlocal_pos=((), (), (), ()),
+                           width=8, num_classes=10)
+        bundle = VideoModel(name="i3d", module=module,
+                            params={"params": params},
+                            tap_keys=("res_layer1", "res_layer2"))
+
+        rng_np = np.random.RandomState(13)
+        clean01 = rng_np.rand(1, 3, 8, 32, 32).astype(np.float32)
+        # smooth perturbation: a ±sign pattern smoothed by the uniform
+        # kernel lands exactly on |.|'s kink (sign(0) disagreements blow up
+        # the reg gradient); continuous noise keeps the objective
+        # differentiable at the probe point
+        pert = (0.8 * EPS * np.tanh(rng_np.randn(*clean01.shape))
+                ).astype(np.float32)
+        adv01 = np.clip(clean01 + pert, 0, 1)
+        labels = jnp.asarray([3])
+
+        # ---- jax cost components + grad (the TAP objective as built by the
+        # attack's runner: apply_norm_taps + tap_feature_distance +
+        # depthwise_conv3d of the std-scaled perturbation) ----
+        x_clean = pixel.normalize(jnp.asarray(clean01), channel_axis=1)
+        _, clean_taps = bundle.apply_norm_taps(x_clean)
+        clean_taps = [jax.lax.stop_gradient(t) for t in clean_taps]
+        kernel = sm_ops.uniform_kernel_3d(3, 3)
+
+        def cost_fn(x_norm):
+            logits, taps = bundle.apply_norm_taps(x_norm)
+            ce = losses.cross_entropy(logits, labels)
+            dist = jnp.sum(losses.tap_feature_distance(taps, clean_taps, 1))
+            perts = pixel.scale_perts(x_norm - x_clean, channel_axis=1)
+            reg = jnp.sum(jnp.abs(sm_ops.depthwise_conv3d(perts, kernel)))
+            return ce + 1e3 * reg + 0.05 * dist, (ce, reg, dist)
+
+        x_adv = pixel.normalize(jnp.asarray(adv01), channel_axis=1)
+        (cost_j, (ce_j, reg_j, dist_j)), g_jax = jax.value_and_grad(
+            cost_fn, has_aux=True)(x_adv)
+
+        # ---- torch oracle at the same point ----
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
+        acts = []
+        hs = [tm.res_layers[0].register_forward_hook(
+                  lambda m, i, o: acts.append(o)),
+              tm.res_layers[1].register_forward_hook(
+                  lambda m, i, o: acts.append(o))]
+        k3 = np.ones((3, 3, 3), np.float32) / 27.0
+        stack3 = torch.from_numpy(np.stack([k3] * 3)[:, None])
+
+        v_clean = torch.from_numpy(np.asarray(x_clean))
+        acts.clear()
+        tm(v_clean)
+        ori_feats = [a.detach() for a in acts]
+        v_adv = torch.from_numpy(np.asarray(x_adv)).requires_grad_(True)
+        acts.clear()
+        out = tm(v_adv)
+        ce_t = TF.cross_entropy(out, torch.tensor([3]))
+        dists = []
+        for a, o in zip(acts, ori_feats):
+            sa = torch.sign(a) * torch.sqrt(torch.abs(a))
+            so = torch.sign(o) * torch.sqrt(torch.abs(o))
+            dists.append(torch.norm((sa - so).reshape(1, -1), p=2, dim=1))
+        dist_t = torch.sum(torch.stack(dists))
+        perts_t = (v_adv - v_clean) / std
+        reg_t = torch.sum(torch.abs(
+            TF.conv3d(perts_t, stack3, groups=3, padding=[1, 1, 1])))
+        cost_t = ce_t + 1e3 * reg_t + 0.05 * dist_t
+        g_torch = torch.autograd.grad(cost_t, v_adv)[0].numpy()
+        for h in hs:
+            h.remove()
+
+        np.testing.assert_allclose(float(ce_j), float(ce_t.detach()), rtol=1e-3)
+        np.testing.assert_allclose(float(reg_j), float(reg_t.detach()), rtol=1e-4)
+        np.testing.assert_allclose(float(dist_j), float(dist_t.detach()), rtol=1e-3)
+        scale = np.abs(g_torch).max()
+        np.testing.assert_allclose(np.asarray(g_jax), g_torch,
+                                   atol=2e-3 * scale)
+
+    def test_tap_attack_descends_and_records(self):
+        """The TAP attack itself runs end-to-end and records all three cost
+        components per step (reference's loss_info keys overwrite each other
+        via a shadowed loop var, base_attacks.py:811-813 — consciously
+        fixed)."""
+        from i2v_tpu.models import TinyVideoNet, init_bundle
+
+        clip = jnp.zeros((1, 3, 8, 32, 32), dtype=jnp.float32)
+        vb = init_bundle(TinyVideoNet(), clip, "t",
+                         tap_keys=("block1", "block2"))
+        videos = pixel.normalize(
+            jnp.asarray(np.random.RandomState(4).rand(1, 3, 8, 32, 32)
+                        .astype(np.float32)), channel_axis=1)
+        atk = attacks.TAP(vb, dict(kernlen=3, temporal_kernlen=3,
+                                   conv3d=True), steps=3)
+        atk(videos, jnp.asarray([2]))
+        assert set(atk.loss_info) == {0, 1, 2}
+        for i in range(3):
+            assert {"ce loss", "reg_cost", "distance"} <= set(atk.loss_info[i])
