@@ -22,15 +22,15 @@ from ..ops.pixel import normalize
 
 
 def conv3d(features: int, kernel: Sequence[int], stride: Sequence[int] = (1, 1, 1),
-           padding: Sequence[int] | None = None, *, name: str | None = None,
-           dtype: Any = jnp.float32) -> nn.Conv:
+           padding: Sequence[int] | None = None, *, groups: int = 1,
+           name: str | None = None, dtype: Any = jnp.float32) -> nn.Conv:
     """3-D conv with torch-style symmetric integer padding ((k-1)//2 default)."""
     if padding is None:
         padding = tuple((k - 1) // 2 for k in kernel)
     return nn.Conv(
         features, tuple(kernel), strides=tuple(stride),
         padding=tuple((p, p) for p in padding), use_bias=True,
-        dtype=dtype, name=name,
+        feature_group_count=groups, dtype=dtype, name=name,
     )
 
 

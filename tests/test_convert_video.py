@@ -254,7 +254,167 @@ class TorchMiniTPNBackbone(tnn.Module):
         return taps
 
 
-def test_gluoncv_tpn_backbone_converter_parity():
+class TorchConvModule(tnn.Module):
+    """TPN-repo ConvModule: conv → BN → ReLU."""
+
+    def __init__(self, cin, cout, k, s, p, bias=False, groups=1):
+        super().__init__()
+        self.conv = tnn.Conv3d(cin, cout, k, s, p, bias=bias, groups=groups)
+        self.bn = tnn.BatchNorm3d(cout)
+        self.relu = tnn.ReLU(True)
+
+    def forward(self, x):
+        return self.relu(self.bn(self.conv(x)))
+
+
+class TorchTemporalModulation(tnn.Module):
+    def __init__(self, cin, cout, scale):
+        super().__init__()
+        self.conv = tnn.Conv3d(cin, cout, (3, 1, 1), (1, 1, 1), (1, 0, 0),
+                               bias=False, groups=32)
+        self.pool = tnn.MaxPool3d((scale, 1, 1), (scale, 1, 1), (0, 0, 0),
+                                  ceil_mode=True)
+
+    def forward(self, x):
+        return self.pool(self.conv(x))
+
+
+class TorchDownampling(tnn.Module):
+    """TPN-repo 'Downampling' (sic): optional-norm/act conv + maxpool."""
+
+    def __init__(self, cin, cout, k=(3, 1, 1), s=(1, 1, 1), p=(1, 0, 0),
+                 groups=1, norm=False, activation=False,
+                 position="after", scale=(1, 1, 1)):
+        super().__init__()
+        self.conv = tnn.Conv3d(cin, cout, k, s, p, bias=False, groups=groups)
+        self.norm = tnn.BatchNorm3d(cout) if norm else None
+        self.relu = tnn.ReLU(True) if activation else None
+        self.position = position
+        self.pool = tnn.MaxPool3d(scale, scale, (0, 0, 0), ceil_mode=True)
+
+    def forward(self, x):
+        if self.position == "before":
+            x = self.pool(x)
+        x = self.conv(x)
+        if self.norm is not None:
+            x = self.norm(x)
+        if self.relu is not None:
+            x = self.relu(x)
+        if self.position == "after":
+            x = self.pool(x)
+        return x
+
+
+class TorchLevelFusion(tnn.Module):
+    def __init__(self, cin, mid, cout):
+        super().__init__()
+        self.ops = tnn.ModuleList([
+            TorchDownampling(c, m, (1, 1, 1), (1, 1, 1), (0, 0, 0), groups=32,
+                             norm=True, activation=True, position="before")
+            for c, m in zip(cin, mid)])
+        self.fusion_conv = tnn.Sequential(
+            tnn.Conv3d(sum(mid), cout, 1, 1, 0, bias=False),
+            tnn.BatchNorm3d(cout), tnn.ReLU(True))
+
+    def forward(self, inputs):
+        out = [op(f) for op, f in zip(self.ops, inputs)]
+        return self.fusion_conv(torch.cat(out, 1))
+
+
+class TorchSpatialModulation(tnn.Module):
+    def __init__(self, inplanes, planes):
+        super().__init__()
+        mods = tnn.ModuleList()
+        for dim in inplanes:
+            import math
+
+            ds_num = int(math.log2(planes // dim)) if planes > dim else 0
+            if ds_num < 1:
+                mods.append(tnn.Identity())
+            else:
+                mods.append(tnn.ModuleList([
+                    TorchConvModule(dim * 2**i, dim * 2**(i + 1),
+                                    (1, 3, 3), (1, 2, 2), (0, 1, 1))
+                    for i in range(ds_num)]))
+        self.spatial_modulation = mods
+
+    def forward(self, inputs):
+        out = []
+        for i, feature in enumerate(inputs):
+            if isinstance(self.spatial_modulation[i], tnn.ModuleList):
+                y = feature
+                for op in self.spatial_modulation[i]:
+                    y = op(y)
+                out.append(y)
+            else:
+                out.append(self.spatial_modulation[i](feature))
+        return out
+
+
+class TorchTPNNeck(tnn.Module):
+    """The TPN-repo neck verbatim, INCLUDING the forward's list-aliasing:
+    `temporal_modulation_outs = outs` shares the list the top-down loop
+    mutates, so the bottom-up flow consumes top-down-updated features."""
+
+    def __init__(self, in_channels, out_channels, planes, scales):
+        super().__init__()
+        self.spatial_modulation = TorchSpatialModulation(in_channels, planes)
+        self.temporal_modulation_ops = tnn.ModuleList([
+            TorchTemporalModulation(planes, out_channels, s) for s in scales])
+        self.downsampling_ops = tnn.ModuleList([
+            TorchDownampling(out_channels, out_channels)])
+        self.level_fusion_op = TorchLevelFusion(
+            [out_channels] * 2, [out_channels] * 2, planes)
+        self.level_fusion_op2 = TorchLevelFusion(
+            [out_channels] * 2, [out_channels] * 2, planes)
+        self.pyramid_fusion_op = tnn.Sequential(
+            tnn.Conv3d(planes * 2, planes, 1, 1, 0, bias=False),
+            tnn.BatchNorm3d(planes), tnn.ReLU(True))
+
+    def forward(self, inputs):
+        outs = self.spatial_modulation(inputs)
+        outs = [op(outs[i]) for i, op in enumerate(self.temporal_modulation_ops)]
+        temporal_modulation_outs = outs  # aliasing, as in the source
+        for i in range(len(outs) - 1, 0, -1):
+            outs[i - 1] = outs[i - 1] + outs[i]  # upsample scale (1,1,1)
+        topdownouts = self.level_fusion_op2(outs)
+        outs = temporal_modulation_outs
+        for i in range(len(outs) - 1):
+            outs[i + 1] = outs[i + 1] + self.downsampling_ops[i](outs[i])
+        outs = self.level_fusion_op(outs)
+        return self.pyramid_fusion_op(torch.cat([topdownouts, outs], 1))
+
+
+class TorchMiniTPNFull(tnn.Module):
+    """Backbone + TPN-repo neck + head under gluoncv-style names
+    (layer1..4, necks.*, fc)."""
+
+    def __init__(self, width=8, num_classes=10, scales=(2, 2)):
+        super().__init__()
+        self.backbone = None  # flat attrs below, matching convert_tpn naming
+        bb = TorchMiniTPNBackbone(width, num_classes)
+        for attr in ("conv1", "bn1", "relu", "pool",
+                     "layer1", "layer2", "layer3", "layer4"):
+            setattr(self, attr, getattr(bb, attr))
+        self.necks = TorchTPNNeck([width * 16, width * 32], width * 16,
+                                  width * 32, scales)
+        self.fc = tnn.Linear(width * 32, num_classes)
+
+    def forward(self, x):
+        x = self.pool(self.relu(self.bn1(self.conv1(x))))
+        taps = []
+        for stage in range(4):
+            x = getattr(self, f"layer{stage + 1}")(x)
+            taps.append(x)
+        y = self.necks([taps[2], taps[3]])
+        return self.fc(y.mean((2, 3, 4))), taps
+
+
+def test_gluoncv_tpn_converter_parity():
+    """Full TPN parity (backbone taps + neck + head logits) vs the torch
+    oracle replicating the TPN-repo module graph — validates the neck's
+    grouped convs, ceil-mode temporal pooling, dual level fusion, pyramid
+    fusion, the forward's list-aliasing, and convert_tpn's neck name map."""
     import importlib.util
     import os
 
@@ -266,24 +426,21 @@ def test_gluoncv_tpn_backbone_converter_parity():
 
     from i2v_tpu.models.tpn import TPN
 
-    tm = TorchMiniTPNBackbone().eval()
+    tm = TorchMiniTPNFull().eval()
     _randomize_bn(tm)
     x01 = np.random.RandomState(2).rand(1, 3, 4, 32, 32).astype(np.float32)
     mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
     with torch.no_grad():
-        want_taps = tm((torch.from_numpy(x01) - mean) / std)
+        want_logits, want_taps = tm((torch.from_numpy(x01) - mean) / std)
 
     params = cg.convert_tpn(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
-    module = TPN(stage_sizes=(1, 1, 1, 1), width=8, neck_channels=32,
+    module = TPN(stage_sizes=(1, 1, 1, 1), width=8, temporal_scales=(2, 2),
                  num_classes=10)
-    # backbone taps only (the neck/head are init-fresh in this partial load)
-    import jax
-
-    full = module.init(jax.random.PRNGKey(0), jnp.asarray(x01))["params"]
-    full.update(params)
-    _, taps = module.apply({"params": full}, jnp.asarray(x01))
+    got_logits, taps = module.apply({"params": params}, jnp.asarray(x01))
     for i in range(4):
         got = np.asarray(taps[f"layer{i + 1}"])  # (B,T,H,W,C)
         want = want_taps[i].permute(0, 2, 3, 4, 1).numpy()
         np.testing.assert_allclose(got, want, atol=5e-4, err_msg=f"layer{i+1}")
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(),
+                               atol=5e-4)

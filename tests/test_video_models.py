@@ -134,7 +134,7 @@ class TestPartialCheckpointLoad:
                             video_zoo.TINY_BUILDERS["tpn_resnet50"])
         full = video_zoo.get_video_model("tpn_resnet50", tiny=True).params["params"]
         partial = {k: v for k, v in full.items() if not k.startswith(
-            ("spatial_mod", "fusion", "fc"))}
+            ("sm_", "tm_", "down_", "lf1_", "lf2_", "pyramid", "fc"))}
         with open(tmp_path / "tpn_resnet50.msgpack", "wb") as f:
             f.write(serialization.msgpack_serialize(partial))
         with w.catch_warnings(record=True) as rec:
@@ -142,7 +142,9 @@ class TestPartialCheckpointLoad:
             bundle = video_zoo.get_video_model(
                 "tpn_resnet50", example_shape=(1, 3, 8, 32, 32))
         msgs = [str(r.message) for r in rec]
-        assert any("random init" in m and "spatial_mod_0" in m for m in msgs)
+        # the warning lists the first 8 missing modules alphabetically
+        assert any("random init" in m and "down_0" in m and "lf1_op0" in m
+                   for m in msgs)
         clip01 = jnp.zeros((1, 3, 8, 32, 32), jnp.float32)
         logits = bundle.apply01(clip01)
         assert np.isfinite(np.asarray(logits)).all()

@@ -118,28 +118,39 @@ def convert_tpn(sd, stage_sizes):
                 dsbn = _maybe(sd, f"{base}.downsample.bn", f"{base}.downsample.1")
                 entry["downsample"] = _conv3d(sd, ds, dsbn)
             p[f"layer{stage + 1}_{block}"] = entry
-    # neck: mmaction/gluoncv TPN naming candidates; anything unmatched stays
+    # neck: the gluoncv/TPN-repo module graph (TPN tpn.py: SpatialModulation,
+    # TemporalModulation ×2, Downampling, LevelFusion ×2, pyramid_fusion_op),
+    # tried under the common top-level prefixes; anything unmatched stays
     # random-init — get_video_model overlays converted params onto an init
     # tree and warns loudly about the remainder (use --report to discover the
     # checkpoint's actual naming and extend the candidates)
+    def neck(suffix):
+        return tuple(f"{pre}.{suffix}" for pre in ("necks", "neck", "necks.0"))
+
     neck_map = {
-        "spatial_mod_0": ("necks.0.spatial_modulation.spatial_modulation.0.conv",
-                          "neck.spatial_modulation.spatial_modulation.0.conv",
-                          "necks.0.spatial_modulation.0.conv"),
-        "spatial_mod_1": ("necks.0.spatial_modulation.spatial_modulation.1.conv",
-                          "neck.spatial_modulation.spatial_modulation.1.conv",
-                          "necks.0.spatial_modulation.1.conv"),
+        # ours: (conv-prefix candidates, bn suffix relative to the op root)
+        "sm_0_0": (neck("spatial_modulation.spatial_modulation.0.0.conv"), ".bn"),
+        "tm_0": (neck("temporal_modulation_ops.0.conv"), None),
+        "tm_1": (neck("temporal_modulation_ops.1.conv"), None),
+        "down_0": (neck("downsampling_ops.0.conv"), None),
+        "lf1_op0": (neck("level_fusion_op.ops.0.conv"), ".norm"),
+        "lf1_op1": (neck("level_fusion_op.ops.1.conv"), ".norm"),
+        "lf1_fusion": (neck("level_fusion_op.fusion_conv.0"), ".1"),
+        "lf2_op0": (neck("level_fusion_op2.ops.0.conv"), ".norm"),
+        "lf2_op1": (neck("level_fusion_op2.ops.1.conv"), ".norm"),
+        "lf2_fusion": (neck("level_fusion_op2.fusion_conv.0"), ".1"),
+        "pyramid": (neck("pyramid_fusion_op.0"), ".1"),
     }
-    for ours, candidates in neck_map.items():
+    for ours, (candidates, bn_suffix) in neck_map.items():
         src = _maybe(sd, *candidates)
         if src:
-            bn = _maybe(sd, *[c[:-5] + ".bn" for c in candidates])
+            bn = None
+            if bn_suffix is not None:
+                root = src.rsplit(".", 1)[0]
+                bn = _maybe(sd, root + bn_suffix)
             p[ours] = _conv3d(sd, src, bn)
-    fusion = _maybe(sd, "necks.0.level_fusion_op.fusion_conv.conv",
-                    "neck.level_fusion_op.fusion_conv.conv", "fusion")
-    if fusion:
-        p["fusion"] = cv._dense_entry(sd, fusion)
-    fc = _maybe(sd, "fc", "cls_head.fc", "head.fc", "cls_head.fc_cls")
+    fc = _maybe(sd, "fc", "cls_head.fc", "head.fc", "cls_head.fc_cls",
+                "cls_head.fc1")
     if fc:
         p["fc"] = cv._dense_entry(sd, fc)
     return p
