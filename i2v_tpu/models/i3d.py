@@ -39,6 +39,8 @@ class I3DResNet(nn.Module, ReluMixin):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     inflate_freq: Sequence[Sequence[int]] = _INFLATE_R50
     nonlocal_pos: Sequence[Sequence[int]] = _NL5
+    nl_sub_sample: bool = True   # see NonLocal3D: param-free structure knobs
+    nl_type: str = "gaussian"
     width: int = 64
     num_classes: int = 400
     relu_grad_scale: float = 1.0
@@ -70,7 +72,8 @@ class I3DResNet(nn.Module, ReluMixin):
                     name=f"layer{stage + 1}_{block}",
                 )(x)
                 if block in self.nonlocal_pos[stage]:
-                    x = NonLocal3D(feats * 4, dtype=self.dtype,
+                    x = NonLocal3D(feats * 4, sub_sample=self.nl_sub_sample,
+                                   nl_type=self.nl_type, dtype=self.dtype,
                                    name=f"layer{stage + 1}_{block}_nl")(x)
             taps[f"res_layer{stage + 1}"] = x
             if stage == 0:

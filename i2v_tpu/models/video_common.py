@@ -81,14 +81,25 @@ class Bottleneck3D(nn.Module, ReluMixin):
 
 
 class NonLocal3D(nn.Module, ReluMixin):
-    """Embedded-Gaussian non-local block (the 'nl' in i3d_nl5):
-    out = x + W_z·BN(softmax(θ(x)ᵀφ(x))·g(x)). θ/φ/g project to C/2.
+    """Non-local block (the 'nl' in i3d_nl5):
+    out = x + W_z·BN(A(θ(x), φ(x))·g(x)). θ/φ/g project to C/2.
+
+    Structure follows the mmaction lineage the gluoncv checkpoints descend
+    from: ``sub_sample`` max-pools the φ/g feature maps (1,2,2) AFTER their
+    1×1×1 convs (the NL paper's "subsampling trick", on by default in the
+    released Kinetics models); ``nl_type`` picks embedded-gaussian softmax
+    ('gaussian') or 1/N dot-product ('dot') attention. Both knobs are
+    parameter-free, so a real checkpoint cannot disambiguate them —
+    convert_gluoncv --verify --gluoncv-cfg reports any logit drift and the
+    knobs flip without re-conversion.
 
     Attention is one batched matmul pair over the flattened (T·H·W) token
     axis — MXU-friendly by construction.
     """
 
     channels: int
+    sub_sample: bool = True
+    nl_type: str = "gaussian"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,13 +109,22 @@ class NonLocal3D(nn.Module, ReluMixin):
         theta = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="theta")(x)
         phi = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="phi")(x)
         g = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="g")(x)
+        if self.sub_sample:
+            phi = max_pool3d(phi, (1, 2, 2), (1, 2, 2))
+            g = max_pool3d(g, (1, 2, 2), (1, 2, 2))
         n = t * h * w
+        m = phi.shape[1] * phi.shape[2] * phi.shape[3]
         theta = theta.reshape(b, n, inter)
-        phi = phi.reshape(b, n, inter)
-        g = g.reshape(b, n, inter)
+        phi = phi.reshape(b, m, inter)
+        g = g.reshape(b, m, inter)
         attn = jnp.einsum("bnc,bmc->bnm", theta, phi,
                           preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn, axis=-1)
+        if self.nl_type == "gaussian":
+            attn = nn.softmax(attn, axis=-1)
+        elif self.nl_type == "dot":
+            attn = attn / m
+        else:
+            raise ValueError(f"unknown nl_type {self.nl_type!r}")
         y = jnp.einsum("bnm,bmc->bnc", attn.astype(g.dtype), g,
                        preferred_element_type=jnp.float32)
         y = y.reshape(b, t, h, w, inter).astype(x.dtype)

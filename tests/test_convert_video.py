@@ -116,6 +116,85 @@ def test_gluoncv_i3d_converter_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
 
 
+class TorchNonLocal(tnn.Module):
+    """mmaction-lineage non-local block: θ/φ/g 1×1×1 convs (with bias),
+    optional (1,2,2) max-pool sub-sampling AFTER the φ/g convs, embedded-
+    gaussian softmax attention, out = Sequential(conv bias-free, BN)."""
+
+    def __init__(self, c, sub_sample=True):
+        super().__init__()
+        inter = c // 2
+        self.theta = tnn.Conv3d(c, inter, 1)
+        self.phi = tnn.Conv3d(c, inter, 1)
+        self.g = tnn.Conv3d(c, inter, 1)
+        self.max_pool = tnn.MaxPool3d((1, 2, 2)) if sub_sample else None
+        self.W = tnn.Sequential(tnn.Conv3d(inter, c, 1, bias=False),
+                                tnn.BatchNorm3d(c))
+
+    def forward(self, x):
+        b, _, t, h, w = x.shape
+        theta, phi, g = self.theta(x), self.phi(x), self.g(x)
+        if self.max_pool is not None:
+            phi, g = self.max_pool(phi), self.max_pool(g)
+        theta = theta.flatten(2)  # (b, c', n) in T,H,W order
+        phi, g = phi.flatten(2), g.flatten(2)
+        attn = torch.softmax(theta.transpose(1, 2) @ phi, dim=-1)
+        y = (attn @ g.transpose(1, 2)).transpose(1, 2).reshape(b, -1, t, h, w)
+        return x + self.W(y)
+
+
+class TorchNLBottleneck3D(TorchBottleneck3D):
+    """Bottleneck with a trailing `nonlocal_block` attribute, as in the
+    mmaction/gluoncv block layout the converter's name map expects."""
+
+    def __init__(self, *a, sub_sample=True, **kw):
+        super().__init__(*a, **kw)
+        self.nonlocal_block = TorchNonLocal(self.conv3.out_channels, sub_sample)
+
+    def forward(self, x):
+        return self.nonlocal_block(super().forward(x))
+
+
+@pytest.mark.parametrize("sub_sample", [True, False])
+def test_gluoncv_i3d_nonlocal_converter_parity(sub_sample):
+    """NL-block parity (i3d_nl5 family): attention math, φ/g sub-sampling,
+    W-conv BN folding, and the W.{0,1} naming candidates of convert_i3d."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_gluoncv",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "convert_gluoncv.py"))
+    cg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cg)
+
+    tm = TorchMiniI3D().eval()
+    # graft an NL block onto stage-2 block 0 (i3d_tiny's nonlocal_pos)
+    old = tm.res_layers[1][0]
+    nlb = TorchNLBottleneck3D(old.conv1.in_channels,
+                              old.conv1.out_channels,
+                              spatial_stride=2, inflate=True,
+                              downsample=True, sub_sample=sub_sample)
+    nlb.load_state_dict(old.state_dict(), strict=False)
+    tm.res_layers[1][0] = nlb
+    tm.eval()  # the graft arrives in training mode (BNs would use batch stats)
+    _randomize_bn(tm, seed=3)
+    x01 = np.random.RandomState(4).rand(1, 3, 8, 32, 32).astype(np.float32)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
+    with torch.no_grad():
+        want = tm((torch.from_numpy(x01) - mean) / std).numpy()
+
+    params = cg.convert_i3d(tm.state_dict(), stage_sizes=(1, 1, 1, 1))
+    module = I3DResNet(stage_sizes=(1, 1, 1, 1),
+                       inflate_freq=((1,), (1,), (1,), (0,)),
+                       nonlocal_pos=((), (0,), (), ()),
+                       nl_sub_sample=sub_sample,
+                       width=8, num_classes=10)
+    got, _ = module.apply({"params": params}, jnp.asarray(x01))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
 class TorchSFBottleneck(tnn.Module):
     def __init__(self, cin, feats, out_feats, spatial_stride=1, tk=1,
                  downsample=False):

@@ -63,16 +63,28 @@ def convert_i3d(sd, stage_sizes):
                 dsbn = _maybe(sd, f"{base}.downsample.bn", f"{base}.downsample.1")
                 entry["downsample"] = _conv3d(sd, ds, dsbn)
             p[f"layer{stage + 1}_{block}"] = entry
-            # non-local blocks, when present
-            nl = _maybe(sd, f"{base}.nonlocal_block.theta", f"{base}.non_local.theta")
+            # non-local blocks, when present (mmaction-lineage namings:
+            # theta/phi/g 1x1x1 convs; out = conv_out.{conv,bn} | W.{0,1})
+            nl = _maybe(sd, f"{base}.nonlocal_block.theta",
+                        f"{base}.non_local.theta",
+                        f"{base}.nonlocal_block.theta.conv")
             if nl:
-                root = nl.rsplit(".", 1)[0]
+                root = nl.rsplit(".theta", 1)[0]
+
+                def _nl_conv(leaf):
+                    return _conv3d(sd, _maybe(sd, f"{root}.{leaf}",
+                                              f"{root}.{leaf}.conv"))
+
                 p[f"layer{stage + 1}_{block}_nl"] = {
-                    "theta": _conv3d(sd, f"{root}.theta"),
-                    "phi": _conv3d(sd, f"{root}.phi"),
-                    "g": _conv3d(sd, f"{root}.g"),
-                    "out": _conv3d(sd, f"{root}.conv_out.conv",
-                                   _maybe(sd, f"{root}.conv_out.bn")),
+                    "theta": _nl_conv("theta"),
+                    "phi": _nl_conv("phi"),
+                    "g": _nl_conv("g"),
+                    "out": _conv3d(
+                        sd,
+                        _maybe(sd, f"{root}.conv_out.conv", f"{root}.W.0",
+                               f"{root}.conv_out"),
+                        _maybe(sd, f"{root}.conv_out.bn", f"{root}.W.1",
+                               f"{root}.bn")),
                 }
     p["fc"] = cv._dense_entry(sd, _maybe(sd, "fc", "head.fc", "cls_head.fc_cls"))
     return p
