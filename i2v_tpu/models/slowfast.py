@@ -1,15 +1,21 @@
 """SlowFast networks (gluoncv `slowfast_8x8_resnet{50,101}_kinetics400`).
 
-Two pathways over one 32-frame clip (SlowFast paper, gluoncv torch naming —
-the reference taps `slow_res2/fast_res2/...`, base_attacks.py:741,
+Two pathways over one clip (SlowFast paper, gluoncv torch naming — the
+reference taps `slow_res2/fast_res2/...`, base_attacks.py:741,
 image_attacks.py:517):
-  - fast: all 32 frames, width β·64 = 8, temporal (3,1,1) convs in every
-    stage, stem Conv3d (5,7,7)
-  - slow: every α-th frame (α=4 → 8 frames), width 64, temporal convs only
-    in stages 3-4 (non-degenerate late), stem Conv3d (1,7,7)
+  - the model subsamples its own input the way the gluoncv 8x8 forward
+    does — fast = x[:, :, ::2], slow = x[:, :, ::8] — so a 32-frame clip
+    becomes 16 fast / 4 slow frames (``fast_stride``/``slow_stride`` knobs;
+    frames skipped by both pathways get ZERO attack gradient, exactly as
+    through the reference's model)
+  - fast: width β·64 = 8, temporal (3,1,1) convs in every stage, stem
+    Conv3d (5,7,7)
+  - slow: width 64, temporal convs only in stages 3-4 (non-degenerate
+    late), stem Conv3d (1,7,7)
   - lateral fast→slow fusion after pool1/res2/res3/res4: time-strided
-    Conv3d (5,1,1) stride (α,1,1) to 2βC channels, concatenated onto slow
-  - head: global-avg-pool both pathways, concat, fc(400)
+    Conv3d (5,1,1) stride (slow_stride/fast_stride,1,1) to 2βC channels,
+    concatenated onto slow
+  - head: global-avg-pool both pathways, concat [slow, fast], fc(400)
 
 Taps: ``slow_res{2..5}``, ``fast_res{2..5}`` (gluoncv stage names).
 """
@@ -52,7 +58,8 @@ class SFBottleneck(nn.Module, ReluMixin):
 
 class SlowFast(nn.Module, ReluMixin):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
-    alpha: int = 4            # slow-path temporal subsampling of the 32 frames
+    fast_stride: int = 2      # gluoncv 8x8 forward: fast = x[:, :, ::2]
+    slow_stride: int = 8      #                      slow = x[:, :, ::8]
     beta_inv: int = 8         # fast width = width // beta_inv
     width: int = 64
     num_classes: int = 400
@@ -85,10 +92,12 @@ class SlowFast(nn.Module, ReluMixin):
         return x
 
     def _lateral(self, fast, stage_name: str, channels: int):
-        """Time-strided fast→slow connection: Conv3d (5,1,1)/(α,1,1). ReLU
-        unscaled: gluoncv lateral activations aren't named '*relu*', so the
-        reference's SGM hooks never touch them."""
-        return nn.relu(conv3d(channels, (5, 1, 1), (self.alpha, 1, 1),
+        """Time-strided fast→slow connection: Conv3d (5,1,1)/(α,1,1) where
+        α = slow_stride/fast_stride. ReLU unscaled: gluoncv lateral
+        activations aren't named '*relu*', so the reference's SGM hooks
+        never touch them."""
+        alpha = self.slow_stride // self.fast_stride
+        return nn.relu(conv3d(channels, (5, 1, 1), (alpha, 1, 1),
                               dtype=self.dtype,
                               name=f"lateral_{stage_name}")(fast))
 
@@ -100,10 +109,10 @@ class SlowFast(nn.Module, ReluMixin):
 
         # stem ReLUs unscaled (see _stage note on the reference's hook filter)
         fast = nn.relu(conv3d(fast_w, (5, 7, 7), (1, 2, 2), dtype=self.dtype,
-                              name="fast_conv1")(x))
+                              name="fast_conv1")(x[:, ::self.fast_stride]))
         fast = max_pool3d(fast, (1, 3, 3), (1, 2, 2), (0, 1, 1))
 
-        slow = x[:, ::self.alpha]
+        slow = x[:, ::self.slow_stride]
         slow = nn.relu(conv3d(self.width, (1, 7, 7), (1, 2, 2), dtype=self.dtype,
                               name="slow_conv1")(slow))
         slow = max_pool3d(slow, (1, 3, 3), (1, 2, 2), (0, 1, 1))
@@ -138,6 +147,7 @@ def slowfast_resnet101(**kw) -> SlowFast:
 
 
 def slowfast_tiny(**kw) -> SlowFast:
-    # stage 2 has two blocks: SGM scaling skips block 0 (see _stage)
+    # stage 2 has two blocks: SGM scaling skips block 0 (see _stage).
+    # fast keeps every frame so short test clips stay non-degenerate.
     return SlowFast(stage_sizes=(1, 2, 1, 1), width=8, beta_inv=4,
-                    num_classes=10, **kw)
+                    fast_stride=1, slow_stride=4, num_classes=10, **kw)

@@ -230,3 +230,91 @@ class TestVGGParity:
         params = cv.convert_vgg16(sd)
         got, _ = _flax_apply(VGG16(), params, x01)
         np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
+class TorchTimmAttention(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.qkv = tnn.Linear(dim, dim * 3)
+        self.proj = tnn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        qkv = (self.qkv(x).reshape(B, N, 3, self.heads, C // self.heads)
+               .permute(2, 0, 3, 1, 4))
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = ((q @ k.transpose(-2, -1)) * (C // self.heads) ** -0.5).softmax(-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(x)
+
+
+class TorchTimmBlock(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+        self.attn = TorchTimmAttention(dim, heads)
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+        self.mlp = tnn.Sequential()
+        self.mlp.fc1 = tnn.Linear(dim, dim * 4)
+        self.mlp.act = tnn.GELU()
+        self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        y = self.mlp.fc2(self.mlp.act(self.mlp.fc1(self.norm2(x))))
+        return x + y
+
+
+class TorchMiniViT(tnn.Module):
+    """timm `vit_base_patch16_224` naming at toy size: patch_embed.proj,
+    cls_token/pos_embed, blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2}, norm, head."""
+
+    def __init__(self, patch=8, dim=32, depth=2, heads=4, num_classes=10,
+                 img=16):
+        super().__init__()
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, dim, patch, patch)
+        n = (img // patch) ** 2
+        self.cls_token = tnn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = tnn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+        self.blocks = tnn.ModuleList(
+            [TorchTimmBlock(dim, heads) for _ in range(depth)])
+        self.norm = tnn.LayerNorm(dim, eps=1e-6)
+        self.head = tnn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.head(self.norm(x)[:, 0])
+
+
+class TestViTParity:
+    def test_vit_converter_parity(self):
+        """convert_vit_b16 vs a torch oracle with timm naming/semantics
+        (q·k scaling, qkv row layout, eps=1e-6 LayerNorms, exact-erf GELU).
+        The reference's get_vits (TPAMI_attack.py:88-98) loads this zoo
+        entry; normalize=False isolates conversion from the mean/std choice
+        (timm ViTs use 0.5/0.5 stats, not ImageNet's)."""
+        from i2v_tpu.models.vit import ViT
+
+        torch.manual_seed(0)
+        tm = TorchMiniViT().eval()
+        with torch.no_grad():
+            tm.cls_token.add_(torch.randn_like(tm.cls_token) * 0.1)
+        x = np.random.RandomState(0).rand(2, 3, 16, 16).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+
+        params = cv.convert_vit_b16(tm.state_dict())
+        module = ViT(patch=8, dim=32, depth=2, heads=4, num_classes=10,
+                     normalize=False)
+        got, taps = module.apply({"params": params},
+                                 jnp.asarray(x.transpose(0, 2, 3, 1)))
+        assert len(taps) == 2  # per-block taps, ENS-ready
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)

@@ -225,9 +225,11 @@ class TorchMiniSlowFast(tnn.Module):
     """Gluoncv-style naming: slow_conv1/slow_bn1/slow_res{2..5},
     fast_*, lateral_p1/lateral_res{2..4}, fc."""
 
-    def __init__(self, width=8, beta_inv=4, alpha=4, num_classes=10):
+    def __init__(self, width=8, beta_inv=4, fast_stride=2, slow_stride=8,
+                 num_classes=10):
         super().__init__()
-        self.alpha = alpha
+        self.fast_stride, self.slow_stride = fast_stride, slow_stride
+        alpha = slow_stride // fast_stride
         fw = width // beta_inv
         self.fast_conv1 = tnn.Conv3d(3, fw, (5, 7, 7), (1, 2, 2), (2, 3, 3))
         self.fast_bn1 = tnn.Identity()
@@ -262,8 +264,9 @@ class TorchMiniSlowFast(tnn.Module):
         self.fc = tnn.Linear(slow_in + fast_in, num_classes)
 
     def forward(self, x):
-        fast = self.pool(self.relu(self.fast_conv1(x)))
-        slow = self.pool(self.relu(self.slow_conv1(x[:, :, ::self.alpha])))
+        # gluoncv 8x8 forward subsamples its own input per pathway
+        fast = self.pool(self.relu(self.fast_conv1(x[:, :, ::self.fast_stride])))
+        slow = self.pool(self.relu(self.slow_conv1(x[:, :, ::self.slow_stride])))
         slow = torch.cat([slow, self.relu(self.lateral_p1(fast))], 1)
         for stage in range(4):
             fast = getattr(self, f"fast_res{stage+2}")(fast)
@@ -292,7 +295,7 @@ def test_gluoncv_slowfast_converter_parity():
     # (conv1s carry biases and Identity bn placeholders here — the
     # converter's _maybe() tolerates missing BN stats)
     sd = tm.state_dict()
-    x01 = np.random.RandomState(1).rand(1, 3, 8, 32, 32).astype(np.float32)
+    x01 = np.random.RandomState(1).rand(1, 3, 16, 32, 32).astype(np.float32)
     mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1, 1)
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1, 1)
     with torch.no_grad():

@@ -96,8 +96,9 @@ class TestFullSizeShapes:
         b = get_video_model("slowfast_resnet50", example_shape=(1, 3, 32, 64, 64))
         logits, taps = b.module.apply(b.params, jnp.zeros((1, 3, 32, 64, 64)))
         assert logits.shape == (1, 400)
-        assert taps["fast_res2"].shape == (1, 32, 16, 16, 32)
-        assert taps["slow_res2"].shape == (1, 8, 16, 16, 256)
+        # gluoncv 8x8 pathway subsampling: 32-frame clip → 16 fast / 4 slow
+        assert taps["fast_res2"].shape == (1, 16, 16, 16, 32)
+        assert taps["slow_res2"].shape == (1, 4, 16, 16, 256)
 
     def test_tpn_shapes(self):
         b = get_video_model("tpn_resnet50", example_shape=(1, 3, 8, 64, 64))

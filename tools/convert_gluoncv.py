@@ -108,8 +108,10 @@ def convert_slowfast(sd, stage_sizes):
                     entry["downsample"] = _conv3d(sd, ds, dsbn)
                 p[f"{pw}_res{stage + 2}_{block}"] = entry
     for lat in ("p1", "res2", "res3", "res4"):
-        src = _maybe(sd, f"lateral_{lat}.conv", f"lateral_{lat}")
-        p[f"lateral_{lat}"] = _conv3d(sd, src, _maybe(sd, f"lateral_{lat}.bn"))
+        src = _maybe(sd, f"lateral_{lat}.conv", f"lateral_{lat}.0",
+                     f"lateral_{lat}")
+        p[f"lateral_{lat}"] = _conv3d(
+            sd, src, _maybe(sd, f"lateral_{lat}.bn", f"lateral_{lat}.1"))
     p["fc"] = cv._dense_entry(sd, _maybe(sd, "fc", "head.fc", "dp.fc"))
     return p
 
