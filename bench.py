@@ -93,8 +93,17 @@ def main():
                 t0 = time.time()
                 for _ in range(reps):
                     adv, costs = runner(clean01)
-                jax.block_until_ready(adv)
+                    # sync on the tiny per-step cost vector, NOT the 308MB adv
+                    # clip batch: through the axon relay block_until_ready can
+                    # ack before execution finishes (observed: a 60-step run
+                    # "completing" in microseconds), while device->host
+                    # transfers crawl at ~10MB/s — costs materialize only when
+                    # the scan has actually run and cost 240 bytes to fetch
+                    import numpy as _np
+
+                    final_cost = float(_np.asarray(costs)[-1])
                 dt = time.time() - t0
+                log(f"final cost {final_cost:.2f}")
                 # normalize to the canonical 512-frame step
                 frames_per_step = batch * 32
                 steps_per_sec = STEPS * reps / dt * (frames_per_step / 512)

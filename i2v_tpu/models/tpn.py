@@ -66,13 +66,17 @@ class TPNBottleneck(nn.Module, ReluMixin):
 def _pool_t_ceil(x, scale: int):
     """Torch MaxPool3d((s,1,1),(s,1,1),ceil_mode=True) over the T axis.
 
-    nn.max_pool pads with -inf, so end-padding reproduces ceil_mode's
-    clipped final window exactly."""
+    -inf end-padding reproduces ceil_mode's clipped final window exactly;
+    the reshape+max form keeps the gradient an elementwise eq-mask instead
+    of nn.max_pool's TPU-slow select-and-scatter (see max_pool_hw2)."""
     if scale <= 1:
         return x
-    pad = (-x.shape[1]) % scale
-    return nn.max_pool(x, (scale, 1, 1), strides=(scale, 1, 1),
-                       padding=((0, pad), (0, 0), (0, 0)))
+    b, t, h, w, c = x.shape
+    pad = (-t) % scale
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((b, pad, h, w, c), -jnp.inf, x.dtype)], axis=1)
+    return x.reshape(b, (t + pad) // scale, scale, h, w, c).max(axis=2)
 
 
 class TPN(nn.Module, ReluMixin):

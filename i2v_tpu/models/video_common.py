@@ -42,6 +42,18 @@ def max_pool3d(x, kernel: Sequence[int], stride: Sequence[int],
     )
 
 
+def max_pool_hw2(x):
+    """Non-overlapping (1,2,2) max-pool via reshape+max.
+
+    Equivalent to torch MaxPool3d((1,2,2),(1,2,2)) (floor mode: trailing odd
+    row/col dropped), but its gradient is an elementwise eq-mask instead of
+    the select-and-scatter nn.max_pool lowers to — which is what makes
+    backward passes through pooled branches fast on TPU."""
+    b, t, h, w, c = x.shape
+    x = x[:, :, : h // 2 * 2, : w // 2 * 2]
+    return x.reshape(b, t, h // 2, 2, w // 2, 2, c).max(axis=(3, 5))
+
+
 class ReluMixin:
     """Mixin providing the (optionally grad-scaled) ReLU."""
 
@@ -110,8 +122,8 @@ class NonLocal3D(nn.Module, ReluMixin):
         phi = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="phi")(x)
         g = conv3d(inter, (1, 1, 1), dtype=self.dtype, name="g")(x)
         if self.sub_sample:
-            phi = max_pool3d(phi, (1, 2, 2), (1, 2, 2))
-            g = max_pool3d(g, (1, 2, 2), (1, 2, 2))
+            phi = max_pool_hw2(phi)
+            g = max_pool_hw2(g)
         n = t * h * w
         m = phi.shape[1] * phi.shape[2] * phi.shape[3]
         theta = theta.reshape(b, n, inter)

@@ -133,4 +133,9 @@ def make_sharded_i2v_runner(
             coeffs_box[0] = final_state[0]
         return adv, costs
 
+    # exposed for AOT lowering / cost analysis (tools/perf_probe.py cost)
+    runner.jitted = jitted
+    runner.example_args = lambda clean01: (
+        params_list, clean01,
+        (coeffs_box[0], jnp.ones((n_taps,), jnp.float32)) if adaptive else None)
     return runner

@@ -178,3 +178,18 @@ def test_exchange_frames():
     np.testing.assert_array_equal(np.asarray(y[:, :, 5]), np.asarray(x[:, :, 0]))
     np.testing.assert_array_equal(np.asarray(y[:, :, 1]), np.asarray(x[:, :, 3]))
     np.testing.assert_array_equal(np.asarray(y[:, :, 2]), np.asarray(x[:, :, 2]))
+
+
+def test_runner_aot_cost_analysis_hook():
+    """make_sharded_i2v_runner exposes its jitted inner + example args for
+    AOT lowering (tools/perf_probe.py 'cost' roofline audit)."""
+    mesh = attack_mesh(jax.devices()[:2])
+    models = get_image_models(["resnet"], {"resnet": 1}, tiny=True, input_hw=16)
+    runner = make_sharded_i2v_runner(models, mesh, steps=2)
+    clean01 = shard_clips(jnp.full((2, 3, 2, 16, 16), 0.5, jnp.float32), mesh)
+    compiled = runner.jitted.lower(*runner.example_args(clean01)).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    assert float(ca.get("flops", 0)) > 0
+    adv, costs = runner(clean01)  # the public callable still runs
+    assert np.isfinite(np.asarray(costs)).all()

@@ -39,6 +39,19 @@ def main():
         unroll=2 if variant == "unroll2" else 1,
         mu_dtype=jnp.bfloat16 if variant == "mu_bf16" else None)
     clean01 = shard_clips(jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+    if variant == "cost":
+        # roofline audit: XLA's own cost model for the compiled 60-step
+        # program vs v5e peaks (819 GB/s HBM, ~197 bf16 TFLOP/s)
+        compiled = runner.jitted.lower(*runner.example_args(clean01)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan")))
+        bytes_ = float(ca.get("bytes accessed", float("nan")))
+        print(f"[cost] total flops={flops:.3e} bytes={bytes_:.3e} "
+              f"per-step: {flops/STEPS:.3e} flops, {bytes_/STEPS:.3e} B")
+        print(f"[cost] roofline/step: HBM {bytes_/STEPS/819e9*1e3:.1f} ms, "
+              f"MXU {flops/STEPS/197e12*1e3:.1f} ms")
+        return
     t0 = time.time()
     adv, costs = runner(clean01)
     jax.block_until_ready(adv)
