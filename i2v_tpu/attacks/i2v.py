@@ -251,10 +251,13 @@ class AENS_I2V_MF(_FrameAttack):
         adv01, (costs, coeffs), final_state = self._jit_cache[key](
             self._params_list(), clean01, state0
         )
-        adv01.block_until_ready()
+        # sync on the small per-step cost vector: it only materializes once
+        # the scan has executed, and fetching it is ~bytes — on relay-backed
+        # TPUs block_until_ready can ack before execution finishes while
+        # fetching the full adv batch would time the tunnel, not the attack
+        cost_saved = np.asarray(costs)
         used_time = time.time() - begin
         self.coeffs = final_state[0]  # persists into the next call's step 1
-        cost_saved = np.asarray(costs)
         self.weights = list(np.asarray(coeffs))
         self._record_costs(cost_saved, video_names)
         return pixel.normalize(adv01, channel_axis=1), used_time, cost_saved

@@ -52,6 +52,8 @@ def main():
         print(f"[cost] roofline/step: HBM {bytes_/STEPS/819e9*1e3:.1f} ms, "
               f"MXU {flops/STEPS/197e12*1e3:.1f} ms")
         return
+    import numpy as np
+
     t0 = time.time()
     adv, costs = runner(clean01)
     jax.block_until_ready(adv)
@@ -61,7 +63,7 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         adv, costs = runner(clean01)
-    jax.block_until_ready(adv)
+        np.asarray(costs)  # true sync (see bench.py: relay block is unreliable)
     dt = time.time() - t0
     norm = batch * 32 / 512  # normalize to the canonical 512-frame step
     print(f"[{variant}] {STEPS*reps/dt*norm:.3f} steps/s (512-frame-normalized)"
