@@ -14,9 +14,12 @@ dominant surrogate) + two light models ≈ 4× → ≈0.053 steps/s. The referen
 repo records no absolute numbers (BASELINE.md), so the anchor is an estimate,
 stated here explicitly.
 
-Roofline: XLA cost analysis puts the single-surrogate I2V step at the HBM
-bandwidth bound (~78 GB/step ÷ 819 GB/s ≈ measured 85 ms); the ENS step is
-likewise bandwidth-dominated. Verified non-wins (tools/perf_probe.py): bf16
+Roofline (tools/perf_probe.py cost — XLA cost analysis of a steps=1
+program, since scan bodies are counted once regardless of trip count): one
+B=16 ENS step ≈ 43 TFLOP / ~211 GB accessed → HBM bound 257 ms, MXU bound
+220 ms vs ~347 ms measured ⇒ ~74% of the HBM roofline / ~63% MXU
+utilization, on a VGG-heavy step whose early layers are intrinsically
+bandwidth-colored. Verified non-wins (tools/perf_probe.py): bf16
 param pre-cast (XLA hoists it), batch 32 (memory pressure), frame-chunked
 grad accumulation, remat'd tap collection (2.09 vs 2.90 steps/s — recompute
 costs more than the saved activation traffic), scan unroll=2 (2.88, parity),
