@@ -33,6 +33,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -102,9 +104,7 @@ def main():
                     # "completing" in microseconds), while device->host
                     # transfers crawl at ~10MB/s — costs materialize only when
                     # the scan has actually run and cost 240 bytes to fetch
-                    import numpy as _np
-
-                    final_cost = float(_np.asarray(costs)[-1])
+                    final_cost = float(np.asarray(costs)[-1])
                 dt = time.time() - t0
                 log(f"final cost {final_cost:.2f}")
                 # normalize to the canonical 512-frame step

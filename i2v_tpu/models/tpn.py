@@ -36,7 +36,6 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.activations import grad_scaled_relu
 from .video_common import ReluMixin, conv3d, max_pool3d, to_channel_last
 
 

@@ -125,17 +125,17 @@ def make_sharded_i2v_runner(
     # like attacks/i2v.AENS_I2V_MF
     coeffs_box = [jnp.ones((n_taps,), jnp.float32)]
 
+    def state0():
+        return ((coeffs_box[0], jnp.ones((n_taps,), jnp.float32))
+                if adaptive else None)
+
     def runner(clean01):
-        state0 = ((coeffs_box[0], jnp.ones((n_taps,), jnp.float32))
-                  if adaptive else None)
-        adv, costs, final_state = jitted(params_list, clean01, state0)
+        adv, costs, final_state = jitted(params_list, clean01, state0())
         if adaptive:
             coeffs_box[0] = final_state[0]
         return adv, costs
 
     # exposed for AOT lowering / cost analysis (tools/perf_probe.py cost)
     runner.jitted = jitted
-    runner.example_args = lambda clean01: (
-        params_list, clean01,
-        (coeffs_box[0], jnp.ones((n_taps,), jnp.float32)) if adaptive else None)
+    runner.example_args = lambda clean01: (params_list, clean01, state0())
     return runner

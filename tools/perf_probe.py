@@ -32,13 +32,6 @@ def main():
         ["resnet", "vgg", "squeezenet", "alexnet"],
         {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3},
         input_hw=224, dtype=jnp.bfloat16)
-    batch = 32 if variant == "remat_b32" else 16
-    runner = make_sharded_i2v_runner(
-        models, mesh, steps=STEPS, step_size=0.005,
-        remat=variant in ("remat", "remat_b32"),
-        unroll=2 if variant == "unroll2" else 1,
-        mu_dtype=jnp.bfloat16 if variant == "mu_bf16" else None)
-    clean01 = shard_clips(jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
     if variant == "cost":
         # roofline audit vs v5e peaks (819 GB/s HBM, ~197 bf16 TFLOP/s).
         # NOTE: XLA cost analysis counts a while/scan BODY ONCE regardless of
@@ -58,8 +51,16 @@ def main():
               f"MXU {2*flops/197e12*1e3:.1f} ms "
               f"(measured ENS step: ~347 ms at 2.9 steps/s)")
         return
+
     import numpy as np
 
+    batch = 32 if variant == "remat_b32" else 16
+    runner = make_sharded_i2v_runner(
+        models, mesh, steps=STEPS, step_size=0.005,
+        remat=variant in ("remat", "remat_b32"),
+        unroll=2 if variant == "unroll2" else 1,
+        mu_dtype=jnp.bfloat16 if variant == "mu_bf16" else None)
+    clean01 = shard_clips(jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
     t0 = time.time()
     adv, costs = runner(clean01)
     jax.block_until_ready(adv)
