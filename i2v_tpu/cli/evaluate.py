@@ -27,6 +27,9 @@ def arg_parse(argv=None, n_classes: int = 400):
                    help="bfloat16 model compute (halves eval HBM traffic; "
                         "top-1 can differ on borderline clips — default "
                         "stays f32 for report parity)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard eval batches over all local devices (dp eval; "
+                        "partial batches fall back to replicated)")
     p.add_argument("--n_classes", type=int, default=n_classes)
     args = p.parse_args(argv)
     if not os.path.isdir(args.adv_path):
@@ -38,10 +41,15 @@ def main(argv=None) -> dict:
     args = arg_parse(argv)
     import jax.numpy as jnp
 
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import attack_mesh
+
+        mesh = attack_mesh()
     acc = evaluate_run(
         args.adv_path, model_names=args.models, batch_size=args.batch_size,
         n_classes=args.n_classes, ucf101=args.ucf101, tiny=args.tiny,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32, mesh=mesh)
     print(acc)
     return acc
 

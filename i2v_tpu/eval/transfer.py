@@ -38,11 +38,15 @@ def accuracy_and_preds(logits, labels):
 
 
 def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
-                   *, log=print):
+                   *, mesh=None, log=print):
     """Evaluate one model over artifact batches → (preds, labels, top1_avg).
 
     Artifacts are normalized-domain clips (the protocol); the bundle's
-    apply_norm consumes them directly.
+    apply_norm consumes them directly. With ``mesh``, batches are sharded
+    over the mesh's devices on the clip axis (dp eval): XLA propagates the
+    sharding through the forward and inserts the accuracy psum; a trailing
+    partial batch that doesn't divide the device count falls back to
+    replicated execution.
     """
     data_time, batch_time, top1 = AverageMeter(), AverageMeter(), AverageMeter()
     predictions: list[int] = []
@@ -55,9 +59,18 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
                                   labels)
 
     fwd_jit = jax.jit(_fwd)
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh is not None else 1
 
     def fwd(clips, labels):
-        return fwd_jit(bundle.params, clips, labels)
+        clips = np.asarray(clips)
+        labels_a = np.asarray(labels)
+        if mesh is not None and clips.shape[0] % n_shards == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(tuple(mesh.axis_names))  # batch over every mesh axis
+            clips = jax.device_put(clips, NamedSharding(mesh, spec))
+            labels_a = jax.device_put(labels_a, NamedSharding(mesh, spec))
+        return fwd_jit(bundle.params, jnp.asarray(clips), jnp.asarray(labels_a))
 
     # disk IO overlaps device compute (the reference's DataLoader-worker
     # role, datasets.py:272-274)
@@ -94,6 +107,7 @@ def evaluate_run(
     tiny: bool = False,
     dtype=jnp.float32,
     get_bundle: Optional[Callable] = None,
+    mesh=None,
     log=print,
 ) -> dict:
     """Evaluate a run directory against the six video models and write the
@@ -117,7 +131,8 @@ def evaluate_run(
         else:
             bundle = get_video_model(name, ucf101=ucf101, tiny=tiny,
                                      dtype=dtype)
-        preds, labels, top1 = reference_eval(bundle, batches, run_dir, log=log)
+        preds, labels, top1 = reference_eval(bundle, batches, run_dir,
+                                             mesh=mesh, log=log)
         # reorder predictions into label order (reference: reference.py:116-119)
         ordered = np.zeros(n_classes, dtype=np.int64) - 1
         for lab, pred in zip(labels, preds):

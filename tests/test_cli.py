@@ -57,6 +57,33 @@ class TestImageGuidedCLI:
         ])
         assert set(acc_bf16) == {"i3d_resnet50"}
 
+    def test_data_parallel_eval_matches_single_device(self, opt_path):
+        """--data_parallel shards eval batches over the 8-device CPU mesh;
+        predictions and top-1 must match the unsharded run (the accuracy
+        mean's psum and the sharded argmax are inserted by XLA from the
+        input shardings alone)."""
+        import pandas as pd
+
+        from i2v_tpu.cli import evaluate, image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "1", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "8", "--batch_size", "8",
+            "--file_prefix", "dpeval",
+        ])
+        common = ["--adv_path", run_dir, "--tiny", "--n_classes", "8",
+                  "--batch_size", "8", "--models", "i3d_resnet50"]
+        acc_single = evaluate.main(common)
+        df_single = pd.read_csv(os.path.join(
+            run_dir, "results_all_models_prediction.csv"))
+        acc_dp = evaluate.main(common + ["--data_parallel"])
+        df_dp = pd.read_csv(os.path.join(
+            run_dir, "results_all_models_prediction.csv"))
+        assert acc_dp == acc_single
+        assert df_dp.equals(df_single)
+
     def test_shard_contract(self, opt_path):
         from i2v_tpu.cli import image_main
 
