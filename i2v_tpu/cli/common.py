@@ -99,24 +99,46 @@ def build_whitebox_attack(args, bundle):
 
 def build_image_guided_attack(args):
     """Dispatch an image-guided method (reference: image_main.py:66-80),
-    incl. the AENS CLI the reference only defines but never wires."""
+    incl. the AENS CLI the reference only defines but never wires.
+    ``--sharded`` routes the cosine-objective methods through the
+    pjit-sharded production runner instead of the attack class."""
     method = args.attack_method
     tiny = args.tiny
     hw = 32 if tiny else args.crop_size
+    sharded = getattr(args, "sharded", False)
+
+    def _sharded(models, *, step_size, adaptive=False, momentum=0.0):
+        from ..parallel import attack_mesh
+        from ..parallel.sharded import ShardedImageGuidedAttack
+
+        return ShardedImageGuidedAttack(
+            models, attack_mesh(), steps=args.step, step_size=step_size,
+            adaptive=adaptive, aens_momentum=momentum, name=method)
+
     if method in ("ImageGuidedStd_Adam", "ImageGuidedFMDirection_Adam"):
         models = get_image_models([args.direction_image_model],
                                   args.depth, tiny=tiny, input_hw=hw)
+        if sharded and method == "ImageGuidedFMDirection_Adam":
+            return _sharded(models, step_size=args.step_size)
+        if sharded:
+            raise SystemExit("--sharded supports the cosine-objective "
+                             "methods (I2V/ENS/AENS), not DR")
         cls = getattr(attacks, method)
         return cls(models, step_size=args.step_size, steps=args.step)
     if method == "ImageGuidedFML2_Adam_MultiModels":
         names = ["resnet", "vgg", "squeezenet", "alexnet"]
         depths = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
         models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
+        if sharded:
+            return _sharded(models, step_size=0.005)
         return attacks.ImageGuidedFML2_Adam_MultiModels(models, steps=args.step)
     if method == "AENS_I2V_MF":
         names = ["resnet", "vgg", "squeezenet", "alexnet"]
         depths = {n: [2, 3] for n in names}
         models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
+        if sharded:
+            return _sharded(models, step_size=args.step_size, adaptive=True,
+                            momentum=args.aens_momentum)
         return attacks.AENS_I2V_MF(models, step_size=args.step_size,
                                    momentum=args.aens_momentum,
                                    coef_CE=args.coef_CE, steps=args.step)

@@ -39,6 +39,10 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
     p.add_argument("--coef_CE", action="store_true")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--sharded", action="store_true",
+                   help="run I2V/ENS/AENS through the pjit-sharded "
+                        "multi-chip runner (parallel/sharded.py) instead of "
+                        "the single-device attack class")
     common.add_data_args(p)
     args = p.parse_args(argv)
     args.adv_path = os.path.join(

@@ -139,3 +139,39 @@ def make_sharded_i2v_runner(
     runner.jitted = jitted
     runner.example_args = lambda clean01: (params_list, clean01, state0())
     return runner
+
+
+class ShardedImageGuidedAttack:
+    """Reference-calling-convention adapter over the pjit-sharded runner.
+
+    Lets the CLI mains run I2V / ENS-I2V / AENS through the production
+    multi-chip path (``--sharded``): same ``attack(videos, labels, names)``
+    contract as the attack classes, clips device_put with the mesh's clip
+    sharding, per-step costs recorded into ``loss_info``.
+    """
+
+    def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *, steps: int,
+                 step_size: float, adaptive: bool = False,
+                 aens_momentum: float = 0.0, name: str = "ShardedI2V"):
+        self.attack = name
+        self.steps = steps
+        self.mesh = mesh
+        self.loss_info: dict = {}
+        self._runner = make_sharded_i2v_runner(
+            models, mesh, steps=steps, step_size=step_size,
+            adaptive=adaptive, aens_momentum=aens_momentum)
+
+    def __call__(self, videos, labels=None, video_names=None):
+        import numpy as np
+
+        from .mesh import shard_clips
+
+        videos = jnp.asarray(videos)
+        clean01 = pixel.unnormalize(videos, channel_axis=1)
+        adv01, costs = self._runner(shard_clips(np.asarray(clean01), self.mesh))
+        costs = np.asarray(costs)
+        if video_names is not None:
+            for n in video_names:
+                self.loss_info.setdefault(str(n), {}).update(
+                    {i: {"cost": str(np.float32(c))} for i, c in enumerate(costs)})
+        return pixel.normalize(jnp.asarray(adv01), channel_axis=1)

@@ -57,6 +57,26 @@ class TestImageGuidedCLI:
         ])
         assert set(acc_bf16) == {"i3d_resnet50"}
 
+    def test_sharded_cli_attack(self, opt_path):
+        """--sharded routes generation through the pjit runner on the CPU
+        mesh; artifacts must match the class-path run numerically (same
+        math, sharded execution)."""
+        from i2v_tpu.cli import image_main
+
+        common_args = [
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "2", "--batch_size", "2",
+        ]
+        run_a = image_main.main(common_args + ["--file_prefix", "cls"])
+        run_b = image_main.main(common_args + ["--file_prefix", "shard",
+                                               "--sharded"])
+        for f in ("0-adv.npy", "1-adv.npy"):
+            a = np.load(os.path.join(run_a, f))
+            b = np.load(os.path.join(run_b, f))
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f)
+
     def test_data_parallel_eval_matches_single_device(self, opt_path):
         """--data_parallel shards eval batches over the 8-device CPU mesh;
         predictions and top-1 must match the unsharded run (the accuracy

@@ -54,7 +54,7 @@ def main():
 
     import numpy as np
 
-    batch = 32 if variant == "remat_b32" else 16
+    batch = {"remat_b32": 32, "b24": 24}.get(variant, 16)
     runner = make_sharded_i2v_runner(
         models, mesh, steps=STEPS, step_size=0.005,
         remat=variant in ("remat", "remat_b32"),
