@@ -97,11 +97,13 @@ class TPN(nn.Module, ReluMixin):
     def __call__(self, clip01_bcthw):
         x = to_channel_last(clip01_bcthw, self.normalize, self.dtype)
         taps: dict = {}
-        # stem + block-0 ReLUs unscaled — mirrors the reference SGM's
-        # name-filtered hooks ('relu' in name and not '0.relu',
-        # base_attacks.py:509-511)
-        x = nn.relu(conv3d(self.width, (1, 7, 7), (1, 2, 2), dtype=self.dtype,
-                           name="conv1")(x))
+        # SGM name filter ('relu' in name and not '0.relu',
+        # base_attacks.py:509-511): the TPN-repo backbone names its stem
+        # activation `relu` (a module attribute, unlike I3D's anonymous
+        # Sequential slot), so the reference's hook DOES scale the stem
+        # here; block-0 ReLUs stay unscaled ('0.relu' exclusion).
+        x = self._relu(conv3d(self.width, (1, 7, 7), (1, 2, 2),
+                              dtype=self.dtype, name="conv1")(x))
         x = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         feats_out = []
         for stage in range(4):
