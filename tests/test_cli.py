@@ -104,6 +104,16 @@ class TestImageGuidedCLI:
         assert acc_dp == acc_single
         assert df_dp.equals(df_single)
 
+        # mixed batching: first batch of 6 is indivisible by the 8-device
+        # mesh → replicated fallback; trailing batch of 2 likewise. Results
+        # must still match the single-device run.
+        mixed = ["--adv_path", run_dir, "--tiny", "--n_classes", "8",
+                 "--batch_size", "6", "--models", "i3d_resnet50"]
+        acc_mixed = evaluate.main(mixed + ["--data_parallel"])
+        # batch-size 6 changes the AverageMeter accumulation order → tiny fp drift
+        assert acc_mixed["i3d_resnet50"] == pytest.approx(
+            acc_single["i3d_resnet50"], abs=1e-4)
+
     def test_shard_contract(self, opt_path):
         from i2v_tpu.cli import image_main
 
