@@ -34,6 +34,11 @@ def arg_parse(argv=None):
     p.add_argument("--move_type", default="adj", choices=["adj", "large", "random"])
     p.add_argument("--kernel_mode", default="gaussian",
                    choices=["gaussian", "linear", "uniform", "random"])
+    p.add_argument("--tt_chunk", type=int, default=5,
+                   help="TT shift-variants per gradient query (reference "
+                        "sub-batches by 5 for GPU memory, video_attacks.py:"
+                        "203-210; on one v5e chunk=15 fits I3D-R50 and is "
+                        "~1.7x faster)")
     common.add_data_args(p)
     args = p.parse_args(argv)
     args.adv_path = os.path.join(

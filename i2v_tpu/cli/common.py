@@ -88,6 +88,7 @@ def build_whitebox_attack(args, bundle):
             "weight": args.augmentation_weight,
             "move_type": args.move_type,
             "kernel_mode": args.kernel_mode,
+            "chunk": getattr(args, "tt_chunk", 5),
         }
         return attacks.TemporalTranslation(bundle, params, steps=args.step)
     if name == "TAP":
