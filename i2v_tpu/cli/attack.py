@@ -34,6 +34,9 @@ def arg_parse(argv=None):
     p.add_argument("--move_type", default="adj", choices=["adj", "large", "random"])
     p.add_argument("--kernel_mode", default="gaussian",
                    choices=["gaussian", "linear", "uniform", "random"])
+    p.add_argument("--sim_batch_scales", action="store_true",
+                   help="SIM: fold the 5 scale copies into one batched "
+                        "fwd+bwd (5x activation memory, one gradient query)")
     p.add_argument("--tt_chunk", type=int, default=5,
                    help="TT shift-variants per gradient query (reference "
                         "sub-batches by 5 for GPU memory, video_attacks.py:"

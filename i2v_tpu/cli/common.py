@@ -94,6 +94,8 @@ def build_whitebox_attack(args, bundle):
     if name == "TAP":
         params = {"kernlen": 3, "temporal_kernlen": 3, "eta": 1e3, "conv3d": True}
         return attacks.TAP(bundle, params, steps=args.step)
+    if name == "SIM" and getattr(args, "sim_batch_scales", False):
+        return attacks.SIM(bundle, steps=args.step, batch_scales=True)
     cls = getattr(attacks, name)
     return cls(bundle, steps=args.step)
 

@@ -101,6 +101,28 @@ class TestSignAttacks:
         adv = attacks.SIM(video_bundle, steps=2, scale_steps=3)(videos, labels)
         _check_invariants(adv, videos)
 
+    def test_sim_batch_scales_equivalent(self, video_bundle, clean_batch):
+        """batch_scales folds the scale copies into the batch axis; the
+        stacked mean-CE cost and gradient equal the scan path's exactly in
+        real arithmetic. Compare at the gradient level — the downstream
+        sign step amplifies fp reduction-order noise at zero crossings, so
+        comparing adv outputs would test float ordering, not math."""
+        videos, labels = clean_batch
+        from i2v_tpu.ops import pixel as px
+
+        clean01 = px.unnormalize(videos, channel_axis=1)
+        g = {}
+        for flag in (False, True):
+            atk = attacks.SIM(video_bundle, steps=1, scale_steps=3,
+                              batch_scales=flag)
+            cost, grad = atk._build_grad_fn(video_bundle)(
+                clean01, labels, jax.random.PRNGKey(0))
+            g[flag] = (float(cost), np.asarray(grad))
+        assert g[True][0] == pytest.approx(g[False][0], rel=1e-5)
+        scale = np.abs(g[False][1]).max()
+        np.testing.assert_allclose(g[True][1], g[False][1],
+                                   atol=1e-5 * scale)
+
     def test_targeted_mode_descends_target_loss(self, video_bundle, clean_batch):
         videos, labels = clean_batch
         atk = attacks.BIM(video_bundle, steps=5)
