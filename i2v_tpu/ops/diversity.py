@@ -59,6 +59,12 @@ def diversity_gather(x, rnd, pad_top, pad_left, low: int, high: int):
     src_r = jnp.clip((jnp.clip(in_resized_r, 0, None) * low) // rnd, 0, low - 1)
     src_c = jnp.clip((jnp.clip(in_resized_c, 0, None) * low) // rnd, 0, low - 1)
 
-    gathered = jnp.take(jnp.take(x, src_r, axis=-2), src_c, axis=-1)
-    mask = (valid_r[:, None] & valid_c[None, :]).astype(x.dtype)
-    return gathered * mask
+    # Express the per-axis selection as 0/1 matrices and contract on the
+    # MXU: out = S_r · x · S_cᵀ. A jnp.take gather would differentiate to a
+    # scatter — catastrophically slow on TPU (measured 16× the whole DI-BIM
+    # step); the matmul form's VJP is two more matmuls. Each output element
+    # sums exactly one (or zero) source element, so values are bit-exact.
+    S_r = jax.nn.one_hot(src_r, low, dtype=x.dtype) * valid_r[:, None].astype(x.dtype)
+    S_c = jax.nn.one_hot(src_c, low, dtype=x.dtype) * valid_c[:, None].astype(x.dtype)
+    tmp = jnp.einsum("ip,...pq->...iq", S_r, x)
+    return jnp.einsum("...iq,jq->...ij", tmp, S_c)
