@@ -150,12 +150,16 @@ def large_move_shift(move: int, frames: int) -> int:
 def cycle_variants(clip_bcthw: jnp.ndarray, shifts) -> jnp.ndarray:
     """Stack of cycle-shifted clip variants (D, B, C, T, H, W). The reference
     builds these one Python-loop copy at a time (video_attacks.py:191-200);
-    here it is a vmap over a static shift vector using per-frame gathers.
+    here the shifts are (D, T, T) one-hot permutation matrices contracted on
+    the MXU — a gather would differentiate to a TPU scatter (the fan-out is
+    on the white-box gradient path), while the einsum's VJP is the transposed
+    einsum. One source frame per output frame, so values are bit-exact.
     """
     t = clip_bcthw.shape[2]
     shifts = jnp.asarray(shifts, dtype=jnp.int32)
     idx = (jnp.arange(t)[None, :] - shifts[:, None]) % t  # (D, T) source index
-    return jax.vmap(lambda ix: jnp.take(clip_bcthw, ix, axis=2))(idx)
+    perm = jax.nn.one_hot(idx, t, dtype=clip_bcthw.dtype)  # (D, T_out, T_src)
+    return jnp.einsum("dts,bcshw->dbcthw", perm, clip_bcthw)
 
 
 def exchange_frames(clip_bcthw: jnp.ndarray, exchange_pairs) -> jnp.ndarray:
