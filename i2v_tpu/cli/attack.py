@@ -34,6 +34,11 @@ def arg_parse(argv=None):
     p.add_argument("--move_type", default="adj", choices=["adj", "large", "random"])
     p.add_argument("--kernel_mode", default="gaussian",
                    choices=["gaussian", "linear", "uniform", "random"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize model bottlenecks+stem in backward "
+                        "passes (activation HBM vs MXU recompute; raises the "
+                        "largest single-chip batch for momentum-carrying "
+                        "attacks)")
     p.add_argument("--sim_batch_scales", action="store_true",
                    help="SIM: fold the 5 scale copies into one batched "
                         "fwd+bwd (5x activation memory, one gradient query)")
@@ -55,7 +60,8 @@ def main(argv=None) -> str:
     args = arg_parse(argv)
     print(args)
     dataset, iterate = common.build_dataset(args)
-    bundle = get_video_model(args.model, tiny=args.tiny)
+    bundle = get_video_model(args.model, tiny=args.tiny,
+                             remat=getattr(args, "remat", False))
     attack = common.build_whitebox_attack(args, bundle)
     done = artifacts.existing_labels(args.adv_path)
     for step, batch in enumerate(iterate(dataset, args.batch_size)):

@@ -44,25 +44,35 @@ class I3DResNet(nn.Module, ReluMixin):
     width: int = 64
     num_classes: int = 400
     relu_grad_scale: float = 1.0
+    # rematerialize each bottleneck in the backward pass: trades MXU
+    # recompute for activation HBM, letting white-box attacks that carry
+    # extra per-pixel state (MI momentum) run at the reference's batch 16
+    remat: bool = False
     normalize: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, clip01_bcthw):
-        x = to_channel_last(clip01_bcthw, self.normalize, self.dtype)
-        taps: dict = {}
+    def _stem(self, x):
         # SGM grad-scale placement mirrors the reference's name-filtered hooks
         # ('relu' in name and not '0.relu', base_attacks.py:509-511): the stem
         # ReLU (an unnamed Sequential slot in gluoncv) and each stage's
         # block-0 ReLUs are NOT scaled.
         x = nn.relu(conv3d(self.width, (5, 7, 7), (2, 2, 2), dtype=self.dtype,
                            name="conv1")(x))
-        x = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        return max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+    @nn.compact
+    def __call__(self, clip01_bcthw):
+        x = to_channel_last(clip01_bcthw, self.normalize, self.dtype)
+        taps: dict = {}
+        # remat the stem as well: its pre-pool activation is the largest
+        # single tensor in the model (B·T·112²·64)
+        x = nn.remat(I3DResNet._stem)(self, x) if self.remat else self._stem(x)
         for stage in range(4):
             feats = self.width * (2**stage)
+            block_cls = nn.remat(Bottleneck3D) if self.remat else Bottleneck3D
             for block in range(self.stage_sizes[stage]):
                 first = block == 0
-                x = Bottleneck3D(
+                x = block_cls(
                     feats,
                     spatial_stride=2 if (first and stage > 0) else 1,
                     downsample=first,

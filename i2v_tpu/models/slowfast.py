@@ -66,6 +66,7 @@ class SlowFast(nn.Module, ReluMixin):
     # stages with temporal (3,1,1) convs: fast = all, slow = late only
     slow_temporal_stages: Sequence[int] = (2, 3)
     relu_grad_scale: float = 1.0
+    remat: bool = False  # see i3d.I3DResNet.remat
     normalize: bool = True
     dtype: Any = jnp.float32
 
@@ -76,9 +77,10 @@ class SlowFast(nn.Module, ReluMixin):
             tk = 3
         else:
             tk = 3 if stage in self.slow_temporal_stages else 1
+        block_cls = nn.remat(SFBottleneck) if self.remat else SFBottleneck
         for block in range(self.stage_sizes[stage]):
             first = block == 0
-            x = SFBottleneck(
+            x = block_cls(
                 feats, feats * 4,
                 spatial_stride=2 if (first and stage > 0) else 1,
                 temporal_kernel=tk,

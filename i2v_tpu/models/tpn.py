@@ -90,6 +90,7 @@ class TPN(nn.Module, ReluMixin):
     upsample_scale: int = 1
     neck_groups: int = 32
     relu_grad_scale: float = 1.0
+    remat: bool = False  # see i3d.I3DResNet.remat
     normalize: bool = True
     dtype: Any = jnp.float32
 
@@ -106,12 +107,13 @@ class TPN(nn.Module, ReluMixin):
                               dtype=self.dtype, name="conv1")(x))
         x = max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         feats_out = []
+        block_cls = nn.remat(TPNBottleneck) if self.remat else TPNBottleneck
         for stage in range(4):
             feats = self.width * (2**stage)
             tk = 3 if stage in self.temporal_stages else 1
             for block in range(self.stage_sizes[stage]):
                 first = block == 0
-                x = TPNBottleneck(
+                x = block_cls(
                     feats,
                     spatial_stride=2 if (first and stage > 0) else 1,
                     temporal_kernel=tk,

@@ -71,17 +71,19 @@ def get_video_model(
     tiny: bool = False,
     ucf101: bool = False,
     dtype=jnp.float32,
+    remat: bool = False,
     example_shape: Optional[tuple] = None,
     seed: int = 0,
 ) -> VideoModel:
     """Build a video-model bundle for a reference model name.
 
     ``ucf101=True`` loads the fine-tuned 101-class checkpoint (reference:
-    reference_ucf101.py:107-117)."""
+    reference_ucf101.py:107-117). ``remat=True`` rematerializes bottlenecks
+    in backward passes (activation HBM ↔ MXU recompute)."""
     if name not in VIDEO_BUILDERS:
         raise ValueError(f"unknown video model {name!r}; have {sorted(VIDEO_BUILDERS)}")
     builder = TINY_BUILDERS[name] if tiny else VIDEO_BUILDERS[name]
-    kw = {"dtype": dtype}
+    kw = {"dtype": dtype, "remat": remat}
     if not tiny and ucf101:
         kw["num_classes"] = 101
     module = builder(**kw)

@@ -149,3 +149,24 @@ class TestPartialCheckpointLoad:
         clip01 = jnp.zeros((1, 3, 8, 32, 32), jnp.float32)
         logits = bundle.apply01(clip01)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestRemat:
+    def test_remat_identical_outputs_and_grads(self):
+        """remat=True must change memory behavior only — logits and input
+        gradients identical to the plain model."""
+        from i2v_tpu.models import i3d
+
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 3, 8, 32, 32),
+                        jnp.float32)
+        outs = {}
+        for remat in (False, True):
+            mod = i3d.i3d_tiny(remat=remat)
+            params = mod.init(jax.random.PRNGKey(0), x)
+
+            def f(xx):
+                return jnp.sum(mod.apply(params, xx)[0])
+
+            outs[remat] = (float(f(x)), np.asarray(jax.grad(f)(x)))
+        assert outs[True][0] == outs[False][0]
+        np.testing.assert_array_equal(outs[True][1], outs[False][1])
