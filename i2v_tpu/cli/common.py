@@ -110,13 +110,15 @@ def build_image_guided_attack(args):
     hw = 32 if tiny else args.crop_size
     sharded = getattr(args, "sharded", False)
 
-    def _sharded(models, *, step_size, adaptive=False, momentum=0.0):
+    def _sharded(models, *, step_size, adaptive=False, momentum=0.0,
+                 coef_ce=False):
         from ..parallel import attack_mesh
         from ..parallel.sharded import ShardedImageGuidedAttack
 
         return ShardedImageGuidedAttack(
             models, attack_mesh(), steps=args.step, step_size=step_size,
-            adaptive=adaptive, aens_momentum=momentum, name=method)
+            adaptive=adaptive, aens_momentum=momentum, coef_ce=coef_ce,
+            name=method)
 
     if method in ("ImageGuidedStd_Adam", "ImageGuidedFMDirection_Adam"):
         models = get_image_models([args.direction_image_model],
@@ -141,7 +143,8 @@ def build_image_guided_attack(args):
         models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
         if sharded:
             return _sharded(models, step_size=args.step_size, adaptive=True,
-                            momentum=args.aens_momentum)
+                            momentum=args.aens_momentum,
+                            coef_ce=args.coef_CE)
         return attacks.AENS_I2V_MF(models, step_size=args.step_size,
                                    momentum=args.aens_momentum,
                                    coef_CE=args.coef_CE, steps=args.step)

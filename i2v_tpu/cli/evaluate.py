@@ -41,15 +41,11 @@ def main(argv=None) -> dict:
     args = arg_parse(argv)
     import jax.numpy as jnp
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel import attack_mesh
-
-        mesh = attack_mesh()
     acc = evaluate_run(
         args.adv_path, model_names=args.models, batch_size=args.batch_size,
         n_classes=args.n_classes, ucf101=args.ucf101, tiny=args.tiny,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32, mesh=mesh)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        data_parallel=args.data_parallel)
     print(acc)
     return acc
 

@@ -12,15 +12,11 @@ def main(argv=None) -> dict:
     import jax.numpy as jnp
 
     args = evaluate.arg_parse(argv, n_classes=101)
-    mesh = None
-    if args.data_parallel:
-        from ..parallel import attack_mesh
-
-        mesh = attack_mesh()
     acc = evaluate_run(
         args.adv_path, model_names=args.models, batch_size=args.batch_size,
         n_classes=args.n_classes, ucf101=True, tiny=args.tiny,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32, mesh=mesh)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        data_parallel=args.data_parallel)
     print(acc)
     return acc
 

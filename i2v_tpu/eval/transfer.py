@@ -62,15 +62,16 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh is not None else 1
 
     def fwd(clips, labels):
-        clips = np.asarray(clips)
-        labels_a = np.asarray(labels)
+        # clips/labels arrive as host numpy from the artifact loader — no
+        # np.asarray of device arrays here (a device→host round trip at
+        # relay bandwidth would dwarf the forward)
         if mesh is not None and clips.shape[0] % n_shards == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             spec = P(tuple(mesh.axis_names))  # batch over every mesh axis
             clips = jax.device_put(clips, NamedSharding(mesh, spec))
-            labels_a = jax.device_put(labels_a, NamedSharding(mesh, spec))
-        return fwd_jit(bundle.params, jnp.asarray(clips), jnp.asarray(labels_a))
+            labels = jax.device_put(labels, NamedSharding(mesh, spec))
+        return fwd_jit(bundle.params, jnp.asarray(clips), jnp.asarray(labels))
 
     # disk IO overlaps device compute (the reference's DataLoader-worker
     # role, datasets.py:272-274)
@@ -82,7 +83,7 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     end = time.time()
     for step, (clips, labels) in enumerate(loaded):
         data_time.update(time.time() - end)
-        acc, preds = fwd(jnp.asarray(clips), jnp.asarray(labels))
+        acc, preds = fwd(np.asarray(clips), np.asarray(labels))
         preds = np.asarray(preds)
         predictions += list(preds)
         labels_all += list(labels)
@@ -108,12 +109,17 @@ def evaluate_run(
     dtype=jnp.float32,
     get_bundle: Optional[Callable] = None,
     mesh=None,
+    data_parallel: bool = False,
     log=print,
 ) -> dict:
     """Evaluate a run directory against the six video models and write the
     reference-compatible CSV + JSON reports. Returns {model: top1}."""
     import pandas as pd
 
+    if data_parallel and mesh is None:
+        from ..parallel import attack_mesh
+
+        mesh = attack_mesh()
     files = artifacts.list_adv_files(run_dir)
     if not files:
         raise FileNotFoundError(f"no adv artifacts under {run_dir!r}")

@@ -159,7 +159,10 @@ def cycle_variants(clip_bcthw: jnp.ndarray, shifts) -> jnp.ndarray:
     shifts = jnp.asarray(shifts, dtype=jnp.int32)
     idx = (jnp.arange(t)[None, :] - shifts[:, None]) % t  # (D, T) source index
     perm = jax.nn.one_hot(idx, t, dtype=clip_bcthw.dtype)  # (D, T_out, T_src)
-    return jnp.einsum("dts,bcshw->dbcthw", perm, clip_bcthw)
+    # precision=HIGHEST: TPU default matmul precision would bf16-quantize
+    # the f32 clip through the 0/1 contraction
+    return jnp.einsum("dts,bcshw->dbcthw", perm, clip_bcthw,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def exchange_frames(clip_bcthw: jnp.ndarray, exchange_pairs) -> jnp.ndarray:

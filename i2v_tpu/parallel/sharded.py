@@ -32,6 +32,7 @@ def make_sharded_i2v_runner(
     epsilon: float = 16 / 255,
     adaptive: bool = False,
     aens_momentum: float = 0.0,
+    coef_ce: bool = False,
     remat: bool = False,
     unroll: int = 1,
     mu_dtype=None,
@@ -88,7 +89,10 @@ def make_sharded_i2v_runner(
                 per_tap = losses.per_tap_frame_cosines(taps, clean_taps)
                 each = jnp.sum(coeffs[:, None] * per_tap, axis=1)
                 cost = jnp.mean(each)
-                new_prev = jax.lax.stop_gradient(jnp.sum(per_tap, axis=1))
+                # coef_CE picks the weighted per-tap loss as the next
+                # coefficient signal (TPAMI_attack.py:293-297)
+                new_prev = jax.lax.stop_gradient(
+                    each if coef_ce else jnp.sum(per_tap, axis=1))
                 return cost, ((coeffs, new_prev), cost)
             cost = losses.i2v_cost(taps, clean_taps)
             return cost, (coeffs_prev, cost)
@@ -146,32 +150,42 @@ class ShardedImageGuidedAttack:
 
     Lets the CLI mains run I2V / ENS-I2V / AENS through the production
     multi-chip path (``--sharded``): same ``attack(videos, labels, names)``
-    contract as the attack classes, clips device_put with the mesh's clip
-    sharding, per-step costs recorded into ``loss_info``.
+    contract as the attack classes, clips resharded device-side with the
+    mesh's clip sharding, per-step costs recorded into ``loss_info``.
     """
 
     def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *, steps: int,
                  step_size: float, adaptive: bool = False,
-                 aens_momentum: float = 0.0, name: str = "ShardedI2V"):
+                 aens_momentum: float = 0.0, coef_ce: bool = False,
+                 name: str = "ShardedI2V"):
+        from ..attacks.core import Attack
+
         self.attack = name
         self.steps = steps
         self.mesh = mesh
         self.loss_info: dict = {}
+        self._record_costs = Attack._record_costs.__get__(self)
         self._runner = make_sharded_i2v_runner(
             models, mesh, steps=steps, step_size=step_size,
-            adaptive=adaptive, aens_momentum=aens_momentum)
+            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce)
 
     def __call__(self, videos, labels=None, video_names=None):
-        import numpy as np
-
-        from .mesh import shard_clips
+        from .mesh import clip_sharding
 
         videos = jnp.asarray(videos)
+        b = videos.shape[0]
+        data = self.mesh.shape["data"]
+        frames = self.mesh.shape["frames"]
+        if b % data or (b * videos.shape[2]) % (data * frames):
+            raise ValueError(
+                f"--sharded needs the clip batch ({b}) divisible by the "
+                f"mesh data axis ({data}) and B·T divisible by the device "
+                f"count ({data * frames}); pick a --batch_size that divides "
+                "evenly (trailing partial batches included)")
         clean01 = pixel.unnormalize(videos, channel_axis=1)
-        adv01, costs = self._runner(shard_clips(np.asarray(clean01), self.mesh))
-        costs = np.asarray(costs)
-        if video_names is not None:
-            for n in video_names:
-                self.loss_info.setdefault(str(n), {}).update(
-                    {i: {"cost": str(np.float32(c))} for i, c in enumerate(costs)})
-        return pixel.normalize(jnp.asarray(adv01), channel_axis=1)
+        # device-side reshard — a host round trip at relay bandwidth would
+        # cost more than the attack itself
+        clean01 = jax.device_put(clean01, clip_sharding(self.mesh))
+        adv01, costs = self._runner(clean01)
+        self._record_costs(costs, video_names)
+        return pixel.normalize(adv01, channel_axis=1)
