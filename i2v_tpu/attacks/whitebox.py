@@ -136,11 +136,13 @@ class TIFGSM(_SignEngineAttack):
             epsilon=epsilon, steps=steps, use_momentum=momentum, decay=decay,
         )
         super().__init__("TIFGSM", model, cfg)
-        self._kernel = smoothing.ti_kernel_2d(kernlen, nsig)
+        # the 15×15 kernel is outer(k1,k1): two banded matmuls instead of a
+        # 3-channel depthwise conv (see ti_smooth_2d_separable)
+        self._k1d = smoothing.gaussian_1d(kernlen, nsig)
 
     def _build_smooth_fn(self):
-        kernel = self._kernel
-        return lambda g: smoothing.ti_smooth_2d(g, kernel)
+        k1d = self._k1d
+        return lambda g: smoothing.ti_smooth_2d_separable(g, k1d)
 
 
 class TIFGSM3D(_SignEngineAttack):
@@ -153,13 +155,17 @@ class TIFGSM3D(_SignEngineAttack):
             epsilon=epsilon, steps=steps, use_momentum=momentum, decay=decay,
         )
         super().__init__("TIFGSM3D", model, cfg)
-        self._kernel = smoothing.ti_kernel_3d(kernlen, nsig)
+        # the 15³ kernel is an exact outer product (base_attacks.py:627-633):
+        # smooth with three banded matmuls instead of a depthwise conv3d
+        # whose 3-channel groups can't tile onto the MXU (~10× slower)
+        self._k1d = smoothing.gaussian_1d(kernlen, nsig)
 
     def _build_smooth_fn(self):
-        kernel = self._kernel
+        k1d = self._k1d
 
         def smooth(g):
-            return grad_ops.norm_grads(smoothing.depthwise_conv3d(g, kernel), True)
+            return grad_ops.norm_grads(
+                smoothing.depthwise_conv3d_separable(g, k1d), True)
 
         return smooth
 

@@ -121,11 +121,61 @@ def depthwise_conv3d(grads_bcthw: jnp.ndarray, kernel3d) -> jnp.ndarray:
     )
 
 
+def _band_matrix(n: int, k1d, dtype):
+    """(n, n) banded matrix B with B[i, j] = k1d[j−i+r]: B·x equals the
+    SAME-zero-padded cross-correlation of x with k1d along that axis."""
+    k1d = jnp.asarray(k1d, dtype)
+    r = k1d.shape[0] // 2
+    diff = jnp.arange(n)[None, :] - jnp.arange(n)[:, None] + r
+    valid = (diff >= 0) & (diff < k1d.shape[0])
+    return jnp.where(valid, k1d[jnp.clip(diff, 0, k1d.shape[0] - 1)], 0.0)
+
+
+def depthwise_conv3d_separable(grads_bcthw: jnp.ndarray, k1d) -> jnp.ndarray:
+    """Depthwise SAME smoothing with the separable kernel k1d⊗k1d⊗k1d as
+    three banded matmuls on the MXU. The equivalent 15³ depthwise conv3d has
+    3-channel groups that cannot tile onto the MXU (measured ~10× slower on
+    v5e); per-factor normalization × 3 equals the reference's whole-kernel
+    normalization because (k⊗k⊗k).sum() = k.sum()³."""
+    k1d = np.asarray(k1d, np.float32)
+    k1d = k1d / k1d.sum()
+    t, h, w = grads_bcthw.shape[2:]
+    dt = grads_bcthw.dtype
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("ts,bcshw->bcthw", _band_matrix(t, k1d, dt), grads_bcthw,
+                   precision=hi)
+    x = jnp.einsum("hs,bctsw->bcthw", _band_matrix(h, k1d, dt), x, precision=hi)
+    return jnp.einsum("ws,bcths->bcthw", _band_matrix(w, k1d, dt), x,
+                      precision=hi)
+
+
+def gaussian_1d(kernlen: int = 15, nsig: float = 3.0) -> np.ndarray:
+    """The 1-D Gaussian factor of the TI kernels (reference:
+    base_attacks.py:427-429)."""
+    return _norm_pdf(np.linspace(-nsig, nsig, kernlen)).astype(np.float32)
+
+
 def ti_smooth_2d(grads_bcthw: jnp.ndarray, kernel2d) -> jnp.ndarray:
     """TIFGSM gradient smoothing incl. its idiosyncratic re-normalization by
     mean |g| over dims (C,T,H) only — W excluded — faithfully preserved
     (reference: base_attacks.py:444)."""
     out = depthwise_conv2d_frames(grads_bcthw, kernel2d)
+    return out / jnp.mean(jnp.abs(out), axis=(1, 2, 3), keepdims=True)
+
+
+def ti_smooth_2d_separable(grads_bcthw: jnp.ndarray, k1d) -> jnp.ndarray:
+    """ti_smooth_2d with the outer-product Gaussian applied as two banded
+    matmuls over H and W (see depthwise_conv3d_separable — same 3-channel
+    depthwise-conv MXU problem, same exact separability)."""
+    k1d = np.asarray(k1d, np.float32)
+    k1d = k1d / k1d.sum()
+    h, w = grads_bcthw.shape[3:]
+    dt = grads_bcthw.dtype
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("hs,bctsw->bcthw", _band_matrix(h, k1d, dt), grads_bcthw,
+                   precision=hi)
+    out = jnp.einsum("ws,bcths->bcthw", _band_matrix(w, k1d, dt), x,
+                     precision=hi)
     return out / jnp.mean(jnp.abs(out), axis=(1, 2, 3), keepdims=True)
 
 
