@@ -28,6 +28,10 @@ def arg_parse(argv=None):
     p.add_argument("--augmentation_weight", type=float, default=0.0)
     p.add_argument("--move_type", default="adj")
     p.add_argument("--kernel_mode", default="gaussian")
+    # TPU perf levers (same semantics as cli.attack)
+    p.add_argument("--tt_chunk", type=int, default=5)
+    p.add_argument("--sim_batch_scales", action="store_true")
+    p.add_argument("--remat", action="store_true")
     common.add_data_args(p, ucf=True)
     args = p.parse_args(argv)
     if args.data == "kinetics":
@@ -43,7 +47,8 @@ def main(argv=None) -> str:
     args = arg_parse(argv)
     print(args)
     dataset, iterate = common.build_dataset(args)
-    bundle = get_video_model(args.model, tiny=args.tiny, ucf101=not args.tiny)
+    bundle = get_video_model(args.model, tiny=args.tiny, ucf101=not args.tiny,
+                             remat=args.remat)
     attack = common.build_whitebox_attack(args, bundle)
     for step, batch in enumerate(iterate(dataset, args.batch_size)):
         print(f"Running {args.attack_method}, {step + 1}")
