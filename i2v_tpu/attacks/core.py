@@ -192,9 +192,11 @@ class Attack:
         raise NotImplementedError
 
     def __call__(self, videos, labels, video_names=None, rng=None):
-        videos = jnp.asarray(videos)
         labels = jnp.asarray(labels)
-        clean01 = pixel.unnormalize(videos, channel_axis=1)
+        # do NOT bind the normalized-domain device copy to a local: it would
+        # pin a second full clip buffer (308 MB at B=16) in HBM for the whole
+        # attack — the unnormalize temp is freed as soon as the op retires
+        clean01 = pixel.unnormalize(jnp.asarray(videos), channel_axis=1)
         labels = self._transform_labels(clean01, labels)
         if rng is None:
             # fresh (but reproducible) randomness per call: the reference

@@ -52,8 +52,11 @@ class _SignEngineAttack(Attack):
     def _build_smooth_fn(self):
         return None
 
-    def _attack01(self, clean01, labels, rng):
-        key = (clean01.shape, str(clean01.dtype), self._targeted)
+    def jitted_runner(self, shape, dtype="float32"):
+        """The per-shape jitted scan program ``(params, clean01, labels, rng)
+        -> (adv01, costs)`` — exposed so tools/perf_probe.py can AOT-lower it
+        for HBM/cost analysis without executing an attack."""
+        key = (tuple(shape), str(dtype), self._targeted)
         if key not in self._jit_cache:
             smooth_fn = self._build_smooth_fn()
             cfg = self.cfg
@@ -64,7 +67,11 @@ class _SignEngineAttack(Attack):
                 return run_sign_attack(grad_fn, c, l, cfg, smooth_fn=smooth_fn, rng=r)
 
             self._jit_cache[key] = jax.jit(runner)
-        return self._jit_cache[key](self.model.params, clean01, labels, rng)
+        return self._jit_cache[key]
+
+    def _attack01(self, clean01, labels, rng):
+        jitted = self.jitted_runner(clean01.shape, clean01.dtype)
+        return jitted(self.model.params, clean01, labels, rng)
 
 
 class FGSM(_SignEngineAttack):

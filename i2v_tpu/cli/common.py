@@ -159,7 +159,9 @@ def shard_bounds(args, n_samples: int) -> tuple[int, int]:
     return process_shard_bounds(n_samples, args.batch_nums, args.batch_index - 1)
 
 
-def save_attack_outputs(run_dir, batch, adv, save_ori: bool = False):
+def save_attack_outputs(run_dir, batch, adv, save_ori: bool = False,
+                        dtype=np.float32):
     adv = np.asarray(adv)
     artifacts.save_batch(run_dir, batch["labels"], adv,
-                         ori_batch=np.asarray(batch["clips"]) if save_ori else None)
+                         ori_batch=np.asarray(batch["clips"]) if save_ori else None,
+                         dtype=dtype)

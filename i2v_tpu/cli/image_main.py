@@ -43,6 +43,20 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                    help="run I2V/ENS/AENS through the pjit-sharded "
                         "multi-chip runner (parallel/sharded.py) instead of "
                         "the single-device attack class")
+    p.add_argument("--fused_eval", default=None, metavar="MODELS",
+                   help="fuse generation and evaluation: comma-separated "
+                        "video model names (or 'all') evaluated on-device "
+                        "right after each attacked batch, artifacts written "
+                        "asynchronously (eval/fused.py). Replaces the "
+                        "reference's generate-then-evaluate artifact round "
+                        "trip (run_image_guided.py:48-52)")
+    p.add_argument("--artifact_dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="artifact storage dtype; float16 halves the "
+                        "device->host egress that dominates relay-backed runs")
+    p.add_argument("--no_artifacts", action="store_true",
+                   help="with --fused_eval: skip artifact writes entirely "
+                        "(reports only)")
     common.add_data_args(p)
     args = p.parse_args(argv)
     args.adv_path = os.path.join(
@@ -60,6 +74,11 @@ def run(args) -> str:
     dataset, iterate = common.build_dataset(args)
     left, right = common.shard_bounds(args, len(dataset))
     attack = common.build_image_guided_attack(args)
+    if getattr(args, "fused_eval", None):
+        return _run_fused(args, dataset, iterate, attack, left, right)
+    import numpy as np
+
+    dtype = np.float16 if args.artifact_dtype == "float16" else np.float32
     timer = StepTimer(steps_per_call=args.step, clips_per_call=args.batch_size)
     with trace(getattr(args, "profile", None)):
         for step, batch in enumerate(iterate(dataset, args.batch_size, left, right)):
@@ -67,9 +86,48 @@ def run(args) -> str:
             with timer:
                 out = attack(batch["clips"], batch["labels"], batch["names"])
             adv = out[0] if isinstance(out, tuple) else out  # AENS triple-return
-            common.save_attack_outputs(args.adv_path, batch, adv)
+            common.save_attack_outputs(args.adv_path, batch, adv, dtype=dtype)
     artifacts.save_loss_info(args.adv_path, attack.loss_info, args.batch_index)
     print(f"[summary] {timer.summary()}")
+    return args.adv_path
+
+
+def _run_fused(args, dataset, iterate, attack, left, right) -> str:
+    """Fused generate→evaluate (VERDICT r1 #1): adversarial clips feed the
+    video models on-device; artifact egress runs in a background thread."""
+    import time
+
+    import numpy as np
+
+    from ..eval.fused import FusedGenerateEvaluate
+    from ..models.video_zoo import VIDEO_BUILDERS, get_video_model
+    from ..utils.paths import VIDEO_MODEL_NAMES
+
+    names = (list(VIDEO_MODEL_NAMES) if args.fused_eval == "all"
+             else [n.strip() for n in args.fused_eval.split(",") if n.strip()])
+    for n in names:
+        if n not in VIDEO_BUILDERS:
+            raise SystemExit(f"unknown video model {n!r}; have "
+                             f"{sorted(VIDEO_BUILDERS)}")
+    bundles = {n: get_video_model(n, tiny=args.tiny) for n in names}
+    n_classes = 400  # Kinetics report rows (reference: reference.py:106)
+    dtype = np.float16 if args.artifact_dtype == "float16" else np.float32
+    fused = FusedGenerateEvaluate(
+        attack, bundles,
+        run_dir=None if args.no_artifacts else args.adv_path,
+        n_classes=n_classes, artifact_dtype=dtype)
+    t0 = time.time()
+    n_clips = 0
+    for step, batch in enumerate(iterate(dataset, args.batch_size, left, right)):
+        print(f"Running fused {args.attack_method}+eval, {step + 1}")
+        fused.process_batch(batch)
+        n_clips += len(batch["labels"])
+    acc = fused.finalize(report_dir=args.adv_path)
+    dt = time.time() - t0
+    artifacts.save_loss_info(args.adv_path, attack.loss_info, args.batch_index)
+    print(f"[summary] fused gen+eval: {n_clips / dt:.3f} clips/s "
+          f"({n_clips} clips, {len(names)} eval models, {dt:.1f}s)")
+    print(f"[summary] top1: {acc}")
     return args.adv_path
 
 

@@ -1,0 +1,169 @@
+"""Fused generate→evaluate: attack a batch and immediately evaluate the
+adversarial clips on-device, with artifact egress overlapped asynchronously.
+
+The reference's unit of work is a two-process artifact round trip
+(run_image_guided.py:48-52): image_main.py attacks 400 clips and writes f32
+``.npy`` files (attack compute, then device→host egress), then reference.py
+re-reads every file and re-uploads it to the device for each of six video
+models (host→device ingress × 6). On a relay-backed TPU host where bulk
+transfers run at ~10 MB/s, the ~19.3 MB/clip f32 egress + ingress dominates
+the attack compute itself.
+
+This module fuses the two stages in one process so adversarial clips never
+leave the device between generation and evaluation:
+
+  - the attack's normalized-domain output feeds each video model's jitted
+    forward directly (no host round trip — only per-batch predictions, a few
+    bytes, are fetched),
+  - artifacts are still written (the protocol stays the inter-stage IR for
+    ILAF and offline re-eval) but from a background writer thread, so the
+    slow egress overlaps the next batch's attack/eval compute; ``dtype``
+    selects the opt-in compact f16 format (utils/artifacts.save_adv_clip),
+  - reports keep the reference's exact schemas
+    (results_all_models_prediction.csv / top1_acc_all_models.json,
+    reference.py:105-129).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.api import rebind_params
+from .transfer import accuracy_and_preds
+
+
+class AsyncArtifactWriter:
+    """Background device→host fetch + per-sample ``.npy`` save.
+
+    ``submit`` returns immediately; the writer thread performs the
+    ``np.asarray`` (the actual relay transfer) and the atomic file writes,
+    overlapping the main thread's dispatch of the next batch. ``close``
+    drains the queue and re-raises any writer-side exception.
+    """
+
+    def __init__(self, run_dir: str, dtype=np.float32, kind: str = "adv",
+                 depth: int = 2):
+        from ..utils import artifacts
+
+        self._artifacts = artifacts
+        self.run_dir = run_dir
+        self.dtype = dtype
+        self.kind = kind
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: list[BaseException] = []
+        self._done = object()
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            labels, adv = item
+            try:
+                batch = np.asarray(adv)  # the relay egress happens HERE
+                for i, label in enumerate(labels):
+                    self._artifacts.save_adv_clip(
+                        self.run_dir, int(label), batch[i], self.kind,
+                        dtype=self.dtype)
+            except BaseException as e:  # surfaced at close()
+                self._err.append(e)
+
+    def submit(self, labels: Sequence[int], adv) -> None:
+        if self._err:
+            raise self._err[0]
+        self._q.put((list(labels), adv))
+
+    def close(self) -> None:
+        self._q.put(self._done)
+        self._t.join()
+        if self._err:
+            raise self._err[0]
+
+
+class FusedGenerateEvaluate:
+    """Drive attack + on-device eval + async artifact egress per batch.
+
+    ``attack`` is any reference-calling-convention attack
+    (``attack(videos, labels, names) -> adv_norm``, tuple-returning AENS
+    included); ``eval_bundles`` maps model name → VideoModel whose
+    ``apply_norm`` consumes normalized clips. Per-model params stay resident
+    in HBM across batches (the serial reload-per-model swap of
+    reference.py:108-125 disappears — each clip is evaluated by every model
+    while it is still on device).
+    """
+
+    def __init__(self, attack, eval_bundles: dict, *, run_dir: Optional[str],
+                 n_classes: int = 400, artifact_dtype=np.float32):
+        self.attack = attack
+        self.bundles = dict(eval_bundles)
+        self.n_classes = n_classes
+        self.run_dir = run_dir
+        self.writer = (AsyncArtifactWriter(run_dir, dtype=artifact_dtype)
+                       if run_dir is not None else None)
+        self._fwd = {}
+        for name, bundle in self.bundles.items():
+            def fwd(params, clips, labels, _b=bundle):
+                return accuracy_and_preds(
+                    rebind_params(_b, params).apply_norm(clips), labels)
+
+            self._fwd[name] = jax.jit(fwd)
+        self.predictions: dict[str, list[int]] = {n: [] for n in self.bundles}
+        self.labels_seen: list[int] = []
+        self.correct: dict[str, int] = {n: 0 for n in self.bundles}
+
+    def process_batch(self, batch) -> None:
+        labels = np.asarray(batch["labels"])
+        out = self.attack(batch["clips"], batch["labels"],
+                          batch.get("names"))
+        adv = out[0] if isinstance(out, tuple) else out  # AENS triple
+        if self.writer is not None:
+            self.writer.submit(labels, adv)
+        adv = jnp.asarray(adv)
+        jlabels = jnp.asarray(labels)
+        # dispatch every model's forward before fetching any result: the
+        # device queues all programs while only tiny (acc, preds) outputs
+        # cross the relay
+        pending = {name: self._fwd[name](self.bundles[name].params, adv, jlabels)
+                   for name in self.bundles}
+        self.labels_seen += list(labels)
+        for name, (acc, preds) in pending.items():
+            preds = np.asarray(preds)
+            self.predictions[name] += list(preds)
+            self.correct[name] += int((preds == labels).sum())
+
+    def finalize(self, report_dir: Optional[str] = None) -> dict:
+        """Drain the artifact writer and emit the reference-schema reports.
+        Returns {model: top1_accuracy_pct}."""
+        import pandas as pd
+
+        if self.writer is not None:
+            self.writer.close()
+        n = max(len(self.labels_seen), 1)
+        model_val_acc = {name: 100.0 * self.correct[name] / n
+                         for name in self.bundles}
+        report_dir = report_dir or self.run_dir
+        if report_dir is not None:
+            from .transfer import order_predictions_by_label
+
+            info = pd.DataFrame()
+            info["gt_label"] = list(range(self.n_classes))
+            for name in self.bundles:
+                info[f"{name}-pre"] = order_predictions_by_label(
+                    self.labels_seen, self.predictions[name], self.n_classes)
+            os.makedirs(report_dir, exist_ok=True)
+            info.to_csv(os.path.join(
+                report_dir, "results_all_models_prediction.csv"), index=False)
+            with open(os.path.join(report_dir,
+                                   "top1_acc_all_models.json"), "w") as f:
+                json.dump(model_val_acc, f)
+        return model_val_acc

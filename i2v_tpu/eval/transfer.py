@@ -37,6 +37,33 @@ def accuracy_and_preds(logits, labels):
     return acc, preds
 
 
+def order_predictions_by_label(labels, preds, n_classes: int) -> np.ndarray:
+    """Reorder predictions into label order for the report CSV (reference:
+    reference.py:116-119; the label doubles as the sample id).
+
+    A malformed artifact directory must fail loudly, not degrade into a
+    quietly wrong CSV: an out-of-range label (file from a different dataset)
+    or a duplicate label (two artifacts claiming one sample id) raises.
+    Labels genuinely absent from the run (partial/sharded generation) stay
+    ``-1``.
+    """
+    ordered = np.zeros(n_classes, dtype=np.int64) - 1
+    seen: set[int] = set()
+    for lab, pred in zip(labels, preds):
+        lab = int(lab)
+        if not 0 <= lab < n_classes:
+            raise ValueError(
+                f"artifact label {lab} outside [0, {n_classes}) — the run "
+                "directory mixes artifacts from a different dataset")
+        if lab in seen:
+            raise ValueError(
+                f"duplicate artifact label {lab} — two artifacts claim the "
+                "same sample id; the run directory is malformed")
+        seen.add(lab)
+        ordered[lab] = pred
+    return ordered
+
+
 def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
                    *, mesh=None, log=print):
     """Evaluate one model over artifact batches → (preds, labels, top1_avg).
@@ -139,12 +166,8 @@ def evaluate_run(
                                      dtype=dtype)
         preds, labels, top1 = reference_eval(bundle, batches, run_dir,
                                              mesh=mesh, log=log)
-        # reorder predictions into label order (reference: reference.py:116-119)
-        ordered = np.zeros(n_classes, dtype=np.int64) - 1
-        for lab, pred in zip(labels, preds):
-            if 0 <= lab < n_classes:
-                ordered[lab] = pred
-        info[f"{name}-pre"] = ordered
+        info[f"{name}-pre"] = order_predictions_by_label(labels, preds,
+                                                         n_classes)
         model_val_acc[name] = top1
         del bundle  # device buffers freed on GC (the model-swap pattern)
 

@@ -65,7 +65,8 @@ def diversity_gather(x, rnd, pad_top, pad_left, low: int, high: int):
     # step); the matmul form's VJP is two more matmuls. Each output element
     # sums exactly one (or zero) source element, so values are bit-exact.
     # precision=HIGHEST: the TPU default matmul precision truncates f32
-    # operands to bf16, which would quantize the "exact" 0/1 selection
+    # operands to bf16, which would quantize the "exact" 0/1 selection and
+    # break bit-exactness with the reference's gather-based resize path.
     S_r = jax.nn.one_hot(src_r, low, dtype=x.dtype) * valid_r[:, None].astype(x.dtype)
     S_c = jax.nn.one_hot(src_c, low, dtype=x.dtype) * valid_c[:, None].astype(x.dtype)
     tmp = jnp.einsum("ip,...pq->...iq", S_r, x,

@@ -36,6 +36,7 @@ def make_sharded_i2v_runner(
     remat: bool = False,
     unroll: int = 1,
     mu_dtype=None,
+    donate: bool = False,
 ):
     """Build a jitted, mesh-sharded I2V/ENS/AENS attack runner.
 
@@ -118,10 +119,16 @@ def make_sharded_i2v_runner(
 
     csharding = clip_sharding(mesh)
     rep = jax.sharding.NamedSharding(mesh, P())
+    # donate: the (B,C,T,H,W) clip buffer is dead right after the clip→frame
+    # transpose, so donating it hands its full B·C·T·H·W·4 bytes (308 MB at
+    # B=16 f32) back to XLA for scan-body temporaries — this is what closes
+    # the ~33 MB single-chip HBM overshoot of AENS 8-tap B=16 (VERDICT #3).
+    # Off by default because benchmarks re-call the runner with one input.
     jitted = jax.jit(
         inner,
         in_shardings=(None, csharding, None),
         out_shardings=(csharding, rep, (rep, rep) if adaptive else None),
+        donate_argnums=(1,) if donate else (),
     )
     params_list = [m.params for m in models]
     # coeffs persist across runner calls like the reference's instance state
@@ -167,7 +174,8 @@ class ShardedImageGuidedAttack:
         self._record_costs = Attack._record_costs.__get__(self)
         self._runner = make_sharded_i2v_runner(
             models, mesh, steps=steps, step_size=step_size,
-            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce)
+            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce,
+            donate=True)
 
     def __call__(self, videos, labels=None, video_names=None):
         from .mesh import clip_sharding
@@ -176,16 +184,28 @@ class ShardedImageGuidedAttack:
         b = videos.shape[0]
         data = self.mesh.shape["data"]
         frames = self.mesh.shape["frames"]
+        # A long --sharded generation run ends with a trailing partial batch;
+        # rather than dying there (after most artifacts are written) or
+        # falling back to a second unsharded program, pad the batch up to
+        # mesh divisibility with clip repeats and slice the pad back off.
+        # Per-clip attacks are independent, so pad clips can't perturb the
+        # real ones; per-step costs for the padded batch include the pad
+        # clips' contribution (mean over the padded batch).
+        pad = 0
         if b % data or (b * videos.shape[2]) % (data * frames):
-            raise ValueError(
-                f"--sharded needs the clip batch ({b}) divisible by the "
-                f"mesh data axis ({data}) and B·T divisible by the device "
-                f"count ({data * frames}); pick a --batch_size that divides "
-                "evenly (trailing partial batches included)")
+            target = b + (-b % data)
+            while (target * videos.shape[2]) % (data * frames):
+                target += data
+            pad = target - b
+            videos = jnp.concatenate(
+                [videos, jnp.repeat(videos[-1:], pad, axis=0)], axis=0)
         clean01 = pixel.unnormalize(videos, channel_axis=1)
+        del videos  # drop the normalized copy before the attack pins HBM
         # device-side reshard — a host round trip at relay bandwidth would
         # cost more than the attack itself
         clean01 = jax.device_put(clean01, clip_sharding(self.mesh))
         adv01, costs = self._runner(clean01)
         self._record_costs(costs, video_names)
+        if pad:
+            adv01 = adv01[:b]
         return pixel.normalize(adv01, channel_axis=1)

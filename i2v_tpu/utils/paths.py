@@ -6,6 +6,13 @@ from __future__ import annotations
 import dataclasses
 import os
 
+# Curated attack-set manifests shipped with the package (reference C30:
+# kinetics400_attack_samples.csv, test01_setting.txt, used_idxs.pkl at the
+# reference repo root — pure data, copied verbatim so a run needs zero env
+# configuration beyond the dataset mount).
+MANIFEST_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "manifests")
+
+
 # the six reference video models (reference: utils.py:8-15)
 VIDEO_MODEL_NAMES = (
     "i3d_resnet50",
@@ -29,15 +36,33 @@ class Paths:
     ckpt_path: str         # converted model checkpoints (msgpack)
 
 
+def _manifest_default(env_val: str | None, cwd_name: str, packaged: str) -> str:
+    """Resolve a manifest path: explicit env var > a copy in the CWD (the
+    reference's convention of running next to the file) > the packaged copy."""
+    if env_val:
+        return env_val
+    if os.path.exists(cwd_name):
+        return cwd_name
+    return os.path.join(MANIFEST_DIR, packaged)
+
+
 def get_paths() -> Paths:
     env = os.environ.get
     return Paths(
         opt_path=env("I2V_TPU_OPT_PATH", "./outputs"),
         kinetics_data=env("I2V_TPU_KINETICS_DATA", ""),
-        kinetics_anno=env("I2V_TPU_KINETICS_ANNO", "./kinetics400_attack_samples.csv"),
+        kinetics_anno=_manifest_default(
+            env("I2V_TPU_KINETICS_ANNO"),
+            "./kinetics400_attack_samples.csv",
+            "kinetics400_attack_samples.csv",
+        ),
         ucf_image_root=env("I2V_TPU_UCF_IMAGE_ROOT", ""),
-        ucf_setting=env("I2V_TPU_UCF_SETTING", "./test01_setting.txt"),
-        ucf_used_idxs=env("I2V_TPU_UCF_USED_IDXS", "./used_idxs.pkl"),
+        ucf_setting=_manifest_default(
+            env("I2V_TPU_UCF_SETTING"), "./test01_setting.txt", "test01_setting.txt"
+        ),
+        ucf_used_idxs=_manifest_default(
+            env("I2V_TPU_UCF_USED_IDXS"), "./used_idxs.pkl", "used_idxs.pkl"
+        ),
         ucf_ckpt_path=env("I2V_TPU_UCF_CKPT_PATH", ""),
         ckpt_path=env("I2V_TPU_CKPTS", "./checkpoints"),
     )

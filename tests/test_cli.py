@@ -57,6 +57,71 @@ class TestImageGuidedCLI:
         ])
         assert set(acc_bf16) == {"i3d_resnet50"}
 
+    def test_fused_generate_evaluate(self, opt_path):
+        """--fused_eval runs attack + on-device eval in one pass: reference-
+        schema reports AND async-written artifacts must both appear, and the
+        fused predictions must match an offline evaluate of the artifacts."""
+        from i2v_tpu.cli import evaluate, image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "3", "--batch_size", "2",
+            "--file_prefix", "fused", "--fused_eval", "i3d_resnet50",
+        ])
+        advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
+        assert advs == ["0-adv.npy", "1-adv.npy", "2-adv.npy"]
+        with open(os.path.join(run_dir, "top1_acc_all_models.json")) as f:
+            fused_acc = json.load(f)
+        assert set(fused_acc) == {"i3d_resnet50"}
+        import pandas as pd
+
+        fused_df = pd.read_csv(
+            os.path.join(run_dir, "results_all_models_prediction.csv"))
+        assert list(fused_df.columns) == ["gt_label", "i3d_resnet50-pre"]
+        # offline re-eval of the async-written artifacts agrees (same model
+        # seed => same random-init tiny weights)
+        offline = evaluate.main([
+            "--adv_path", run_dir, "--tiny", "--n_classes", "400",
+            "--models", "i3d_resnet50",
+        ])
+        offline_df = pd.read_csv(
+            os.path.join(run_dir, "results_all_models_prediction.csv"))
+        assert offline["i3d_resnet50"] == pytest.approx(
+            fused_acc["i3d_resnet50"])
+        assert list(offline_df["i3d_resnet50-pre"]) == \
+            list(fused_df["i3d_resnet50-pre"])
+
+    def test_fused_no_artifacts_and_f16(self, opt_path):
+        """--no_artifacts writes reports only; --artifact_dtype float16
+        halves artifact bytes and still round-trips through eval."""
+        from i2v_tpu.cli import image_main
+        from i2v_tpu.utils import artifacts
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "1", "--tiny", "--data", "synthetic",
+            "--n_synthetic", "2", "--batch_size", "2",
+            "--file_prefix", "noart", "--fused_eval", "i3d_resnet50",
+            "--no_artifacts",
+        ])
+        assert not any(f.endswith(".npy") for f in os.listdir(run_dir))
+        assert os.path.exists(os.path.join(run_dir, "top1_acc_all_models.json"))
+
+        run16 = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "1", "--tiny", "--data", "synthetic",
+            "--n_synthetic", "2", "--batch_size", "2",
+            "--file_prefix", "f16", "--artifact_dtype", "float16",
+        ])
+        raw = np.load(os.path.join(run16, "0-adv.npy"))
+        assert raw.dtype == np.float16
+        clips, labels = artifacts.load_adv_batch(run16, ["0-adv.npy"])
+        assert clips.dtype == np.float32  # protocol dtype restored on load
+
     def test_sharded_cli_attack(self, opt_path):
         """--sharded routes generation through the pjit runner on the CPU
         mesh; artifacts must match the class-path run numerically (same
@@ -187,6 +252,29 @@ class TestILAFCLI:
         ])
         advs = [f for f in os.listdir(out_dir) if f.endswith("-adv.npy")]
         assert len(advs) == 2
+
+
+class TestMalformedArtifacts:
+    """A malformed run dir must raise, not emit a quietly wrong CSV
+    (VERDICT r1 weak #5)."""
+
+    def test_out_of_range_label_raises(self):
+        from i2v_tpu.eval.transfer import order_predictions_by_label
+
+        with pytest.raises(ValueError, match="outside"):
+            order_predictions_by_label([0, 401], [5, 6], 400)
+
+    def test_duplicate_label_raises(self):
+        from i2v_tpu.eval.transfer import order_predictions_by_label
+
+        with pytest.raises(ValueError, match="duplicate"):
+            order_predictions_by_label([7, 7], [5, 6], 400)
+
+    def test_partial_run_fills_minus_one(self):
+        from i2v_tpu.eval.transfer import order_predictions_by_label
+
+        out = order_predictions_by_label([2, 0], [9, 8], 4)
+        assert list(out) == [8, -1, 9, -1]
 
 
 class TestReport:

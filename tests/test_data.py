@@ -361,13 +361,27 @@ class TestRealDatasets:
             assert a[1:] == b[1:]
 
 
-REF = "/root/reference"
+from i2v_tpu.utils.paths import MANIFEST_DIR as REF  # packaged C30 copies
 
 
-@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
 class TestReferenceManifests:
-    """Parse the reference's REAL shipped manifests (C30) — pure data
-    fixtures validating the exact file formats the loaders must accept."""
+    """Parse the PACKAGED copies of the reference's shipped manifests (C30)
+    — curated data copied verbatim into i2v_tpu/manifests/, validating both
+    the file formats and that the package ships runnable defaults."""
+
+    def test_packaged_defaults_resolve(self, tmp_path, monkeypatch):
+        """get_paths() with no env vars and no CWD copies must point every
+        manifest at an existing packaged file."""
+        from i2v_tpu.utils.paths import get_paths
+
+        for var in ("I2V_TPU_KINETICS_ANNO", "I2V_TPU_UCF_SETTING",
+                    "I2V_TPU_UCF_USED_IDXS"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.chdir(tmp_path)  # no ./kinetics400_attack_samples.csv here
+        p = get_paths()
+        for path in (p.kinetics_anno, p.ucf_setting, p.ucf_used_idxs):
+            assert os.path.isfile(path), path
+            assert os.path.dirname(path) == REF
 
     def test_kinetics_manifest(self):
         from i2v_tpu.data.kinetics import read_manifest

@@ -49,6 +49,24 @@ def test_sharded_aens_runs():
     assert np.isfinite(np.asarray(costs)).all()
 
 
+def test_sharded_attack_pads_indivisible_trailing_batch():
+    """A trailing partial batch (b % mesh data axis != 0) must run through
+    the same sharded program via pad-and-slice, and the pad clips must not
+    change the real clips' adversarial output."""
+    from i2v_tpu.parallel.sharded import ShardedImageGuidedAttack
+
+    models = get_image_models(["resnet"], {"resnet": 2}, tiny=True, input_hw=32)
+    mesh = attack_mesh()
+    atk = ShardedImageGuidedAttack(models, mesh, steps=2, step_size=0.005)
+    rng = np.random.RandomState(0)
+    videos8 = jnp.asarray(rng.rand(8, 3, 8, 32, 32).astype(np.float32))
+    adv8 = np.asarray(atk(videos8, video_names=[f"v{i}" for i in range(8)]))
+    # trailing batch of 3 (indivisible by data=4): same first-3 result
+    adv3 = np.asarray(atk(videos8[:3], video_names=["v0", "v1", "v2"]))
+    assert adv3.shape == (3, 3, 8, 32, 32)
+    np.testing.assert_allclose(adv3, adv8[:3], atol=2e-6)
+
+
 def test_shardings():
     mesh = attack_mesh()
     cs, fs = clip_sharding(mesh), frame_sharding(mesh)
