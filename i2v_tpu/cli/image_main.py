@@ -43,6 +43,15 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                    help="run I2V/ENS/AENS through the pjit-sharded "
                         "multi-chip runner (parallel/sharded.py) instead of "
                         "the single-device attack class")
+    p.add_argument("--frame_chunk", type=int, default=None,
+                   help="with --sharded: gradient-accumulate over frame-axis "
+                        "chunks of this size (exact — the objective is "
+                        "per-frame separable); enables f32 at B=16 on one "
+                        "16GB chip")
+    p.add_argument("--param_dtype", default=None,
+                   choices=["bfloat16"],
+                   help="with --sharded: store surrogate weights in bf16 "
+                        "(saves ~300MB HBM for the 4-model ensemble)")
     p.add_argument("--fused_eval", default=None, metavar="MODELS",
                    help="fuse generation and evaluation: comma-separated "
                         "video model names (or 'all') evaluated on-device "
@@ -87,7 +96,8 @@ def run(args) -> str:
                 out = attack(batch["clips"], batch["labels"], batch["names"])
             adv = out[0] if isinstance(out, tuple) else out  # AENS triple-return
             common.save_attack_outputs(args.adv_path, batch, adv, dtype=dtype)
-    artifacts.save_loss_info(args.adv_path, attack.loss_info, args.batch_index)
+    artifacts.save_loss_info(args.adv_path, attack.loss_info,
+                             common.loss_shard_index(args))
     print(f"[summary] {timer.summary()}")
     return args.adv_path
 
@@ -124,7 +134,8 @@ def _run_fused(args, dataset, iterate, attack, left, right) -> str:
         n_clips += len(batch["labels"])
     acc = fused.finalize(report_dir=args.adv_path)
     dt = time.time() - t0
-    artifacts.save_loss_info(args.adv_path, attack.loss_info, args.batch_index)
+    artifacts.save_loss_info(args.adv_path, attack.loss_info,
+                             common.loss_shard_index(args))
     print(f"[summary] fused gen+eval: {n_clips / dt:.3f} clips/s "
           f"({n_clips} clips, {len(names)} eval models, {dt:.1f}s)")
     print(f"[summary] top1: {acc}")

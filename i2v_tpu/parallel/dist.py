@@ -10,12 +10,31 @@ from __future__ import annotations
 import jax
 
 
-def maybe_initialize_distributed() -> None:
-    """Initialize jax.distributed when launched multi-host (no-op otherwise)."""
+_initialized = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed when launched multi-host (no-op otherwise).
+
+    Launch contract (the JAX-standard env vars): set
+    ``JAX_COORDINATOR_ADDRESS`` (host:port of process 0),
+    ``JAX_NUM_PROCESSES`` and ``JAX_PROCESS_ID`` on every process.
+    Idempotent — CLI entry points call this unconditionally. Returns whether
+    a multi-process runtime is active.
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    global _initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and not _initialized:
+        # jax.distributed auto-detects only managed clusters (SLURM etc.);
+        # for the plain env-var launch contract pass the values explicitly
+        num = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(num) if num else None,
+            process_id=int(pid) if pid else None)
+        _initialized = True
+    return _initialized
 
 
 def process_shard_bounds(n_samples: int, n_shards: int | None = None,

@@ -37,10 +37,23 @@ def make_sharded_i2v_runner(
     unroll: int = 1,
     mu_dtype=None,
     donate: bool = False,
+    frame_chunk: int | None = None,
+    param_dtype=None,
 ):
     """Build a jitted, mesh-sharded I2V/ENS/AENS attack runner.
 
     runner(clean01_clips (B,C,T,H,W) [0,1]) -> (adv01 clips, per-step costs).
+
+    ``frame_chunk``: gradient accumulation over the frame axis. The I2V/AENS
+    objectives are exactly per-frame separable (every frame's cosine term
+    depends only on that frame's modifier slice), so chunking the (B·T)
+    frame batch into lax.map'd sub-batches computes bit-identical costs and
+    gradients while holding only one chunk's surrogate activations — the
+    enabler for f32 at B=16 on a single 16 GB chip, where the full 512-frame
+    VGG activations alone need ~24 GB. ``param_dtype=jnp.bfloat16`` stores
+    surrogate weights in bf16 (XLA casts f32 params to bf16 for the MXU
+    anyway when ``dtype=bf16`` — pre-casting drops the dead f32 originals,
+    ~300 MB for the 4-surrogate ensemble).
     """
     from ..models.api import rebind_params
 
@@ -79,30 +92,82 @@ def make_sharded_i2v_runner(
         b = clean01.shape[0]
         frames = pixel.flatten_clip_to_frames(clean01)
         frames = jax.lax.with_sharding_constraint(frames, fsharding)
-        clean_taps = [jax.lax.stop_gradient(t) for t in collect_b(frames)]
+        n_frames = frames.shape[0]
+        chunked = frame_chunk is not None and frame_chunk < n_frames
+        if chunked and n_frames % frame_chunk:
+            raise ValueError(f"frame_chunk {frame_chunk} must divide the "
+                             f"frame batch {n_frames}")
 
-        def objective(modifier, coeffs_prev):
-            adv01 = pk.rebuild_adv(frames, modifier, epsilon)
-            taps = collect_b(adv01)
-            if adaptive:
-                coeffs, prev = coeffs_prev
-                coeffs = jax.nn.softmax(jax.nn.softmax(prev) + aens_momentum * coeffs)
-                per_tap = losses.per_tap_frame_cosines(taps, clean_taps)
-                each = jnp.sum(coeffs[:, None] * per_tap, axis=1)
-                cost = jnp.mean(each)
-                # coef_CE picks the weighted per-tap loss as the next
-                # coefficient signal (TPAMI_attack.py:293-297)
-                new_prev = jax.lax.stop_gradient(
-                    each if coef_ce else jnp.sum(per_tap, axis=1))
-                return cost, ((coeffs, new_prev), cost)
-            cost = losses.i2v_cost(taps, clean_taps)
-            return cost, (coeffs_prev, cost)
+        def _next_coeffs(state):
+            coeffs, prev = state
+            return jax.nn.softmax(jax.nn.softmax(prev) + aens_momentum * coeffs)
 
-        grad_fn = jax.grad(objective, has_aux=True)
+        if chunked:
+            k = n_frames // frame_chunk
+            frames_r = frames.reshape((k, frame_chunk) + frames.shape[1:])
+            # clean taps collected chunk-wise too: the full-batch clean
+            # forward would otherwise set the same activation peak chunking
+            # exists to avoid
+            clean_taps_r = jax.lax.map(
+                lambda fr: [jax.lax.stop_gradient(t) for t in collect_b(fr)],
+                frames_r)
+
+            def grad_and_state(modifier, state):
+                coeffs = _next_coeffs(state) if adaptive else None
+
+                def one(args):
+                    fr, mod, ct = args
+
+                    def obj(m):
+                        taps = collect_b(pk.rebuild_adv(fr, m, epsilon))
+                        if adaptive:
+                            per_tap = losses.per_tap_frame_cosines(taps, ct)
+                            each_c = jnp.sum(coeffs[:, None] * per_tap, axis=1)
+                            raw_c = jnp.sum(per_tap, axis=1)
+                            return jnp.mean(each_c), (each_c, raw_c)
+                        return losses.i2v_cost(taps, ct), ()
+
+                    (c, aux), g = jax.value_and_grad(obj, has_aux=True)(mod)
+                    return c, aux, g
+
+                mod_r = modifier.reshape(frames_r.shape)
+                costs_c, auxs, grads = jax.lax.map(
+                    one, (frames_r, mod_r, clean_taps_r))
+                cost = jnp.sum(costs_c)
+                g = grads.reshape(modifier.shape)
+                if adaptive:
+                    each = jax.lax.stop_gradient(jnp.sum(auxs[0], axis=0))
+                    raw = jax.lax.stop_gradient(jnp.sum(auxs[1], axis=0))
+                    return g, (coeffs, each if coef_ce else raw), cost
+                return g, state, cost
+        else:
+            clean_taps = [jax.lax.stop_gradient(t) for t in collect_b(frames)]
+
+            def objective(modifier, coeffs_prev):
+                adv01 = pk.rebuild_adv(frames, modifier, epsilon)
+                taps = collect_b(adv01)
+                if adaptive:
+                    coeffs = _next_coeffs(coeffs_prev)
+                    per_tap = losses.per_tap_frame_cosines(taps, clean_taps)
+                    each = jnp.sum(coeffs[:, None] * per_tap, axis=1)
+                    cost = jnp.mean(each)
+                    # coef_CE picks the weighted per-tap loss as the next
+                    # coefficient signal (TPAMI_attack.py:293-297)
+                    new_prev = jax.lax.stop_gradient(
+                        each if coef_ce else jnp.sum(per_tap, axis=1))
+                    return cost, ((coeffs, new_prev), cost)
+                cost = losses.i2v_cost(taps, clean_taps)
+                return cost, (coeffs_prev, cost)
+
+            _grad = jax.grad(objective, has_aux=True)
+
+            def grad_and_state(modifier, state):
+                g, (state, cost) = _grad(modifier, state)
+                return g, state, cost
 
         def step(carry, _):
             modifier, opt_state, state = carry
-            g, (state, cost) = grad_fn(modifier, state)
+            g, state, cost = grad_and_state(modifier, state)
             updates, opt_state = opt.update(g, opt_state)
             modifier = jax.tree.map(lambda m, u: m + u, modifier, updates)
             return (modifier, opt_state, state), cost
@@ -131,6 +196,10 @@ def make_sharded_i2v_runner(
         donate_argnums=(1,) if donate else (),
     )
     params_list = [m.params for m in models]
+    if param_dtype is not None:
+        params_list = jax.tree.map(
+            lambda x: x.astype(param_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params_list)
     # coeffs persist across runner calls like the reference's instance state
     # (TPAMI_attack.py:165,265; previous_cs_loss resets per call, :257) and
     # like attacks/i2v.AENS_I2V_MF
@@ -164,7 +233,8 @@ class ShardedImageGuidedAttack:
     def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *, steps: int,
                  step_size: float, adaptive: bool = False,
                  aens_momentum: float = 0.0, coef_ce: bool = False,
-                 name: str = "ShardedI2V"):
+                 name: str = "ShardedI2V", frame_chunk: int | None = None,
+                 param_dtype=None):
         from ..attacks.core import Attack
 
         self.attack = name
@@ -175,7 +245,7 @@ class ShardedImageGuidedAttack:
         self._runner = make_sharded_i2v_runner(
             models, mesh, steps=steps, step_size=step_size,
             adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce,
-            donate=True)
+            donate=True, frame_chunk=frame_chunk, param_dtype=param_dtype)
 
     def __call__(self, videos, labels=None, video_names=None):
         from .mesh import clip_sharding

@@ -97,26 +97,44 @@ def hbm_probe(which: str) -> None:
 
     mesh = attack_mesh(jax.devices()[:1])
 
-    def sharded_case(models, batch, adaptive):
+    def sharded_case(models, batch, adaptive, remat=False, frame_chunk=None,
+                     param_dtype=None):
         runner = make_sharded_i2v_runner(
             models, mesh, steps=STEPS, step_size=0.005, adaptive=adaptive,
-            donate=True)
+            donate=True, remat=remat, frame_chunk=frame_chunk,
+            param_dtype=param_dtype)
         clip = jax.ShapeDtypeStruct((batch, 3, 32, 224, 224), jnp.float32)
         params, _, state0 = runner.example_args(clip)
         return runner.jitted.lower(params, clip, state0).compile()
 
+    bf16 = jnp.bfloat16
     cases = {
-        "aens16": lambda: sharded_case(_aens_models(jnp.float32), 16, True),
-        "ens24": lambda: sharded_case(_ens_models(jnp.float32), 24, False),
+        # the two round-1 over-by-33MB configs: donation + bf16 param storage
+        "aens16_bf16_pcast": lambda: sharded_case(
+            _aens_models(bf16), 16, True, param_dtype=bf16),
+        "mi16": None,       # filled below (video-model white-box)
+        "mi16_remat": None,
+        # f32 at B=16 single-chip: full-batch activations need ~24G, so the
+        # per-frame-separable objective is chunked over the frame axis
+        # (exact gradient accumulation, test_parallel.py parity test)
         "ens16_f32": lambda: sharded_case(_ens_models(jnp.float32), 16, False),
+        "ens16_f32_chunk128": lambda: sharded_case(
+            _ens_models(jnp.float32), 16, False, frame_chunk=128),
+        "ens16_f32_chunk64": lambda: sharded_case(
+            _ens_models(jnp.float32), 16, False, frame_chunk=64),
+        "aens16_f32_chunk64": lambda: sharded_case(
+            _aens_models(jnp.float32), 16, True, frame_chunk=64),
+        # the round-1 over-by-4GB config:
+        "ens24_bf16_chunk256": lambda: sharded_case(
+            _ens_models(bf16), 24, False, frame_chunk=256, param_dtype=bf16),
     }
 
-    def mi16():
+    def mi16(remat=False):
         from i2v_tpu.attacks.whitebox import MIFGSM
         from i2v_tpu.models import get_video_model
 
-        model = get_video_model("i3d_resnet101")  # random init is fine: the
-        # HBM footprint depends on shapes, not weight values
+        model = get_video_model("i3d_resnet101", remat=remat)  # random init
+        # is fine: the HBM footprint depends on shapes, not weight values
         atk = MIFGSM(model, steps=10)
         shape = (16, 3, 32, 224, 224)
         jitted = atk.jitted_runner(shape)
@@ -128,17 +146,28 @@ def hbm_probe(which: str) -> None:
         ).compile()
 
     cases["mi16"] = mi16
+    cases["mi16_remat"] = lambda: mi16(remat=True)
 
     names = list(cases) if which == "all" else [which]
     for name in names:
         t0 = time.time()
-        compiled = cases[name]()
-        info = _mem_analysis(compiled)
-        info["compile_s"] = round(time.time() - t0, 1)
-        print(f"[hbm:{name}] peak {info['peak_gb']} GB "
-              f"(args {info['argument_bytes']/1e9:.2f} GB, aliased "
-              f"{info['alias_bytes']/1e9:.2f} GB, temp "
-              f"{info['temp_bytes']/1e9:.2f} GB) fits_16gb={info['fits_16gb']}")
+        try:
+            compiled = cases[name]()
+            info = _mem_analysis(compiled)
+            info["compile_s"] = round(time.time() - t0, 1)
+            print(f"[hbm:{name}] peak {info['peak_gb']} GB "
+                  f"(args {info['argument_bytes']/1e9:.2f} GB, aliased "
+                  f"{info['alias_bytes']/1e9:.2f} GB, temp "
+                  f"{info['temp_bytes']/1e9:.2f} GB) "
+                  f"fits_16gb={info['fits_16gb']}")
+        except Exception as e:
+            # the AOT compiler enforces the 15.75G budget server-side: a
+            # compile OOM IS the fits-answer — record it structurally
+            msg = str(e)
+            info = {"fits_16gb": False, "compile_s": round(time.time() - t0, 1),
+                    "error": msg[msg.find("Ran out of memory"):][:160] or
+                             msg[:160]}
+            print(f"[hbm:{name}] DOES NOT FIT: {info['error'][:100]}")
         record(f"hbm_{name}", info)
 
 
