@@ -52,6 +52,12 @@ class SignAttackConfig:
     decay: float = 1.0
     # gradient normalization before momentum: 'frame' | 'clip' | 'l1' | None
     grad_norm: Optional[str] = None
+    # gradient accumulation over clip-batch chunks of this size. Exact for
+    # the mean-CE objectives this engine runs (mean of equal-chunk means =
+    # global mean; grads rescaled by 1/n_chunks): holds one chunk's video-
+    # model activations — closes the ~70 MB single-chip overshoot of
+    # MIFGSM B=16 on I3D-101 (PERF_PROBE.json hbm_mi16)
+    batch_chunk: Optional[int] = None
 
     @property
     def alpha(self) -> float:
@@ -87,6 +93,23 @@ def run_sign_attack(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     mom0 = jnp.zeros_like(clean01)
+
+    b = clean01.shape[0]
+    if cfg.batch_chunk and cfg.batch_chunk < b:
+        if b % cfg.batch_chunk:
+            raise ValueError(f"batch_chunk {cfg.batch_chunk} must divide "
+                             f"the clip batch {b}")
+        k = b // cfg.batch_chunk
+        raw_grad_fn = grad_fn
+
+        def grad_fn(adv, labels, key):  # noqa: F811 — chunked wrapper
+            adv_r = adv.reshape((k, cfg.batch_chunk) + adv.shape[1:])
+            lab_r = labels.reshape(k, cfg.batch_chunk)
+            costs, grads = jax.lax.map(
+                lambda t: raw_grad_fn(t[0], t[1], key), (adv_r, lab_r))
+            # mean-CE semantics: global cost = mean of equal-chunk means,
+            # and d(global)/d(chunk) = (1/k)·d(chunk mean)/d(chunk)
+            return jnp.mean(costs, axis=0), grads.reshape(adv.shape) / k
 
     def step(carry, _):
         adv, mom, key = carry

@@ -39,6 +39,10 @@ def arg_parse(argv=None):
                         "passes (activation HBM vs MXU recompute; raises the "
                         "largest single-chip batch for momentum-carrying "
                         "attacks)")
+    p.add_argument("--batch_chunk", type=int, default=None,
+                   help="gradient-accumulate over clip-batch chunks of this "
+                        "size (exact for the mean-CE attacks); fits MIFGSM "
+                        "B=16 on one 16GB chip")
     p.add_argument("--sim_batch_scales", action="store_true",
                    help="SIM: fold the 5 scale copies into one batched "
                         "fwd+bwd (5x activation memory, one gradient query)")

@@ -95,9 +95,16 @@ def build_whitebox_attack(args, bundle):
         params = {"kernlen": 3, "temporal_kernlen": 3, "eta": 1e3, "conv3d": True}
         return attacks.TAP(bundle, params, steps=args.step)
     if name == "SIM" and getattr(args, "sim_batch_scales", False):
-        return attacks.SIM(bundle, steps=args.step, batch_scales=True)
-    cls = getattr(attacks, name)
-    return cls(bundle, steps=args.step)
+        atk = attacks.SIM(bundle, steps=args.step, batch_scales=True)
+    else:
+        cls = getattr(attacks, name)
+        atk = cls(bundle, steps=args.step)
+    chunk = getattr(args, "batch_chunk", None)
+    if chunk and hasattr(atk, "cfg"):
+        import dataclasses
+
+        atk.cfg = dataclasses.replace(atk.cfg, batch_chunk=chunk)
+    return atk
 
 
 def build_image_guided_attack(args):

@@ -68,6 +68,7 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                         "(reports only)")
     common.add_data_args(p)
     args = p.parse_args(argv)
+    args.kind = kind
     args.adv_path = os.path.join(
         get_paths().opt_path,
         artifacts.run_dir_name(kind, args.attack_method, args.step,
@@ -119,8 +120,11 @@ def _run_fused(args, dataset, iterate, attack, left, right) -> str:
         if n not in VIDEO_BUILDERS:
             raise SystemExit(f"unknown video model {n!r}; have "
                              f"{sorted(VIDEO_BUILDERS)}")
-    bundles = {n: get_video_model(n, tiny=args.tiny) for n in names}
-    n_classes = 400  # Kinetics report rows (reference: reference.py:106)
+    ucf = getattr(args, "kind", "Image").startswith("UCF101")
+    bundles = {n: get_video_model(n, tiny=args.tiny, ucf101=ucf and not args.tiny)
+               for n in names}
+    # report rows: one per class (reference: reference.py:106, _ucf101.py:137)
+    n_classes = 101 if ucf else 400
     dtype = np.float16 if args.artifact_dtype == "float16" else np.float32
     fused = FusedGenerateEvaluate(
         attack, bundles,

@@ -20,7 +20,14 @@ from . import evaluate, evaluate_ucf101, image_main, image_main_ucf101
 BEST_DEPTH = {"resnet": 2, "squeezenet": 2, "vgg": 3, "alexnet": 3}
 
 
+# --fused: route every config through the fused generate+evaluate path
+# (eval/fused.py) instead of generate → artifact round trip → evaluate
+_FUSED = None
+
+
 def _gen_and_eval(gen_main, eval_main, gen_args, run_name, extra_eval=()):
+    if _FUSED is not None:
+        return gen_main(gen_args + ["--fused_eval", _FUSED])
     adv_path = gen_main(gen_args)
     eval_main(["--adv_path", adv_path, *extra_eval])
     return adv_path
@@ -101,7 +108,15 @@ def main(argv=None):
     p.add_argument("grid", choices=sorted(GRIDS))
     p.add_argument("--limit", type=int, default=None,
                    help="run only the first N grid configs (smoke runs)")
+    p.add_argument("--fused", nargs="?", const="all", default=None,
+                   metavar="MODELS",
+                   help="run each grid config through the fused "
+                        "generate+evaluate path (--fused_eval) instead of "
+                        "the two-stage artifact round trip; optional "
+                        "comma-separated eval-model subset (default all)")
     args, passthrough = p.parse_known_args(argv)
+    global _FUSED
+    _FUSED = args.fused
     if args.limit is not None:
         _install_limit(args.limit)
     else:

@@ -72,6 +72,27 @@ class TestSignAttacks:
         adv = attacks.MIFGSM(video_bundle, steps=3)(videos, labels)
         _check_invariants(adv, videos)
 
+    def test_batch_chunked_grad_matches_full(self, video_bundle, clean_batch):
+        """batch_chunk gradient accumulation is exact for the mean-CE
+        engine: chunked MIFGSM must reproduce the full-batch adversarial
+        output (momentum + frame-norm run on the assembled full gradient)."""
+        import dataclasses
+
+        videos, labels = clean_batch
+        full = attacks.MIFGSM(video_bundle, steps=4)
+        adv_full = np.asarray(full(videos, labels))
+        chunked = attacks.MIFGSM(video_bundle, steps=4)
+        chunked.cfg = dataclasses.replace(chunked.cfg, batch_chunk=1)
+        adv_chunk = np.asarray(chunked(videos, labels))
+        np.testing.assert_allclose(adv_chunk, adv_full, atol=2e-6)
+        # BIM too (no momentum path)
+        full_b = attacks.BIM(video_bundle, steps=3)
+        chunk_b = attacks.BIM(video_bundle, steps=3)
+        chunk_b.cfg = dataclasses.replace(chunk_b.cfg, batch_chunk=1)
+        np.testing.assert_allclose(np.asarray(chunk_b(videos, labels)),
+                                   np.asarray(full_b(videos, labels)),
+                                   atol=2e-6)
+
     def test_difgsm(self, video_bundle, clean_batch):
         videos, labels = clean_batch
         atk = attacks.DIFGSM(video_bundle, steps=3, momentum=True)

@@ -314,3 +314,18 @@ class TestGridDriver:
         for r in runs:
             assert os.path.exists(
                 os.path.join(opt_path, r, "top1_acc_all_models.json"))
+
+    def test_grid_fused_smoke(self, opt_path):
+        """--fused routes a grid config through the fused generate+evaluate
+        path — one process, reports written, no separate eval stage."""
+        from i2v_tpu.cli import run_grid
+
+        run_grid.main(["layer_ablation", "--limit", "1",
+                       "--fused", "i3d_resnet50", "--tiny",
+                       "--data", "synthetic", "--n_synthetic", "2",
+                       "--batch_size", "2"])
+        runs = [r for r in os.listdir(opt_path) if "layers_resnet_1" in r]
+        assert len(runs) == 1
+        with open(os.path.join(opt_path, runs[0],
+                               "top1_acc_all_models.json")) as f:
+            assert set(json.load(f)) == {"i3d_resnet50"}

@@ -100,12 +100,12 @@ def test_full_size_ens_f32_vs_bf16_cost_trajectory():
             ["resnet", "vgg", "squeezenet", "alexnet"],
             {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3},
             input_hw=224, dtype=jnp.bfloat16)
-    mesh = attack_mesh(jax.devices()[:1])
+    mesh = attack_mesh(data=1)  # all 8 CPU devices on the frame axis
     clean01 = jnp.asarray(
         np.random.RandomState(0).rand(1, 3, 32, 224, 224).astype(np.float32))
     costs = {}
     for tag, models in (("f32", models32), ("bf16", models16)):
-        runner = make_sharded_i2v_runner(models, mesh, steps=3,
+        runner = make_sharded_i2v_runner(models, mesh, steps=2,
                                          step_size=0.005)
         _, c = runner(shard_clips(clean01, mesh))
         costs[tag] = np.asarray(c)

@@ -54,20 +54,25 @@ def record(key: str, payload: dict) -> None:
 
 
 def _mem_analysis(compiled) -> dict:
+    """fits_16gb = the compile succeeded: the terminal's AOT TPU compiler
+    enforces the physical 15.75G budget and raises a permanent
+    out-of-memory error otherwise (observed for every unchunked over-budget
+    config). CompiledMemoryStats fields are informational only — for
+    programs with nested control flow (lax.map inside the attack scan) the
+    reported temp size SUMS sub-computation buffers instead of the
+    concurrent peak, over-counting by several GB."""
     ma = compiled.memory_analysis()
     args = float(ma.argument_size_in_bytes)
     out = float(ma.output_size_in_bytes)
     alias = float(ma.alias_size_in_bytes)
     temp = float(ma.temp_size_in_bytes)
-    peak = args + out - alias + temp
     return {
         "argument_bytes": args,
         "output_bytes": out,
         "alias_bytes": alias,
         "temp_bytes": temp,
-        "peak_bytes": peak,
-        "peak_gb": round(peak / 1024**3, 3),
-        "fits_16gb": peak <= HBM_BYTES,
+        "reported_gb": round((args + out - alias + temp) / 1024**3, 3),
+        "fits_16gb": True,
     }
 
 
@@ -124,18 +129,26 @@ def hbm_probe(which: str) -> None:
             _ens_models(jnp.float32), 16, False, frame_chunk=64),
         "aens16_f32_chunk64": lambda: sharded_case(
             _aens_models(jnp.float32), 16, True, frame_chunk=64),
+        "aens16_f32_chunk32": lambda: sharded_case(
+            _aens_models(jnp.float32), 16, True, frame_chunk=32),
+        "aens16_bf16_chunk256": lambda: sharded_case(
+            _aens_models(bf16), 16, True, frame_chunk=256, param_dtype=bf16),
         # the round-1 over-by-4GB config:
         "ens24_bf16_chunk256": lambda: sharded_case(
             _ens_models(bf16), 24, False, frame_chunk=256, param_dtype=bf16),
     }
 
-    def mi16(remat=False):
+    def mi16(remat=False, batch_chunk=None):
+        import dataclasses
+
         from i2v_tpu.attacks.whitebox import MIFGSM
         from i2v_tpu.models import get_video_model
 
         model = get_video_model("i3d_resnet101", remat=remat)  # random init
         # is fine: the HBM footprint depends on shapes, not weight values
         atk = MIFGSM(model, steps=10)
+        if batch_chunk:
+            atk.cfg = dataclasses.replace(atk.cfg, batch_chunk=batch_chunk)
         shape = (16, 3, 32, 224, 224)
         jitted = atk.jitted_runner(shape)
         return jitted.lower(
@@ -147,6 +160,7 @@ def hbm_probe(which: str) -> None:
 
     cases["mi16"] = mi16
     cases["mi16_remat"] = lambda: mi16(remat=True)
+    cases["mi16_chunk8"] = lambda: mi16(batch_chunk=8)
 
     names = list(cases) if which == "all" else [which]
     for name in names:
@@ -155,11 +169,10 @@ def hbm_probe(which: str) -> None:
             compiled = cases[name]()
             info = _mem_analysis(compiled)
             info["compile_s"] = round(time.time() - t0, 1)
-            print(f"[hbm:{name}] peak {info['peak_gb']} GB "
-                  f"(args {info['argument_bytes']/1e9:.2f} GB, aliased "
-                  f"{info['alias_bytes']/1e9:.2f} GB, temp "
-                  f"{info['temp_bytes']/1e9:.2f} GB) "
-                  f"fits_16gb={info['fits_16gb']}")
+            print(f"[hbm:{name}] FITS (compiled within the 15.75G budget; "
+                  f"reported-stats {info['reported_gb']} GB, args "
+                  f"{info['argument_bytes']/1e9:.2f} GB, aliased "
+                  f"{info['alias_bytes']/1e9:.2f} GB)")
         except Exception as e:
             # the AOT compiler enforces the 15.75G budget server-side: a
             # compile OOM IS the fits-answer — record it structurally
@@ -169,6 +182,81 @@ def hbm_probe(which: str) -> None:
                              msg[:160]}
             print(f"[hbm:{name}] DOES NOT FIT: {info['error'][:100]}")
         record(f"hbm_{name}", info)
+
+
+def exec_probe(which: str) -> None:
+    """Actually EXECUTE a reference-scale config on the chip — the ground
+    truth behind the hbm compile audit. Records steps/s into PERF_PROBE.json
+    as exec_<name>."""
+    import numpy as np
+
+    from i2v_tpu.parallel import attack_mesh, shard_clips
+    from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
+
+    mesh = attack_mesh(jax.devices()[:1])
+
+    def run_sharded(models, batch, adaptive, frame_chunk, param_dtype=None,
+                    steps=STEPS):
+        runner = make_sharded_i2v_runner(
+            models, mesh, steps=steps, step_size=0.005, adaptive=adaptive,
+            donate=True, frame_chunk=frame_chunk, param_dtype=param_dtype)
+        mk = lambda: shard_clips(
+            jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+        t0 = time.time()
+        _, costs = runner(mk())
+        final = float(np.asarray(costs)[-1])
+        compile_s = time.time() - t0
+        reps = 2
+        inputs = [mk() for _ in range(reps)]
+        t0 = time.time()
+        for x in inputs:
+            _, costs = runner(x)
+        final = float(np.asarray(costs)[-1])
+        dt = time.time() - t0
+        return steps * reps / dt * (batch * 32 / 512), final, compile_s
+
+    bf16 = jnp.bfloat16
+    if which == "ens16_f32_chunk64":
+        sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 64)
+    elif which == "aens16_bf16_chunk256":
+        sps, final, cs = run_sharded(_aens_models(bf16), 16, True, 256,
+                                     param_dtype=bf16)
+    elif which == "ens24_bf16_chunk256":
+        sps, final, cs = run_sharded(_ens_models(bf16), 24, False, 256,
+                                     param_dtype=bf16)
+    elif which == "mi16_chunk8":
+        import dataclasses
+
+        from i2v_tpu.attacks.whitebox import MIFGSM
+        from i2v_tpu.models import get_video_model
+
+        model = get_video_model("i3d_resnet101")
+        atk = MIFGSM(model, steps=10)
+        atk.cfg = dataclasses.replace(atk.cfg, batch_chunk=8)
+        clean = jnp.full((16, 3, 32, 224, 224), 0.5, jnp.float32)
+        labels = jnp.zeros((16,), jnp.int32)
+        jitted = atk.jitted_runner(clean.shape)
+        t0 = time.time()
+        _, costs = jitted(model.params, clean, labels, jax.random.PRNGKey(0))
+        final = float(np.asarray(costs)[-1])
+        cs = time.time() - t0
+        reps = 2
+        t0 = time.time()
+        for i in range(reps):
+            _, costs = jitted(model.params, clean, labels,
+                              jax.random.PRNGKey(i))
+        final = float(np.asarray(costs)[-1])
+        sps = 10 * reps / (time.time() - t0)
+    else:
+        raise SystemExit(f"unknown exec case {which!r}")
+    print(f"[exec:{which}] {sps:.3f} steps/s (512-frame-normalized), "
+          f"final cost {final:.2f}, compile+first {cs:.1f}s")
+    record(f"exec_{which}", {
+        "steps_per_s_512norm": round(sps, 3),
+        "final_cost": round(final, 3),
+        "compile_and_first_s": round(cs, 1),
+        "executed": True,
+    })
 
 
 def cost_probe() -> None:
@@ -219,6 +307,8 @@ def main():
         return cost_probe()
     if variant == "hbm":
         return hbm_probe(sys.argv[2] if len(sys.argv) > 2 else "all")
+    if variant == "exec":
+        return exec_probe(sys.argv[2])
 
     import numpy as np
 
