@@ -58,7 +58,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_runner(names, depths, batch, dtype, donate, frame_chunk=None):
+def build_runner(names, depths, batch, dtype, donate, frame_chunk=None,
+                 param_dtype=None):
     from i2v_tpu.models import get_image_models
     from i2v_tpu.parallel import attack_mesh, shard_clips
     from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
@@ -67,7 +68,8 @@ def build_runner(names, depths, batch, dtype, donate, frame_chunk=None):
     models = get_image_models(names, depths, input_hw=224, dtype=dtype)
     runner = make_sharded_i2v_runner(models, mesh, steps=STEPS,
                                      step_size=0.005, donate=donate,
-                                     frame_chunk=frame_chunk)
+                                     frame_chunk=frame_chunk,
+                                     param_dtype=param_dtype)
     make_input = lambda: shard_clips(
         jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
     return runner, make_input
@@ -104,16 +106,20 @@ def bench_ens(rows):
     # f32 at B=16 needs frame-chunked gradient accumulation (exact; the
     # full-batch f32 activations need ~24 GB, PERF_PROBE.json hbm_ens16_f32)
     plans = {
-        "f32": (jnp.float32, True, [(16, 128), (16, 64), (8, None)]),
-        "bf16": (jnp.bfloat16, False, [(16, None), (8, None)]),
+        "f32": (jnp.float32, True, None, [(16, 128), (16, 64), (8, None)]),
+        "bf16": (jnp.bfloat16, False, None, [(16, None), (8, None)]),
+        # the largest single-chip config: chunk256 + bf16 param storage fit
+        # B=24 (round-1: over by 4 GB) and its bigger MXU batches beat the
+        # B=16 step rate (PERF_PROBE.json exec_ens24_bf16_chunk256)
+        "bf16-B24": (jnp.bfloat16, True, jnp.bfloat16, [(24, 256)]),
     }
-    for tag, (dtype, donate, variants) in plans.items():
+    for tag, (dtype, donate, pdtype, variants) in plans.items():
         for batch, chunk in variants:
             try:
                 log(f"ENS {tag} batch={batch} chunk={chunk} donate={donate}...")
                 runner, make_input = build_runner(
                     ENS_NAMES, ENS_DEPTHS, batch, dtype, donate,
-                    frame_chunk=chunk)
+                    frame_chunk=chunk, param_dtype=pdtype)
                 sps, final = time_attack(runner, make_input, batch, donate)
                 finals[tag] = final
                 extra = {} if chunk is None else {"frame_chunk": chunk}
@@ -126,6 +132,7 @@ def bench_ens(rows):
                     sps / len(jax.devices()), "steps/s/chip",
                     REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
                     **extra))
+                del runner
                 break
             except Exception as e:
                 log(f"  ENS {tag} B={batch} failed: {type(e).__name__}: "
@@ -151,12 +158,17 @@ def bench_whitebox(rows):
     """BIM on full-size I3D-NL ResNet-101, the reference's white-box default
     scale (attack.py:13-61: B=16, steps=10)."""
     try:
-        log("BIM i3d_resnet101 f32 B=16 steps=10...")
+        log("BIM i3d_resnet101 f32 B=16 steps=10 batch_chunk=8...")
+        import dataclasses
+
         from i2v_tpu.attacks.whitebox import BIM
         from i2v_tpu.models import get_video_model
 
         model = get_video_model("i3d_resnet101")
         atk = BIM(model, steps=10)
+        # batch_chunk: the full-batch I3D-101 program is ~70 MB over one
+        # chip (PERF_PROBE.json hbm_mi16); chunked accumulation is exact
+        atk.cfg = dataclasses.replace(atk.cfg, batch_chunk=8)
         clean = jnp.full((16, 3, 32, 224, 224), 0.5, jnp.float32)
         labels = jnp.zeros((16,), jnp.int32)
         jitted = atk.jitted_runner(clean.shape)
@@ -167,12 +179,15 @@ def bench_whitebox(rows):
         reps = 3
         t0 = time.time()
         for i in range(reps):
+            # per-rep sync: un-synced dispatches triple-buffer the 308 MB
+            # adv outputs and push a near-limit program over HBM
             _, costs = jitted(model.params, clean, labels,
                               jax.random.PRNGKey(i))
-        float(np.asarray(costs)[-1])
+            float(np.asarray(costs)[-1])
         dt = time.time() - t0
         rows.append(row(
-            "BIM white-box attack steps/sec/chip (f32, I3D-NL R101, B=16)",
+            "BIM white-box attack steps/sec/chip (f32, I3D-NL R101, B=16, "
+            "batch_chunk=8)",
             10 * reps / dt / len(jax.devices()), "steps/s/chip"))
     except Exception as e:
         log(f"  BIM failed: {type(e).__name__}: {str(e)[:200]}")
@@ -286,11 +301,14 @@ def main():
     warnings.filterwarnings("ignore")
     log(f"devices: {jax.devices()}")
     rows: list = []
+    # a RESOURCE_EXHAUSTED failure can poison later allocations in the same
+    # process (verify-skill gotcha), so the rows closest to the HBM limit
+    # (white-box video model) run LAST
     bench_ens(rows)
     bench_i2v(rows)
-    bench_whitebox(rows)
     bench_eval(rows)
     bench_e2e(rows)
+    bench_whitebox(rows)
     if not rows:
         raise SystemExit("all bench configs failed")
     head = next((r for r in rows if r["metric"].startswith("ENS-I2V")), rows[0])
