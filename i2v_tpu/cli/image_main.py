@@ -33,8 +33,12 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
     p.add_argument("--file_prefix", default="")
     p.add_argument("--depth", type=int, default=1, help="tap depth 1-4")
     p.add_argument("--step_size", type=float, default=0.004)
+    # the reference CLI exposes the 4 ENS surrogates (image_main.py:27);
+    # densenet161 and ViT-B/16 exist in its zoo but are never wired
+    # (image_attacks.py:96-99, TPAMI_attack.py:88-98) — wired here
     p.add_argument("--direction_image_model", default="resnet",
-                   choices=["resnet", "vgg", "alexnet", "squeezenet"])
+                   choices=["resnet", "vgg", "alexnet", "squeezenet",
+                            "densenet", "vit"])
     p.add_argument("--aens_momentum", type=float, default=0.0)
     p.add_argument("--coef_CE", action="store_true")
     p.add_argument("--profile", default=None,

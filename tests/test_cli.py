@@ -122,6 +122,22 @@ class TestImageGuidedCLI:
         clips, labels = artifacts.load_adv_batch(run16, ["0-adv.npy"])
         assert clips.dtype == np.float32  # protocol dtype restored on load
 
+    @pytest.mark.parametrize("surrogate", ["vit", "densenet"])
+    def test_extra_surrogates(self, opt_path, surrogate):
+        """densenet161 and ViT-B/16 exist in the reference zoo but are never
+        CLI-wired (image_attacks.py:96-99, TPAMI_attack.py:88-98); here they
+        are first-class --direction_image_model choices."""
+        from i2v_tpu.cli import image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", surrogate, "--depth", "2",
+            "--step", "1", "--tiny", "--data", "synthetic",
+            "--n_synthetic", "2", "--batch_size", "2",
+            "--file_prefix", surrogate])
+        advs = [f for f in os.listdir(run_dir) if f.endswith("-adv.npy")]
+        assert len(advs) == 2
+
     def test_sharded_cli_attack(self, opt_path):
         """--sharded routes generation through the pjit runner on the CPU
         mesh; artifacts must match the class-path run numerically (same
@@ -201,6 +217,88 @@ class TestImageGuidedCLI:
             "--n_synthetic", "2", "--file_prefix", "aens",
         ])
         assert len([f for f in os.listdir(run_dir) if "adv" in f]) == 2
+
+
+class TestRealDataCLI:
+    """End-to-end over REAL decoded data (native MJPEG-AVI / frame-JPEG
+    decode → attack → artifacts → evaluate) — the full C3/C4 + C24/C25 + C27
+    chain the synthetic smoke path bypasses."""
+
+    def test_kinetics_decode_attack_evaluate(self, opt_path, tmp_path,
+                                             monkeypatch):
+        from PIL import Image
+
+        from .avi_helper import write_mjpeg_avi
+
+        rng = np.random.RandomState(0)
+        data = tmp_path / "kinetics"
+        (data / "class a").mkdir(parents=True)
+        rows = ["path,gt_label,clip_index"]
+        for i in range(2):
+            rel = f"class a/vid{i}.avi"
+            frames = [Image.fromarray(
+                rng.randint(0, 255, (40, 56, 3), dtype=np.uint8))
+                for _ in range(10)]
+            write_mjpeg_avi(str(data / rel), frames)
+            rows.append(f"{rel},{i},-1")
+        anno = tmp_path / "anno.csv"
+        anno.write_text("\n".join(rows) + "\n")
+        monkeypatch.setenv("I2V_TPU_KINETICS_DATA", str(data))
+        monkeypatch.setenv("I2V_TPU_KINETICS_ANNO", str(anno))
+
+        from i2v_tpu.cli import evaluate, image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--tiny", "--data", "kinetics",
+            "--crop_size", "32", "--clip_len", "8",
+            "--batch_size", "2", "--file_prefix", "realdata",
+        ])
+        advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
+        assert advs == ["0-adv.npy", "1-adv.npy"]
+        assert np.load(os.path.join(run_dir, advs[0])).shape == (3, 8, 32, 32)
+        acc = evaluate.main(["--adv_path", run_dir, "--tiny",
+                             "--n_classes", "2", "--models", "i3d_resnet50"])
+        assert set(acc) == {"i3d_resnet50"}
+
+    def test_ucf101_decode_attack(self, opt_path, tmp_path, monkeypatch):
+        from PIL import Image
+
+        rng = np.random.RandomState(1)
+        root = tmp_path / "ucf"
+        lines = []
+        for i, clip in enumerate(("ClassA/v_a_g01_c01", "ClassB/v_b_g01_c01")):
+            d = root / clip
+            d.mkdir(parents=True)
+            for j in range(1, 7):  # 6 frames; LoopPadding fills to clip_len
+                Image.fromarray(
+                    rng.randint(0, 255, (40, 56, 3), dtype=np.uint8)
+                ).save(str(d / f"image_{j:05d}.jpg"))
+            lines.append(f"{clip} 6 {i}")
+        setting = tmp_path / "setting.txt"
+        setting.write_text("\n".join(lines) + "\n")
+        monkeypatch.setenv("I2V_TPU_UCF_IMAGE_ROOT", str(root))
+        monkeypatch.setenv("I2V_TPU_UCF_SETTING", str(setting))
+        import pickle
+
+        used = tmp_path / "used.pkl"
+        used.write_bytes(pickle.dumps([0, 1]))
+        monkeypatch.setenv("I2V_TPU_UCF_USED_IDXS", str(used))
+
+        from i2v_tpu.cli import image_main_ucf101
+
+        run_dir = image_main_ucf101.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--tiny", "--data", "ucf101",
+            "--crop_size", "32", "--clip_len", "8",
+            "--batch_size", "2", "--file_prefix", "realdata",
+        ])
+        assert os.path.basename(run_dir).startswith("UCF101_Image-")
+        advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
+        assert advs == ["0-adv.npy", "1-adv.npy"]
+        assert np.load(os.path.join(run_dir, advs[0])).shape == (3, 8, 32, 32)
 
 
 class TestWhiteboxCLI:

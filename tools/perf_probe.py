@@ -218,6 +218,9 @@ def exec_probe(which: str) -> None:
     bf16 = jnp.bfloat16
     if which == "ens16_f32_chunk64":
         sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 64)
+    elif which == "ens16_bf16_chunk256":
+        sps, final, cs = run_sharded(_ens_models(bf16), 16, False, 256,
+                                     param_dtype=bf16)
     elif which == "aens16_bf16_chunk256":
         sps, final, cs = run_sharded(_aens_models(bf16), 16, True, 256,
                                      param_dtype=bf16)
