@@ -105,16 +105,22 @@ def bench_ens(rows):
     finals = {}
     # f32 at B=16 needs frame-chunked gradient accumulation (exact; the
     # full-batch f32 activations need ~24 GB, PERF_PROBE.json hbm_ens16_f32)
+    bf16 = jnp.bfloat16
+    # variants: (batch, frame_chunk, param_dtype) in preference order.
+    # frame_chunk=256 is a measured throughput WIN, not just a memory fit:
+    # per-chunk activations stay HBM-resident between fwd and bwd, cutting
+    # the VGG early-layer traffic (3.07 vs 2.90 steps/s at bf16 B=16,
+    # PERF_PROBE.json exec_ens16_bf16_chunk256)
     plans = {
-        "f32": (jnp.float32, True, None, [(16, 128), (16, 64), (8, None)]),
-        "bf16": (jnp.bfloat16, False, None, [(16, None), (8, None)]),
-        # the largest single-chip config: chunk256 + bf16 param storage fit
-        # B=24 (round-1: over by 4 GB) and its bigger MXU batches beat the
-        # B=16 step rate (PERF_PROBE.json exec_ens24_bf16_chunk256)
-        "bf16-B24": (jnp.bfloat16, True, jnp.bfloat16, [(24, 256)]),
+        "f32": (jnp.float32, True,
+                [(16, 128, None), (16, 64, None), (8, None, None)]),
+        "bf16": (bf16, True,
+                 [(16, 256, bf16), (16, None, None), (8, None, None)]),
+        # the largest single-chip config (round-1: over by 4 GB)
+        "bf16-B24": (bf16, True, [(24, 256, bf16)]),
     }
-    for tag, (dtype, donate, pdtype, variants) in plans.items():
-        for batch, chunk in variants:
+    for tag, (dtype, donate, variants) in plans.items():
+        for batch, chunk, pdtype in variants:
             try:
                 log(f"ENS {tag} batch={batch} chunk={chunk} donate={donate}...")
                 runner, make_input = build_runner(
@@ -242,7 +248,8 @@ def bench_e2e(rows):
         surrogates = get_image_models(ENS_NAMES, ENS_DEPTHS, input_hw=224,
                                       dtype=jnp.bfloat16)
         attack = ShardedImageGuidedAttack(surrogates, mesh, steps=STEPS,
-                                          step_size=0.005)
+                                          step_size=0.005, frame_chunk=256,
+                                          param_dtype=jnp.bfloat16)
         bundle = get_video_model("i3d_resnet50", dtype=jnp.bfloat16)
         rng = np.random.RandomState(0)
         clips = rng.rand(batch, 3, 32, 224, 224).astype(np.float32)

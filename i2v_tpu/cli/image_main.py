@@ -134,12 +134,16 @@ def _run_fused(args, dataset, iterate, attack, left, right) -> str:
         attack, bundles,
         run_dir=None if args.no_artifacts else args.adv_path,
         n_classes=n_classes, artifact_dtype=dtype)
+    from ..utils.profiling import trace
+
     t0 = time.time()
     n_clips = 0
-    for step, batch in enumerate(iterate(dataset, args.batch_size, left, right)):
-        print(f"Running fused {args.attack_method}+eval, {step + 1}")
-        fused.process_batch(batch)
-        n_clips += len(batch["labels"])
+    with trace(getattr(args, "profile", None)):
+        for step, batch in enumerate(iterate(dataset, args.batch_size,
+                                             left, right)):
+            print(f"Running fused {args.attack_method}+eval, {step + 1}")
+            fused.process_batch(batch)
+            n_clips += len(batch["labels"])
     acc = fused.finalize(report_dir=args.adv_path)
     dt = time.time() - t0
     artifacts.save_loss_info(args.adv_path, attack.loss_info,

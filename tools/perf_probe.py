@@ -60,7 +60,14 @@ def _mem_analysis(compiled) -> dict:
     config). CompiledMemoryStats fields are informational only — for
     programs with nested control flow (lax.map inside the attack scan) the
     reported temp size SUMS sub-computation buffers instead of the
-    concurrent peak, over-counting by several GB."""
+    concurrent peak, over-counting by several GB.
+
+    Compile-pass is NECESSARY but in marginal cases not sufficient: runtime
+    adds live input/param buffers outside the program budget (observed:
+    ens16_f32_chunk256 compiles but RESOURCE_EXHAUSTs at execution, while
+    ens16_f32_chunk128 executes — bench row). The ``exec_*`` entries in
+    PERF_PROBE.json are the ground truth; every claimed-closed config has
+    one."""
     ma = compiled.memory_analysis()
     args = float(ma.argument_size_in_bytes)
     out = float(ma.output_size_in_bytes)
@@ -127,6 +134,8 @@ def hbm_probe(which: str) -> None:
             _ens_models(jnp.float32), 16, False, frame_chunk=128),
         "ens16_f32_chunk64": lambda: sharded_case(
             _ens_models(jnp.float32), 16, False, frame_chunk=64),
+        "ens16_f32_chunk256": lambda: sharded_case(
+            _ens_models(jnp.float32), 16, False, frame_chunk=256),
         "aens16_f32_chunk64": lambda: sharded_case(
             _aens_models(jnp.float32), 16, True, frame_chunk=64),
         "aens16_f32_chunk32": lambda: sharded_case(
@@ -218,6 +227,10 @@ def exec_probe(which: str) -> None:
     bf16 = jnp.bfloat16
     if which == "ens16_f32_chunk64":
         sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 64)
+    elif which == "ens16_f32_chunk128":
+        sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 128)
+    elif which == "ens16_f32_chunk256":
+        sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 256)
     elif which == "ens16_bf16_chunk256":
         sps, final, cs = run_sharded(_ens_models(bf16), 16, False, 256,
                                      param_dtype=bf16)
