@@ -96,15 +96,19 @@ def run_sign_attack(
 
     b = clean01.shape[0]
     if cfg.batch_chunk and cfg.batch_chunk < b:
-        if b % cfg.batch_chunk:
-            raise ValueError(f"batch_chunk {cfg.batch_chunk} must divide "
-                             f"the clip batch {b}")
-        k = b // cfg.batch_chunk
+        chunk = cfg.batch_chunk
+        if b % chunk:
+            # trailing partial batch of a long run: snap to the largest
+            # divisor of b that fits the requested chunk — the equal-chunk
+            # mean-CE accumulation below is exact for any divisor, so this
+            # preserves outputs instead of raising at the last batch
+            chunk = max(d for d in range(1, chunk + 1) if b % d == 0)
+        k = b // chunk
         raw_grad_fn = grad_fn
 
         def grad_fn(adv, labels, key):  # noqa: F811 — chunked wrapper
-            adv_r = adv.reshape((k, cfg.batch_chunk) + adv.shape[1:])
-            lab_r = labels.reshape(k, cfg.batch_chunk)
+            adv_r = adv.reshape((k, chunk) + adv.shape[1:])
+            lab_r = labels.reshape(k, chunk)
             costs, grads = jax.lax.map(
                 lambda t: raw_grad_fn(t[0], t[1], key), (adv_r, lab_r))
             # mean-CE semantics: global cost = mean of equal-chunk means,

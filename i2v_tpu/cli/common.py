@@ -90,20 +90,26 @@ def build_whitebox_attack(args, bundle):
             "kernel_mode": args.kernel_mode,
             "chunk": getattr(args, "tt_chunk", 5),
         }
-        return attacks.TemporalTranslation(bundle, params, steps=args.step)
-    if name == "TAP":
+        atk = attacks.TemporalTranslation(bundle, params, steps=args.step)
+    elif name == "TAP":
         params = {"kernlen": 3, "temporal_kernlen": 3, "eta": 1e3, "conv3d": True}
-        return attacks.TAP(bundle, params, steps=args.step)
-    if name == "SIM" and getattr(args, "sim_batch_scales", False):
+        atk = attacks.TAP(bundle, params, steps=args.step)
+    elif name == "SIM" and getattr(args, "sim_batch_scales", False):
         atk = attacks.SIM(bundle, steps=args.step, batch_scales=True)
     else:
         cls = getattr(attacks, name)
         atk = cls(bundle, steps=args.step)
     chunk = getattr(args, "batch_chunk", None)
-    if chunk and hasattr(atk, "cfg"):
-        import dataclasses
+    if chunk:
+        if hasattr(atk, "cfg"):
+            import dataclasses
 
-        atk.cfg = dataclasses.replace(atk.cfg, batch_chunk=chunk)
+            atk.cfg = dataclasses.replace(atk.cfg, batch_chunk=chunk)
+        else:
+            # TAP/TT build their configs internally — a silently dropped
+            # memory-fitting flag would OOM the chip the user chunked for
+            print(f"[warn] --batch_chunk {chunk} is not supported by "
+                  f"{name} and was ignored", flush=True)
     return atk
 
 

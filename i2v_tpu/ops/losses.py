@@ -35,13 +35,25 @@ def cosine_similarity_flat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return dot / (na * nb)
 
 
-def i2v_cost(taps_adv: Sequence[jnp.ndarray], taps_clean: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def i2v_cost(
+    taps_adv: Sequence[jnp.ndarray],
+    taps_clean: Sequence[jnp.ndarray],
+    frame_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """The I2V objective: Σ over taps of per-frame cosine similarity, summed
     over frames (reference: image_attacks.py:336-347). Minimized.
+
+    ``frame_weights`` (N,): optional per-frame validity mask — the sharded
+    pad-and-slice path zeroes pad frames out of the cost so a padded batch
+    computes the exact unpadded objective. A weight of 1.0 multiplies
+    exactly (IEEE), so the unmasked reduction order/numerics are unchanged.
     """
     total = 0.0
     for a, c in zip(taps_adv, taps_clean):
-        total = total + jnp.sum(cosine_similarity_flat(a, c))
+        cos = cosine_similarity_flat(a, c)
+        if frame_weights is not None:
+            cos = cos * frame_weights
+        total = total + jnp.sum(cos)
     return total
 
 

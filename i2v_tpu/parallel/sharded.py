@@ -76,9 +76,14 @@ def make_sharded_i2v_runner(
             taps.extend(t)
         return taps
 
-    def inner(params_list, clean01, state0):
+    def inner(params_list, clean01, state0, fmask):
         # params/adaptive-state as runtime args: closure-captured arrays
         # would be embedded as HLO constants (huge programs, slow compiles)
+        # fmask (B·T,) f32: per-frame validity — all-ones normally; zeros on
+        # the pad frames of a pad-and-slice trailing batch, so pad clips
+        # contribute nothing to the cost, the gradients, or (critically) the
+        # shared adaptive-AENS coefficients. ×1.0 is exact in IEEE, so the
+        # all-ones path is bit-identical to the unmasked program.
         bound = [rebind_params(m, p) for m, p in zip(models, params_list)]
 
         def collect_b(frames01):
@@ -93,18 +98,24 @@ def make_sharded_i2v_runner(
         frames = pixel.flatten_clip_to_frames(clean01)
         frames = jax.lax.with_sharding_constraint(frames, fsharding)
         n_frames = frames.shape[0]
-        chunked = frame_chunk is not None and frame_chunk < n_frames
-        if chunked and n_frames % frame_chunk:
-            raise ValueError(f"frame_chunk {frame_chunk} must divide the "
-                             f"frame batch {n_frames}")
+        fchunk = frame_chunk
+        chunked = fchunk is not None and fchunk < n_frames
+        if chunked and n_frames % fchunk:
+            # trailing partial batch: snap to the largest divisor of the
+            # frame batch that fits the requested chunk — the chunked
+            # accumulation is exact for any divisor (frame-separable
+            # objective), so this preserves outputs instead of raising at
+            # the last batch of a long run
+            fchunk = max(d for d in range(1, fchunk + 1) if n_frames % d == 0)
 
         def _next_coeffs(state):
             coeffs, prev = state
             return jax.nn.softmax(jax.nn.softmax(prev) + aens_momentum * coeffs)
 
         if chunked:
-            k = n_frames // frame_chunk
-            frames_r = frames.reshape((k, frame_chunk) + frames.shape[1:])
+            k = n_frames // fchunk
+            frames_r = frames.reshape((k, fchunk) + frames.shape[1:])
+            fmask_r = fmask.reshape(k, fchunk)
             # clean taps collected chunk-wise too: the full-batch clean
             # forward would otherwise set the same activation peak chunking
             # exists to avoid
@@ -116,23 +127,24 @@ def make_sharded_i2v_runner(
                 coeffs = _next_coeffs(state) if adaptive else None
 
                 def one(args):
-                    fr, mod, ct = args
+                    fr, mod, ct, fm = args
 
                     def obj(m):
                         taps = collect_b(pk.rebuild_adv(fr, m, epsilon))
                         if adaptive:
                             per_tap = losses.per_tap_frame_cosines(taps, ct)
+                            per_tap = per_tap * fm[None, :]
                             each_c = jnp.sum(coeffs[:, None] * per_tap, axis=1)
                             raw_c = jnp.sum(per_tap, axis=1)
                             return jnp.mean(each_c), (each_c, raw_c)
-                        return losses.i2v_cost(taps, ct), ()
+                        return losses.i2v_cost(taps, ct, frame_weights=fm), ()
 
                     (c, aux), g = jax.value_and_grad(obj, has_aux=True)(mod)
                     return c, aux, g
 
                 mod_r = modifier.reshape(frames_r.shape)
                 costs_c, auxs, grads = jax.lax.map(
-                    one, (frames_r, mod_r, clean_taps_r))
+                    one, (frames_r, mod_r, clean_taps_r, fmask_r))
                 cost = jnp.sum(costs_c)
                 g = grads.reshape(modifier.shape)
                 if adaptive:
@@ -149,6 +161,7 @@ def make_sharded_i2v_runner(
                 if adaptive:
                     coeffs = _next_coeffs(coeffs_prev)
                     per_tap = losses.per_tap_frame_cosines(taps, clean_taps)
+                    per_tap = per_tap * fmask[None, :]
                     each = jnp.sum(coeffs[:, None] * per_tap, axis=1)
                     cost = jnp.mean(each)
                     # coef_CE picks the weighted per-tap loss as the next
@@ -156,7 +169,7 @@ def make_sharded_i2v_runner(
                     new_prev = jax.lax.stop_gradient(
                         each if coef_ce else jnp.sum(per_tap, axis=1))
                     return cost, ((coeffs, new_prev), cost)
-                cost = losses.i2v_cost(taps, clean_taps)
+                cost = losses.i2v_cost(taps, clean_taps, frame_weights=fmask)
                 return cost, (coeffs_prev, cost)
 
             _grad = jax.grad(objective, has_aux=True)
@@ -191,7 +204,7 @@ def make_sharded_i2v_runner(
     # Off by default because benchmarks re-call the runner with one input.
     jitted = jax.jit(
         inner,
-        in_shardings=(None, csharding, None),
+        in_shardings=(None, csharding, None, None),
         out_shardings=(csharding, rep, (rep, rep) if adaptive else None),
         donate_argnums=(1,) if donate else (),
     )
@@ -209,15 +222,26 @@ def make_sharded_i2v_runner(
         return ((coeffs_box[0], jnp.ones((n_taps,), jnp.float32))
                 if adaptive else None)
 
-    def runner(clean01):
-        adv, costs, final_state = jitted(params_list, clean01, state0())
+    def frame_mask(clean01, n_real=None):
+        """(B·T,) validity mask: ones, or a clip-major prefix of n_real·T
+        ones when the trailing ``pad`` clips of a pad-and-slice batch must
+        not contribute (flatten_clip_to_frames is clip-major)."""
+        b, _, t = clean01.shape[:3]
+        if n_real is None or n_real >= b:
+            return jnp.ones((b * t,), jnp.float32)
+        return (jnp.arange(b * t) < n_real * t).astype(jnp.float32)
+
+    def runner(clean01, n_real=None):
+        adv, costs, final_state = jitted(
+            params_list, clean01, state0(), frame_mask(clean01, n_real))
         if adaptive:
             coeffs_box[0] = final_state[0]
         return adv, costs
 
     # exposed for AOT lowering / cost analysis (tools/perf_probe.py cost)
     runner.jitted = jitted
-    runner.example_args = lambda clean01: (params_list, clean01, state0())
+    runner.example_args = lambda clean01: (
+        params_list, clean01, state0(), frame_mask(clean01))
     return runner
 
 
@@ -258,9 +282,10 @@ class ShardedImageGuidedAttack:
         # rather than dying there (after most artifacts are written) or
         # falling back to a second unsharded program, pad the batch up to
         # mesh divisibility with clip repeats and slice the pad back off.
-        # Per-clip attacks are independent, so pad clips can't perturb the
-        # real ones; per-step costs for the padded batch include the pad
-        # clips' contribution (mean over the padded batch).
+        # The runner's frame mask zeroes the pad frames out of the cost, the
+        # gradients, AND the shared adaptive-AENS coefficient sums, so the
+        # real clips' adv output and the recorded per-step costs are exactly
+        # the unpadded run's (pad clips are fully inert, not just sliced).
         pad = 0
         if b % data or (b * videos.shape[2]) % (data * frames):
             target = b + (-b % data)
@@ -274,7 +299,7 @@ class ShardedImageGuidedAttack:
         # device-side reshard — a host round trip at relay bandwidth would
         # cost more than the attack itself
         clean01 = jax.device_put(clean01, clip_sharding(self.mesh))
-        adv01, costs = self._runner(clean01)
+        adv01, costs = self._runner(clean01, n_real=b if pad else None)
         self._record_costs(costs, video_names)
         if pad:
             adv01 = adv01[:b]

@@ -93,6 +93,23 @@ class TestSignAttacks:
                                    np.asarray(full_b(videos, labels)),
                                    atol=2e-6)
 
+    def test_batch_chunk_indivisible_snaps_to_divisor(self, video_bundle,
+                                                      clean_batch):
+        """A trailing partial batch (b % batch_chunk != 0) must not raise:
+        the engine snaps to the largest divisor of b that fits, which is
+        exact for the equal-chunk mean-CE accumulation."""
+        import dataclasses
+
+        videos, labels = clean_batch
+        videos3 = jnp.concatenate([videos, videos[:1]], axis=0)
+        labels3 = jnp.concatenate([labels, labels[:1]])
+        full = attacks.BIM(video_bundle, steps=3)
+        adv_full = np.asarray(full(videos3, labels3))
+        chunked = attacks.BIM(video_bundle, steps=3)
+        chunked.cfg = dataclasses.replace(chunked.cfg, batch_chunk=2)
+        np.testing.assert_allclose(np.asarray(chunked(videos3, labels3)),
+                                   adv_full, atol=2e-6)
+
     def test_difgsm(self, video_bundle, clean_batch):
         videos, labels = clean_batch
         atk = attacks.DIFGSM(video_bundle, steps=3, momentum=True)

@@ -144,6 +144,80 @@ def test_sharded_attack_pads_indivisible_trailing_batch():
     np.testing.assert_allclose(adv3, adv8[:3], atol=2e-6)
 
 
+def test_sharded_pad_is_inert_for_adaptive_aens():
+    """Adaptive AENS shares per-batch softmax coefficients across clips, so
+    pad-and-slice is only output-preserving if the pad frames are masked out
+    of the per-tap loss sums (the runner's frame mask). Two checks, both
+    same-mesh (the adaptive dynamics start at the cosine flat maximum, where
+    cross-mesh reduction-order noise amplifies — same-mesh is bit-exact):
+
+    1. runner: padded batch + mask == true unpadded batch, exactly.
+    2. adapter: ShardedImageGuidedAttack pads/slices/threads n_real so its
+       result equals the masked runner on the identical mesh — including
+       the persisted cross-call coefficient state.
+    """
+    from i2v_tpu.ops import pixel
+    from i2v_tpu.parallel.sharded import (
+        ShardedImageGuidedAttack, make_sharded_i2v_runner)
+
+    models = get_image_models(
+        ["resnet", "alexnet"], {"resnet": [1, 2], "alexnet": [2]},
+        tiny=True, input_hw=32)
+    rng = np.random.RandomState(1)
+    videos3 = jnp.asarray(rng.rand(3, 3, 8, 32, 32).astype(np.float32))
+    videos4 = jnp.concatenate([videos3, videos3[-1:]], axis=0)
+    kw = dict(steps=3, step_size=0.005, adaptive=True, aens_momentum=0.5)
+
+    # (1) runner-level inertness, 1-device mesh: bit-exact
+    mesh1 = attack_mesh(jax.devices()[:1])
+    r_ref = make_sharded_i2v_runner(models, mesh1, **kw)
+    r_pad = make_sharded_i2v_runner(models, mesh1, **kw)
+    c3 = pixel.unnormalize(videos3, channel_axis=1)
+    c4 = pixel.unnormalize(videos4, channel_axis=1)
+    adv_ref, costs_ref = r_ref(shard_clips(c3, mesh1))
+    adv_pad, costs_pad = r_pad(shard_clips(c4, mesh1), n_real=3)
+    np.testing.assert_array_equal(np.asarray(adv_pad)[:3], np.asarray(adv_ref))
+    np.testing.assert_array_equal(np.asarray(costs_pad), np.asarray(costs_ref))
+
+    # (2) adapter wiring on the default (data=4) mesh vs the masked runner
+    # on the SAME mesh: b=3 pads to 4 with a repeat of the last clip
+    mesh = attack_mesh()
+    atk = ShardedImageGuidedAttack(models, mesh, **kw)
+    oracle = make_sharded_i2v_runner(models, mesh, **kw)
+    adv3 = np.asarray(atk(videos3, video_names=["a", "b", "c"]))
+    want, want_costs = oracle(shard_clips(c4, mesh), n_real=3)
+    want = np.asarray(pixel.normalize(want[:3], channel_axis=1))
+    np.testing.assert_allclose(adv3, want, atol=2e-6)
+    got_costs = np.float32(
+        [atk.loss_info["a"][i]["cost"] for i in range(3)])
+    np.testing.assert_allclose(got_costs, np.asarray(want_costs), rtol=1e-6)
+    # second call (divisible batch of 4): persisted coeffs must match too
+    videos4b = jnp.asarray(rng.rand(4, 3, 8, 32, 32).astype(np.float32))
+    adv2 = np.asarray(atk(videos4b, video_names=list("defg")))
+    want2, _ = oracle(
+        shard_clips(pixel.unnormalize(videos4b, channel_axis=1), mesh))
+    want2 = np.asarray(pixel.normalize(want2, channel_axis=1))
+    np.testing.assert_allclose(adv2, want2, atol=2e-6)
+
+
+def test_sharded_frame_chunk_trailing_batch_snaps_to_divisor():
+    """--sharded --frame_chunk on a trailing partial batch: when the chunk
+    doesn't divide the frame batch, the runner snaps to the largest divisor
+    that fits instead of raising (exact — frame-separable objective)."""
+    models = get_image_models(["resnet"], {"resnet": 2}, tiny=True, input_hw=32)
+    mesh = attack_mesh(jax.devices()[:1])
+    clean01 = jnp.asarray(
+        np.random.RandomState(2).rand(3, 3, 8, 32, 32).astype(np.float32))
+    full = make_sharded_i2v_runner(models, mesh, steps=2)
+    # 24 frames, chunk 16 → snaps to 12
+    chunked = make_sharded_i2v_runner(models, mesh, steps=2, frame_chunk=16)
+    adv_f, costs_f = full(shard_clips(clean01, mesh))
+    adv_c, costs_c = chunked(shard_clips(clean01, mesh))
+    np.testing.assert_allclose(np.asarray(costs_c), np.asarray(costs_f),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(adv_c), np.asarray(adv_f), atol=2e-6)
+
+
 def test_shardings():
     mesh = attack_mesh()
     cs, fs = clip_sharding(mesh), frame_sharding(mesh)
