@@ -76,12 +76,14 @@ def build_runner(names, depths, batch, dtype, donate, frame_chunk=None,
 
 
 def time_attack(runner, make_input, batch, donate, reps=2):
-    """→ (steps_per_sec_512norm, final_cost). Compile excluded (first call);
-    reps dispatched without intermediate syncs (see docstring)."""
+    """→ (steps_per_sec_512norm, final_cost, warmup_cost_traj). Compile
+    excluded (first call); reps dispatched without intermediate syncs (see
+    docstring)."""
     x0 = make_input()
     t0 = time.time()
     _, costs = runner(x0)
-    final0 = float(np.asarray(costs)[-1])  # true sync through the relay
+    traj = np.asarray(costs)  # 60 scalars — true sync through the relay
+    final0 = float(traj[-1])
     log(f"  compile+first: {time.time() - t0:.1f}s cost[-1]={final0:.2f}")
     inputs = [make_input() for _ in range(reps)] if donate else [x0] * reps
     t0 = time.time()
@@ -89,7 +91,7 @@ def time_attack(runner, make_input, batch, donate, reps=2):
         _, costs = runner(x)
     final = float(np.asarray(costs)[-1])  # sync once, on the last rep
     dt = time.time() - t0
-    return STEPS * reps / dt * (batch * 32 / 512), final
+    return STEPS * reps / dt * (batch * 32 / 512), final, traj
 
 
 def row(metric, value, unit, anchor=None, **extra):
@@ -126,17 +128,23 @@ def bench_ens(rows):
                 runner, make_input = build_runner(
                     ENS_NAMES, ENS_DEPTHS, batch, dtype, donate,
                     frame_chunk=chunk, param_dtype=pdtype)
-                sps, final = time_attack(runner, make_input, batch, donate)
-                finals[tag] = (final, batch)
+                sps, final, traj = time_attack(runner, make_input, batch,
+                                               donate)
+                finals[tag] = (traj, batch)
                 extra = {} if chunk is None else {"frame_chunk": chunk}
                 if tag == "bf16" and "f32" in finals:
-                    f32_final, f32_batch = finals["f32"]
-                    # the i2v cost sums over B·32 frames — comparing finals
-                    # across different fallback batch sizes would report a
-                    # frame-count artifact as a numerical deviation
+                    f32_traj, f32_batch = finals["f32"]
+                    # numerics check on the EARLY trajectory only: by step
+                    # ~60 last-ulp reduction-order differences (even between
+                    # f32 chunk sizes) amplify chaotically through Adam, so
+                    # final-cost deltas measure chaos, not bf16 fidelity.
+                    # The cost also sums over B·32 frames, so only compare
+                    # at matching batch sizes.
                     if f32_batch == batch:
-                        extra["bf16_final_cost_rel_err"] = round(
-                            abs(final - f32_final) / abs(f32_final), 4)
+                        k = min(3, len(traj), len(f32_traj))
+                        extra["bf16_cost_rel_err_first3_steps"] = round(
+                            float(np.max(np.abs(traj[:k] - f32_traj[:k])
+                                         / np.abs(f32_traj[:k]))), 4)
                 rows.append(row(
                     f"ENS-I2V attack steps/sec/chip ({tag}, 4-surrogate "
                     f"ensemble, B={batch}, 512-frame-normalized)",
@@ -156,7 +164,7 @@ def bench_i2v(rows):
         log("I2V resnet101-d2 f32 B=16...")
         runner, make_input = build_runner(
             ["resnet"], {"resnet": 2}, 16, jnp.float32, True)
-        sps, final = time_attack(runner, make_input, 16, True)
+        sps, final, _ = time_attack(runner, make_input, 16, True)
         rows.append(row(
             "I2V attack steps/sec/chip (f32, ResNet-101 d2, B=16, "
             "512-frame-normalized)", sps / len(jax.devices()), "steps/s/chip",

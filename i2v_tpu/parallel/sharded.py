@@ -79,11 +79,11 @@ def make_sharded_i2v_runner(
     def inner(params_list, clean01, state0, fmask):
         # params/adaptive-state as runtime args: closure-captured arrays
         # would be embedded as HLO constants (huge programs, slow compiles)
-        # fmask (B·T,) f32: per-frame validity — all-ones normally; zeros on
-        # the pad frames of a pad-and-slice trailing batch, so pad clips
-        # contribute nothing to the cost, the gradients, or (critically) the
-        # shared adaptive-AENS coefficients. ×1.0 is exact in IEEE, so the
-        # all-ones path is bit-identical to the unmasked program.
+        # fmask: None (common case — no masking traced, zero overhead) or a
+        # (B·T,) f32 per-frame validity mask with zeros on the pad frames of
+        # a pad-and-slice trailing batch, so pad clips contribute nothing to
+        # the cost, the gradients, or (critically) the shared adaptive-AENS
+        # coefficients. None vs array selects the program at trace time.
         bound = [rebind_params(m, p) for m, p in zip(models, params_list)]
 
         def collect_b(frames01):
@@ -115,7 +115,7 @@ def make_sharded_i2v_runner(
         if chunked:
             k = n_frames // fchunk
             frames_r = frames.reshape((k, fchunk) + frames.shape[1:])
-            fmask_r = fmask.reshape(k, fchunk)
+            fmask_r = None if fmask is None else fmask.reshape(k, fchunk)
             # clean taps collected chunk-wise too: the full-batch clean
             # forward would otherwise set the same activation peak chunking
             # exists to avoid
@@ -133,7 +133,8 @@ def make_sharded_i2v_runner(
                         taps = collect_b(pk.rebuild_adv(fr, m, epsilon))
                         if adaptive:
                             per_tap = losses.per_tap_frame_cosines(taps, ct)
-                            per_tap = per_tap * fm[None, :]
+                            if fm is not None:
+                                per_tap = per_tap * fm[None, :]
                             each_c = jnp.sum(coeffs[:, None] * per_tap, axis=1)
                             raw_c = jnp.sum(per_tap, axis=1)
                             return jnp.mean(each_c), (each_c, raw_c)
@@ -161,7 +162,8 @@ def make_sharded_i2v_runner(
                 if adaptive:
                     coeffs = _next_coeffs(coeffs_prev)
                     per_tap = losses.per_tap_frame_cosines(taps, clean_taps)
-                    per_tap = per_tap * fmask[None, :]
+                    if fmask is not None:
+                        per_tap = per_tap * fmask[None, :]
                     each = jnp.sum(coeffs[:, None] * per_tap, axis=1)
                     cost = jnp.mean(each)
                     # coef_CE picks the weighted per-tap loss as the next
@@ -223,12 +225,13 @@ def make_sharded_i2v_runner(
                 if adaptive else None)
 
     def frame_mask(clean01, n_real=None):
-        """(B·T,) validity mask: ones, or a clip-major prefix of n_real·T
-        ones when the trailing ``pad`` clips of a pad-and-slice batch must
-        not contribute (flatten_clip_to_frames is clip-major)."""
+        """None (full batch — traces the unmasked program), or a (B·T,)
+        clip-major prefix mask of n_real·T ones when the trailing ``pad``
+        clips of a pad-and-slice batch must not contribute
+        (flatten_clip_to_frames is clip-major)."""
         b, _, t = clean01.shape[:3]
         if n_real is None or n_real >= b:
-            return jnp.ones((b * t,), jnp.float32)
+            return None
         return (jnp.arange(b * t) < n_real * t).astype(jnp.float32)
 
     def runner(clean01, n_real=None):
