@@ -240,6 +240,9 @@ def exec_probe(which: str) -> None:
     elif which == "ens24_bf16_chunk256":
         sps, final, cs = run_sharded(_ens_models(bf16), 24, False, 256,
                                      param_dtype=bf16)
+    elif which == "ens32_bf16_chunk256":
+        sps, final, cs = run_sharded(_ens_models(bf16), 32, False, 256,
+                                     param_dtype=bf16)
     elif which == "mi16_chunk8":
         import dataclasses
 
