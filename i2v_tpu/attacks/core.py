@@ -196,18 +196,24 @@ class Attack:
         correct = total = 0
         for step, batch in enumerate(batches):
             adv = self(batch["clips"], batch["labels"])
-            artifacts.save_batch(save_dir, batch["labels"], jnp.asarray(adv))
-            if verbose and self.model is not None:
-                adv_eval = jnp.asarray(adv)
-                if self._return_type == "int":
-                    # reference save() evaluates adv.float()/255 — the [0,1]
-                    # domain, not the normalized domain its models expect
-                    # (base_attacks.py:119-123, a torchattacks leftover);
-                    # consciously fixed: same intent, correct domain.
-                    adv_eval = pixel.normalize(
-                        adv_eval.astype(jnp.float32) / 255, channel_axis=1
-                    )
-                preds = jnp.argmax(self.model.apply_norm(adv_eval), -1)
+            if isinstance(adv, tuple):  # AENS returns (adv, time, cost_saved)
+                adv = adv[0]
+            adv = jnp.asarray(adv)
+            if self._return_type == "int":
+                # the artifact protocol stores NORMALIZED f32 clips (what
+                # eval/transfer re-loads straight into apply_norm); int mode
+                # returns [0,255] uint8, so convert before persisting. The
+                # reference save() evaluates adv.float()/255 — the [0,1]
+                # domain, not the normalized domain its models expect
+                # (base_attacks.py:119-123, a torchattacks leftover);
+                # consciously fixed: same intent, correct domain.
+                adv = pixel.normalize(
+                    adv.astype(jnp.float32) / 255, channel_axis=1)
+            artifacts.save_batch(save_dir, batch["labels"], adv)
+            if verbose and hasattr(self.model, "apply_norm"):
+                # image-guided attacks carry ImageModel surrogates with no
+                # normalized-domain forward — skip the progress accuracy
+                preds = jnp.argmax(self.model.apply_norm(adv), -1)
                 labels = jnp.asarray(batch["labels"])
                 total += int(labels.shape[0])
                 correct += int(jnp.sum(preds == labels))

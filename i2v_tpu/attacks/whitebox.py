@@ -339,10 +339,19 @@ class TAP(Attack):
         return runner
 
     def _record_costs(self, costs, video_names) -> None:
+        # base-class contract (Attack._record_costs): per-video keys and
+        # JSON-serializable string values — loss_info feeds json.dump via
+        # artifacts.save_loss_info, and index keys would make each batch
+        # overwrite the previous one's records
+        if video_names is None or costs is None:
+            return
         costs = np.asarray(costs)  # (steps, 4): total, ce, reg, dist
-        for i in range(costs.shape[0]):
-            self.loss_info[i] = {
-                "ce loss": costs[i, 1],
-                "reg_cost": costs[i, 2],
-                "distance": costs[i, 3],
-            }
+        for name in video_names:
+            per_video = self.loss_info.setdefault(str(name), {})
+            for i in range(costs.shape[0]):
+                per_video[i] = {
+                    "cost": str(np.float32(costs[i, 0])),
+                    "ce loss": str(np.float32(costs[i, 1])),
+                    "reg_cost": str(np.float32(costs[i, 2])),
+                    "distance": str(np.float32(costs[i, 3])),
+                }

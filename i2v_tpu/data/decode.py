@@ -38,11 +38,18 @@ def decode_video(path: str, width: int = 340, height: int = 256) -> np.ndarray:
         return nat.decode_video(path, width=width, height=height)
     try:
         import decord
-
-        vr = decord.VideoReader(path, width=width, height=height, num_threads=1)
-        return vr.get_batch(range(len(vr))).asnumpy()
     except ImportError:
-        pass
+        decord = None
+    if decord is not None:
+        try:
+            vr = decord.VideoReader(path, width=width, height=height,
+                                    num_threads=1)
+            return vr.get_batch(range(len(vr))).asnumpy()
+        except Exception:
+            # a decord decode failure on a corrupt file is recoverable if a
+            # pre-decoded sidecar exists — fall through to the sidecar path
+            # instead of propagating
+            pass
     if os.path.exists(sidecar):
         return _load_sidecar(sidecar)
     raise RuntimeError(

@@ -29,19 +29,25 @@ def _load():
     path = _lib_path()
     if not os.path.exists(path):
         return None
-    lib = ctypes.CDLL(path)
-    lib.i2v_decode_video.argtypes = [
-        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.i2v_decode_video.restype = ctypes.c_int
-    lib.i2v_decode_jpeg.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.i2v_decode_jpeg.restype = ctypes.c_int
-    lib.i2v_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    try:
+        lib = ctypes.CDLL(path)
+        lib.i2v_decode_video.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.i2v_decode_video.restype = ctypes.c_int
+        lib.i2v_decode_jpeg.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.i2v_decode_jpeg.restype = ctypes.c_int
+        lib.i2v_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    except (OSError, AttributeError):
+        # stale/partial libi2vio.so missing the core symbols: treat the
+        # native backend as unavailable instead of raising on first use
+        return None
     try:  # batch entry points: absent in pre-pool builds of the library
         u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
         intp = ctypes.POINTER(ctypes.c_int)

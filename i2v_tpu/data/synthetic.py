@@ -3,7 +3,7 @@ smoke-test path (SURVEY.md §4 'end-to-end smoke'). Deterministic per label."""
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -35,15 +35,6 @@ class SyntheticAttackDataset:
         return clip, label, f"synthetic_{label}", label
 
 
-def iterate_batches(dataset, batch_size: int, left: int = 0,
-                    right: Optional[int] = None) -> Iterator[dict]:
-    right = len(dataset) if right is None else min(right, len(dataset))
-    for start in range(left, right, batch_size):
-        items = [dataset[i] for i in range(start, min(start + batch_size, right))]
-        clips, labels, names, inds = zip(*items)
-        yield {
-            "clips": np.stack(clips),
-            "labels": np.asarray(labels, np.int32),
-            "names": list(names),
-            "clip_inds": list(inds),
-        }
+# same batcher contract as Kinetics (its load_batch fallback covers
+# per-item datasets like this one) — re-exported rather than duplicated
+from .kinetics import iterate_batches  # noqa: E402,F401

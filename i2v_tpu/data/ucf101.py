@@ -80,6 +80,12 @@ class UCF101AttackDataset:
                 f"no frames under {sample.directory} "
                 f"(duration={sample.duration}; durations < 2 yield an empty "
                 "clip under the reference's LoopPadding first-frame skip)")
+        if len(paths) < len(frame_indices):
+            # setting-file durations can exceed the real frame count
+            # (off-by-one in 3D-ResNets-style n_frames annotations); loop-pad
+            # the frames that DO exist so the fixed clip_len contract holds
+            # instead of stacking a ragged batch downstream
+            paths = [paths[i % len(paths)] for i in range(len(frame_indices))]
         frames = self._decode(paths)
         clip = transforms.ucf_test_transform(frames, self.crop_size)
         return clip, sample.label

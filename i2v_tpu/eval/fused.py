@@ -155,11 +155,29 @@ class FusedGenerateEvaluate:
         if report_dir is not None:
             from .transfer import order_predictions_by_label
 
+            labels = [int(x) for x in self.labels_seen]
+            keep = list(range(len(labels)))
+            if len(set(labels)) != len(labels):
+                # skip-and-resample (data/kinetics._resample) can substitute
+                # a sample whose label already appears in the stream — a
+                # legitimate run, not a malformed dir, so don't let the
+                # label-keyed report raise after hours of compute. The
+                # artifact writer's LAST write per label wins on disk, so
+                # keep the last prediction per label for consistency.
+                import warnings
+
+                warnings.warn(
+                    "duplicate labels in the fused stream (decode "
+                    "resample); keeping the last occurrence per label")
+                last = {lab: i for i, lab in enumerate(labels)}
+                keep = sorted(last.values())
+                labels = [labels[i] for i in keep]
             info = pd.DataFrame()
             info["gt_label"] = list(range(self.n_classes))
             for name in self.bundles:
+                preds = [self.predictions[name][i] for i in keep]
                 info[f"{name}-pre"] = order_predictions_by_label(
-                    self.labels_seen, self.predictions[name], self.n_classes)
+                    labels, preds, self.n_classes)
             os.makedirs(report_dir, exist_ok=True)
             info.to_csv(os.path.join(
                 report_dir, "results_all_models_prediction.csv"), index=False)

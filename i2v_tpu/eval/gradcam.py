@@ -24,24 +24,27 @@ import numpy as np
 from ..models.api import ImageModel
 
 
-def _forward_with_offset(bundle: ImageModel, frames01, offset_key, offset):
-    logits, _ = bundle.module.apply(bundle.params, frames01,
-                                    tap_offset={offset_key: offset})
-    return logits
-
-
 def _cam_raw(bundle: ImageModel, frames01, labels):
-    """(cam (B,h,w), acts) before normalization."""
-    logits, taps = bundle.module.apply(bundle.params, frames01)
+    """(cam (B,h,w), acts) before normalization.
+
+    One forward+backward total: the score closure returns the tap
+    activations as ``has_aux`` instead of a separate activation-fetch
+    forward, and the offset's shape comes from ``jax.eval_shape``
+    (trace-only, no compute). With ``labels=None`` the argmax is taken on
+    the in-closure logits — identical to a base-forward argmax since the
+    offset is evaluated at zero."""
     key = bundle.tap_keys[0]
-    acts = taps[key]
-    labs = jnp.argmax(logits, -1) if labels is None else jnp.asarray(labels)
+    acts_shape = jax.eval_shape(
+        lambda f: bundle.module.apply(bundle.params, f)[1][key], frames01)
 
     def score(offset):
-        lg = _forward_with_offset(bundle, frames01, key, offset)
-        return jnp.take_along_axis(lg, labs[:, None], axis=-1).sum()
+        logits, taps = bundle.module.apply(bundle.params, frames01,
+                                           tap_offset={key: offset})
+        labs = jnp.argmax(logits, -1) if labels is None else jnp.asarray(labels)
+        return jnp.take_along_axis(logits, labs[:, None], axis=-1).sum(), taps[key]
 
-    grads = jax.grad(score)(jnp.zeros_like(acts))
+    grads, acts = jax.grad(score, has_aux=True)(
+        jnp.zeros(acts_shape.shape, acts_shape.dtype))
     weights = jnp.mean(grads, axis=(1, 2), keepdims=True)  # α_k (GAP of grads)
     return jax.nn.relu(jnp.sum(weights * acts, axis=-1)), acts
 

@@ -186,13 +186,21 @@ class TestSignAttacks:
 
 class TestTAP:
     def test_tap_runs_and_records(self, video_bundle, clean_batch):
+        import json
+
         videos, labels = clean_batch
         atk = attacks.TAP(video_bundle, params={"kernlen": 3, "temporal_kernlen": 3,
                                                 "eta": 1e3, "conv3d": True}, steps=2)
-        adv = atk(videos, labels)
+        adv = atk(videos, labels, ["v0", "v1"])
         _check_invariants(adv, videos)
-        assert set(atk.loss_info.keys()) == {0, 1}
-        assert {"ce loss", "reg_cost", "distance"} <= set(atk.loss_info[0].keys())
+        # base-class loss_info contract: per-video keys, JSON-serializable
+        # values (loss_info feeds json.dump), batches don't overwrite
+        assert set(atk.loss_info.keys()) == {"v0", "v1"}
+        assert {"cost", "ce loss", "reg_cost", "distance"} <= set(
+            atk.loss_info["v0"][0].keys())
+        json.dumps(atk.loss_info)
+        atk(videos, labels, ["v2", "v3"])
+        assert set(atk.loss_info.keys()) == {"v0", "v1", "v2", "v3"}
 
     def test_tap_2d_variant(self, video_bundle, clean_batch):
         videos, labels = clean_batch
@@ -431,6 +439,15 @@ class TestReviewRegressions:
             out = capsys.readouterr().out
             accs[rt] = out.strip().rsplit("Accuracy: ", 1)[1]
         assert accs["float"] == accs["int"]
+        # the PERSISTED artifacts must be normalized f32 in both modes (the
+        # eval protocol feeds them straight into apply_norm) — int mode
+        # differs only by its uint8 quantization
+        a_f = np.load(tmp_path / "float" / "1-adv.npy")
+        a_i = np.load(tmp_path / "int" / "1-adv.npy")
+        assert a_f.dtype == a_i.dtype == np.float32
+        # uint8 truncation error ≤ 1/255 in [0,1] → ≤ (1/255)/min(std) ≈
+        # 0.018 in the normalized domain
+        np.testing.assert_allclose(a_i, a_f, atol=0.02)
 
     def test_tt_unshift_uses_nominal_moves(self, video_bundle, clean_batch):
         """'large' move-type: the reference unshifts variant grads by the

@@ -321,6 +321,26 @@ class TestRealDatasets:
         clip_pil, _ = ds[0]
         np.testing.assert_array_equal(clip_native, clip_pil)
 
+    def test_ucf_overstated_duration_loop_pads(self, tmp_path):
+        """A setting-file duration exceeding the real frame count (off-by-one
+        in 3D-ResNets-style annotations) must loop-pad the frames that DO
+        exist instead of yielding a ragged (< clip_len) clip."""
+        rng = np.random.RandomState(3)
+        d = tmp_path / "v_Short_g01_c01"
+        d.mkdir()
+        for i in range(1, 4):  # 3 real frames; annotated duration says 6
+            Image.fromarray(
+                rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+            ).save(str(d / f"image_{i:05d}.jpg"))
+        setting = tmp_path / "setting.txt"
+        setting.write_text(f"{d.name} 6 4\n")
+        from i2v_tpu.data.ucf101 import UCF101AttackDataset
+
+        ds = UCF101AttackDataset(str(setting), str(tmp_path))
+        clip, label = ds[0]
+        assert clip.shape == (3, 32, 224, 224) and label == 4
+        assert np.isfinite(np.asarray(clip)).all()
+
     def test_corrupt_jpeg_does_not_kill_process(self, tmp_path):
         """libjpeg fatal errors must come back as rc!=0 (setjmp recovery),
         not exit() the process — per-item isolation for the batch pool."""

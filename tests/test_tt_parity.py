@@ -230,7 +230,10 @@ class TestTAPOracle:
                         .astype(np.float32)), channel_axis=1)
         atk = attacks.TAP(vb, dict(kernlen=3, temporal_kernlen=3,
                                    conv3d=True), steps=3)
-        atk(videos, jnp.asarray([2]))
-        assert set(atk.loss_info) == {0, 1, 2}
+        atk(videos, jnp.asarray([2]), ["vid"])
+        # base-class loss_info contract: per-video keys, all three cost
+        # components per step, JSON-serializable string values
+        assert set(atk.loss_info) == {"vid"}
         for i in range(3):
-            assert {"ce loss", "reg_cost", "distance"} <= set(atk.loss_info[i])
+            assert {"cost", "ce loss", "reg_cost", "distance"} <= set(
+                atk.loss_info["vid"][i])
