@@ -32,7 +32,7 @@ def arg_parse(argv=None):
     p.add_argument("--tt_chunk", type=int, default=5)
     p.add_argument("--sim_batch_scales", action="store_true")
     p.add_argument("--remat", action="store_true")
-    common.add_data_args(p, ucf=True)
+    common.add_data_args(p)
     args = p.parse_args(argv)
     if args.data == "kinetics":
         args.data = "ucf101"

@@ -39,42 +39,52 @@ WHITEBOX_METHODS = (
 )
 
 
-def add_data_args(p: argparse.ArgumentParser, ucf: bool = False) -> None:
+def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data", default="synthetic",
                    choices=["kinetics", "ucf101", "synthetic"],
                    help="data source (synthetic = dataset-free smoke path)")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--n_synthetic", type=int, default=4)
-    p.add_argument("--clip_len", type=int, default=32)
-    p.add_argument("--crop_size", type=int, default=224)
+    # None = derive: 32/224 normally, 8/32 under --tiny with synthetic data.
+    # An explicit value always wins (previously --tiny silently overrode it).
+    p.add_argument("--clip_len", type=int, default=None,
+                   help="frames per clip (default 32; 8 for --tiny synthetic)")
+    p.add_argument("--crop_size", type=int, default=None,
+                   help="spatial size (default 224; 32 for --tiny synthetic)")
     p.add_argument("--tiny", action="store_true",
                    help="width-reduced backbones (checkpoint-free runs)")
+
+
+def data_shape(args) -> tuple[int, int]:
+    """Effective (clip_len, crop_size): explicit flags win; --tiny shrinks
+    only the derived synthetic defaults."""
+    tiny_synth = args.tiny and getattr(args, "data", None) == "synthetic"
+    clip_len = args.clip_len if args.clip_len is not None else \
+        (8 if tiny_synth else 32)
+    crop = args.crop_size if args.crop_size is not None else \
+        (32 if tiny_synth else 224)
+    return clip_len, crop
 
 
 def build_dataset(args):
     """→ (dataset, iterate_batches) for the chosen source."""
     paths = get_paths()
+    clip_len, crop = data_shape(args)
     if args.data == "kinetics":
         ds = kinetics_mod.KineticsAttackDataset(
             paths.kinetics_anno, paths.kinetics_data,
-            clip_len=args.clip_len, crop_size=args.crop_size)
+            clip_len=clip_len, crop_size=crop)
         return ds, kinetics_mod.iterate_batches
     if args.data == "ucf101":
         used = ucf101_mod.load_used_idxs(paths.ucf_used_idxs) \
             if os.path.exists(paths.ucf_used_idxs) else None
         ds = ucf101_mod.UCF101AttackDataset(
             paths.ucf_setting, paths.ucf_image_root, used_idxs=used,
-            clip_len=args.clip_len, crop_size=args.crop_size)
-        return ds, _ucf_iter_adapter
-    size = args.crop_size if not args.tiny else 32
-    clip_len = args.clip_len if not args.tiny else 8
+            clip_len=clip_len, crop_size=crop)
+        return ds, ucf101_mod.iterate_batches
     ds = synthetic_mod.SyntheticAttackDataset(
-        n_samples=args.n_synthetic, clip_len=clip_len, size=size)
+        n_samples=args.n_synthetic, clip_len=clip_len, size=crop)
     return ds, synthetic_mod.iterate_batches
-
-
-def _ucf_iter_adapter(dataset, batch_size, left=0, right=None):
-    yield from ucf101_mod.iterate_batches(dataset, batch_size, left, right)
 
 
 def build_whitebox_attack(args, bundle):
@@ -120,7 +130,7 @@ def build_image_guided_attack(args):
     pjit-sharded production runner instead of the attack class."""
     method = args.attack_method
     tiny = args.tiny
-    hw = 32 if tiny else args.crop_size
+    hw = 32 if tiny else data_shape(args)[1]
     sharded = getattr(args, "sharded", False)
 
     def _sharded(models, *, step_size, adaptive=False, momentum=0.0,

@@ -63,6 +63,7 @@ class DenseNet(nn.Module):
     init_features: int = 96
     num_classes: int = 1000
     taps: Sequence[int] = ()     # dense-block indices 1..4
+    truncate: bool = False       # skip all compute past the deepest tap
     normalize: bool = True
     dtype: Any = jnp.float32
 
@@ -76,12 +77,15 @@ class DenseNet(nn.Module):
         x = nn.relu(FrozenBN(self.init_features, name="norm0")(x))
         x = max_pool(x, 3, 2, 1)
         feats = self.init_features
+        deepest = max(self.taps) if self.taps else None
         for i, layers in enumerate(self.block_config):
             for j in range(layers):
                 x = DenseLayer(self.growth, dtype=self.dtype,
                                name=f"denseblock{i + 1}_layer{j + 1}")(x)
             feats += layers * self.growth
             taps[i + 1] = x
+            if self.truncate and deepest is not None and i + 1 >= deepest:
+                return None, taps
             if i + 1 < len(self.block_config):
                 feats //= 2
                 x = Transition(feats, dtype=self.dtype,

@@ -78,18 +78,20 @@ def build_image_model(
     elif name == "densenet":
         from . import densenet as _densenet
 
-        kw2 = dict(taps=kw["taps"], dtype=kw["dtype"])  # no truncation support
-        module = (_densenet.densenet_tiny(**kw2) if tiny
-                  else _densenet.densenet161(**kw2))
+        module = (_densenet.densenet_tiny(**kw) if tiny
+                  else _densenet.densenet161(**kw))
     elif name == "vit":
         from . import vit as _vit
 
-        kw2 = dict(dtype=kw["dtype"])
         if tiny:
-            module = _vit.vit_tiny(**kw2)
-            tap_keys = tuple(min(t, module.depth - 1) for t in tap_keys)
+            depth = _vit.vit_tiny(dtype=kw["dtype"]).depth
+            tap_keys = tuple(min(t, depth - 1) for t in tap_keys)
+            module = _vit.vit_tiny(taps=tap_keys, truncate=truncate,
+                                   dtype=kw["dtype"])
         else:
-            module = _vit.vit_base_patch16_224(**kw2)
+            module = _vit.vit_base_patch16_224(taps=tap_keys,
+                                               truncate=truncate,
+                                               dtype=kw["dtype"])
     else:
         raise ValueError(f"unknown image model {name!r}; have {IMAGE_MODEL_NAMES}")
     return module, tap_keys

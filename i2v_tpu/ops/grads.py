@@ -17,9 +17,16 @@ def norm_grads(grads: jnp.ndarray, frame_level: bool = True) -> jnp.ndarray:
         raise ValueError(f"expected (B,C,T,H,W) clip gradient, got shape {grads.shape}")
     axes = (1, 3, 4) if frame_level else (1, 2, 3, 4)
     norm = jnp.mean(jnp.abs(grads), axis=axes, keepdims=True)
-    return grads / norm
+    # an identically-zero gradient slice (SlowFast never reads odd temporal
+    # frames: fast=x[:,::2], slow=x[:,::8]) would make this 0/0 → NaN that
+    # poisons the momentum carry and the saved artifacts (the reference's
+    # torch version has the same latent NaN, utils.py:58-67 — consciously
+    # fixed); zero gradient normalizes to zero
+    return jnp.where(norm > 0, grads / jnp.where(norm > 0, norm, 1.0), 0.0)
 
 
 def l1_normalize(grads: jnp.ndarray) -> jnp.ndarray:
-    """Whole-tensor L1 normalization (reference: base_attacks.py:398-399)."""
-    return grads / jnp.sum(jnp.abs(grads))
+    """Whole-tensor L1 normalization (reference: base_attacks.py:398-399);
+    all-zero gradients normalize to zero (0/0 guard as in norm_grads)."""
+    total = jnp.sum(jnp.abs(grads))
+    return jnp.where(total > 0, grads / jnp.where(total > 0, total, 1.0), 0.0)

@@ -81,10 +81,31 @@ def make_ensemble_parallel_runner(
                 taps.extend(t)
             return taps
 
-        clean_taps = [
-            [jax.lax.stop_gradient(t) for t in group_taps(g, frames_local)]
-            for g in range(m_size)
-        ]
+        gidx = jax.lax.axis_index("model")
+
+        # Clean-tap collection must run under a switch too: collecting all
+        # groups' taps unconditionally would execute every group's forward
+        # on every device AND pin every group's clean taps in HBM for the
+        # whole scan, defeating the model-axis split. lax.switch branches
+        # must agree on output structure, so each branch fills the other
+        # groups' slots with zeros — the consuming branch only reads its own
+        # group's slot, so the zero slots are dead and DCE'd.
+        tap_shapes = [jax.eval_shape(lambda f, gg=g: group_taps(gg, f),
+                                     frames_local) for g in range(m_size)]
+
+        def make_clean_branch(g: int):
+            def fn(frames01):
+                return [
+                    [jax.lax.stop_gradient(t)
+                     for t in group_taps(gg, frames01)] if gg == g else
+                    [jnp.zeros(s.shape, s.dtype) for s in tap_shapes[gg]]
+                    for gg in range(m_size)
+                ]
+
+            return fn
+
+        clean_taps = jax.lax.switch(
+            gidx, [make_clean_branch(g) for g in range(m_size)], frames_local)
 
         def make_objective(g: int):
             def obj(modifier):
@@ -94,7 +115,6 @@ def make_ensemble_parallel_runner(
             return jax.value_and_grad(obj)
 
         branches = [make_objective(g) for g in range(m_size)]
-        gidx = jax.lax.axis_index("model")
 
         def step(carry, _):
             modifier, opt_state = carry

@@ -312,8 +312,8 @@ class TestViTParity:
             want = tm(torch.from_numpy(x)).numpy()
 
         params = cv.convert_vit_b16(tm.state_dict())
-        module = ViT(patch=8, dim=32, depth=2, heads=4, num_classes=10,
-                     normalize=False)
+        module = ViT(patch=8, img_size=16, dim=32, depth=2, heads=4,
+                     num_classes=10, normalize=False)
         got, taps = module.apply({"params": params},
                                  jnp.asarray(x.transpose(0, 2, 3, 1)))
         assert len(taps) == 2  # per-block taps, ENS-ready

@@ -63,17 +63,30 @@ class TestGradCAM:
 
 class TestExtraZoo:
     def test_densenet_tiny(self):
+        # default (attack) build truncates at the deepest tap: no logits
         b = get_image_models(["densenet"], {"densenet": 2}, tiny=True,
                              input_hw=32)[0]
         logits, taps = b.apply01_taps(jnp.zeros((1, 32, 32, 3)))
+        assert logits is None and len(taps) == 1
+        # full build (GradCAM/eval) keeps the classifier head
+        bf = get_image_models(["densenet"], {"densenet": 2}, tiny=True,
+                              input_hw=32, truncate=False)[0]
+        logits, taps = bf.apply01_taps(jnp.zeros((1, 32, 32, 3)))
         assert logits.shape == (1, 10)
         assert len(taps) == 1
 
     def test_vit_tiny(self):
-        b = get_image_models(["vit"], {"vit": 1}, tiny=True, input_hw=32)[0]
+        b = get_image_models(["vit"], {"vit": 1}, tiny=True, input_hw=32,
+                             truncate=False)[0]
         logits, taps = b.apply01_taps(jnp.zeros((2, 32, 32, 3)))
         assert logits.shape == (2, 10)
         assert taps[0].ndim == 3  # (B, tokens, dim)
+        # default attack build truncates past the deepest tapped block
+        bt = get_image_models(["vit"], {"vit": 1}, tiny=True, input_hw=32)[0]
+        logits_t, taps_t = bt.apply01_taps(jnp.zeros((2, 32, 32, 3)))
+        assert logits_t is None
+        np.testing.assert_allclose(np.asarray(taps_t[0]),
+                                   np.asarray(taps[0]), atol=1e-6)
 
     def test_densenet_converter_parity(self):
         torch = pytest.importorskip("torch")

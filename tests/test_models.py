@@ -61,6 +61,33 @@ class TestTapShapes:
 
 
 class TestTruncation:
+    def test_truncated_taps_identical_densenet_vit(self):
+        """densenet/vit honor truncate too (previously silently dropped —
+        the full network ran past the deepest tap on every attack step)."""
+        x = jnp.asarray(np.random.RandomState(5).rand(2, 32, 32, 3).astype(np.float32))
+        for name in ("densenet", "vit"):
+            m_full, keys = build_image_model(name, [1], truncate=False, tiny=True)
+            m_trunc, _ = build_image_model(name, [1], truncate=True, tiny=True)
+            params = m_full.init(jax.random.PRNGKey(1), x)
+            logits, taps_full = m_full.apply(params, x)
+            out, taps_trunc = m_trunc.apply(params, x)
+            assert out is None and logits is not None, name
+            for k in keys:
+                np.testing.assert_allclose(
+                    np.asarray(taps_full[k]), np.asarray(taps_trunc[k]),
+                    atol=1e-6, err_msg=f"{name} tap {k}")
+
+    def test_vit_resolution_agnostic_apply(self):
+        """A ViT initialized at one input size must run at another: the
+        learned pos_embed grid is bilinearly resized at apply time (conv
+        backbones are naturally resolution-independent; vit was the one
+        registry entry that crashed under --tiny models + real 224 data)."""
+        m, keys = build_image_model("vit", [1], truncate=True, tiny=True)
+        x32 = jnp.zeros((2, 32, 32, 3))
+        params = m.init(jax.random.PRNGKey(0), x32)
+        _, taps64 = m.apply(params, jnp.zeros((2, 64, 64, 3)))
+        assert taps64[keys[0]].shape[1] == (64 // m.patch) ** 2 + 1
+
     def test_truncated_taps_identical(self):
         x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
         for name in ("alexnet", "squeezenet", "vgg"):

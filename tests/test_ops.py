@@ -127,6 +127,23 @@ class TestGrads:
         want = g / np.mean(np.abs(g), axis=(1, 2, 3, 4), keepdims=True)
         np.testing.assert_allclose(out, want, rtol=1e-5)
 
+    def test_norm_grads_zero_frames_stay_zero(self):
+        """SlowFast reads only x[:,::2] (fast) and x[:,::8] (slow), so odd
+        temporal frames get identically-zero input gradients; per-frame
+        normalization must return 0 for them, not 0/0 NaN (the reference's
+        torch version has the same latent NaN — consciously fixed)."""
+        g = np.random.RandomState(13).randn(2, 3, 8, 4, 4).astype(np.float32)
+        g[:, :, 1::2] = 0.0  # frames no pathway touches
+        out = np.asarray(grads.norm_grads(jnp.asarray(g), frame_level=True))
+        assert np.isfinite(out).all()
+        assert (out[:, :, 1::2] == 0).all()
+        want = g[:, :, ::2] / np.mean(np.abs(g[:, :, ::2]), axis=(1, 3, 4),
+                                      keepdims=True)
+        np.testing.assert_allclose(out[:, :, ::2], want, rtol=1e-5)
+        # all-zero input: l1_normalize is guarded the same way
+        z = np.asarray(grads.l1_normalize(jnp.zeros((2, 3, 8, 4, 4))))
+        assert np.isfinite(z).all() and (z == 0).all()
+
 
 class TestSmoothing:
     def test_ti_kernel_matches_scipy_formula(self):
