@@ -239,7 +239,10 @@ class AENS_I2V_MF(_FrameAttack):
         import time
 
         # no local for the normalized device copy (see Attack.__call__)
-        clean01 = pixel.unnormalize(jnp.asarray(videos), channel_axis=1)
+        if pixel.is_u8_clips(videos):
+            clean01 = pixel.ingest_u8_clips(jnp.asarray(videos))
+        else:
+            clean01 = pixel.unnormalize(jnp.asarray(videos), channel_axis=1)
         key = clean01.shape
         state0 = self._state0()
         if key not in self._jit_cache:

@@ -22,6 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .. import attacks
 from ..data import kinetics as kinetics_mod
+from ..data import transforms as transforms_mod
 from ..data import synthetic as synthetic_mod
 from ..data import ucf101 as ucf101_mod
 from ..models import get_image_models
@@ -53,6 +54,10 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
                    help="spatial size (default 224; 32 for --tiny synthetic)")
     p.add_argument("--tiny", action="store_true",
                    help="width-reduced backbones (checkpoint-free runs)")
+    p.add_argument("--u8_ingress", action="store_true",
+                   help="ship decoded uint8 frames to the device and "
+                        "normalize there (4x less host->device traffic; "
+                        "bit-identical numerics)")
 
 
 def data_shape(args) -> tuple[int, int]:
@@ -70,20 +75,22 @@ def build_dataset(args):
     """→ (dataset, iterate_batches) for the chosen source."""
     paths = get_paths()
     clip_len, crop = data_shape(args)
+    u8 = getattr(args, "u8_ingress", False)
     if args.data == "kinetics":
         ds = kinetics_mod.KineticsAttackDataset(
             paths.kinetics_anno, paths.kinetics_data,
-            clip_len=clip_len, crop_size=crop)
+            clip_len=clip_len, crop_size=crop, raw_uint8=u8)
         return ds, kinetics_mod.iterate_batches
     if args.data == "ucf101":
         used = ucf101_mod.load_used_idxs(paths.ucf_used_idxs) \
             if os.path.exists(paths.ucf_used_idxs) else None
         ds = ucf101_mod.UCF101AttackDataset(
             paths.ucf_setting, paths.ucf_image_root, used_idxs=used,
-            clip_len=clip_len, crop_size=crop)
+            clip_len=clip_len, crop_size=crop, raw_uint8=u8)
         return ds, ucf101_mod.iterate_batches
     ds = synthetic_mod.SyntheticAttackDataset(
-        n_samples=args.n_synthetic, clip_len=clip_len, size=crop)
+        n_samples=args.n_synthetic, clip_len=clip_len, size=crop,
+        raw_uint8=u8)
     return ds, synthetic_mod.iterate_batches
 
 
@@ -206,6 +213,13 @@ def loss_shard_index(args) -> int:
 def save_attack_outputs(run_dir, batch, adv, save_ori: bool = False,
                         dtype=np.float32):
     adv = np.asarray(adv)
+    ori = None
+    if save_ori:
+        ori = np.asarray(batch["clips"])
+        if ori.dtype == np.uint8 and ori.ndim == 5 and ori.shape[-1] == 3:
+            # u8-ingress batches carry raw (B,T,H,W,3) frames; the ori
+            # artifact protocol stays normalized f32 (B,3,T,H,W)
+            ori = np.stack([transforms_mod.u8_clip_to_normalized(c)
+                            for c in ori])
     artifacts.save_batch(run_dir, batch["labels"], adv,
-                         ori_batch=np.asarray(batch["clips"]) if save_ori else None,
-                         dtype=dtype)
+                         ori_batch=ori, dtype=dtype)

@@ -47,7 +47,8 @@ class KineticsAttackDataset:
     def __init__(self, anno_path: str, data_path: str, *, clip_len: int = 32,
                  frame_sample_rate: int = 2, crop_size: int = 224,
                  short_side_size: int = 256, new_height: int = 256,
-                 new_width: int = 340, num_segment: int = 1):
+                 new_width: int = 340, num_segment: int = 1,
+                 raw_uint8: bool = False):
         self.samples = read_manifest(anno_path)
         self.data_path = data_path
         self.clip_len = clip_len
@@ -57,6 +58,7 @@ class KineticsAttackDataset:
         self.new_height = new_height
         self.new_width = new_width
         self.num_segment = num_segment
+        self.raw_uint8 = raw_uint8
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -127,10 +129,15 @@ class KineticsAttackDataset:
 
     def _pack(self, sample: KineticsSample, buffer: np.ndarray):
         """Apply the validation transform and build the item tuple — the
-        single home of the reference item contract (datasets.py:138-150)."""
-        clip = transforms.kinetics_val_transform(
+        single home of the reference item contract (datasets.py:138-150).
+        ``raw_uint8`` keeps the clip as the cropped (T,H,W,3) uint8 buffer
+        for device-side normalization (ops.pixel.ingest_u8_clips) — 4× less
+        host→device traffic, bit-identical downstream numerics."""
+        frames_u8 = transforms.kinetics_val_frames_u8(
             buffer, self.short_side_size, self.crop_size
         )
+        clip = (frames_u8 if self.raw_uint8
+                else transforms.u8_clip_to_normalized(frames_u8))
         return clip, sample.label, sample.path.split(".")[0], sample.clip_index
 
     def _resample(self, sample: KineticsSample):

@@ -16,11 +16,12 @@ class SyntheticAttackDataset:
     the label."""
 
     def __init__(self, n_samples: int = 8, clip_len: int = 32, size: int = 224,
-                 n_classes: Optional[int] = None):
+                 n_classes: Optional[int] = None, raw_uint8: bool = False):
         self.n_samples = n_samples
         self.clip_len = clip_len
         self.size = size
         self.n_classes = n_classes or n_samples
+        self.raw_uint8 = raw_uint8
 
     def __len__(self) -> int:
         return self.n_samples
@@ -28,6 +29,14 @@ class SyntheticAttackDataset:
     def __getitem__(self, index: int):
         label = index % self.n_classes
         rng = np.random.RandomState(label)
+        if self.raw_uint8:
+            # u8-ingest smoke path: (T,H,W,3) uint8, normalized on device
+            # (same rng stream, different shape — synthetic content has no
+            # cross-mode equality contract, only determinism per label)
+            return (rng.randint(0, 256,
+                                (self.clip_len, self.size, self.size, 3),
+                                dtype=np.uint8),
+                    label, f"synthetic_{label}", label)
         clip01 = rng.rand(3, self.clip_len, self.size, self.size).astype(np.float32)
         mean = np.asarray(IMAGENET_MEAN, np.float32)[:, None, None, None]
         std = np.asarray(IMAGENET_STD, np.float32)[:, None, None, None]

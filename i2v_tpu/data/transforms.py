@@ -58,7 +58,16 @@ def corner_crop_center(img: Image.Image, size: int) -> Image.Image:
 
 def frames_to_normalized_clip(frames: Sequence[Image.Image]) -> np.ndarray:
     """PIL frame list → normalized float32 (C, T, H, W)."""
-    arr = np.stack([np.asarray(f, dtype=np.float32) for f in frames])  # THWC
+    return u8_clip_to_normalized(
+        np.stack([np.asarray(f, dtype=np.uint8) for f in frames]))
+
+
+def u8_clip_to_normalized(u8_thwc: np.ndarray) -> np.ndarray:
+    """uint8 (T,H,W,C) → normalized float32 (C,T,H,W) — the host half of the
+    ToTensor+Normalize pipeline. Its device twin is
+    ``ops.pixel.ingest_u8_clips`` (same f32 ops, same order); keeping the
+    arithmetic in one shape here pins the bit-level contract between them."""
+    arr = u8_thwc.astype(np.float32)
     arr /= 255.0
     mean = np.asarray(IMAGENET_MEAN, np.float32)
     std = np.asarray(IMAGENET_STD, np.float32)
@@ -66,18 +75,33 @@ def frames_to_normalized_clip(frames: Sequence[Image.Image]) -> np.ndarray:
     return np.transpose(arr, (3, 0, 1, 2))  # CTHW
 
 
+def kinetics_val_frames_u8(frames_thwc: np.ndarray, short_side: int = 256,
+                           crop: int = 224) -> np.ndarray:
+    """The SPATIAL half of the Kinetics validation pipeline: decoded uint8
+    (T,H,W,C) → resized+cropped uint8 (T,crop,crop,C). Normalization happens
+    on host (``u8_clip_to_normalized``) or on device
+    (``ops.pixel.ingest_u8_clips``) depending on the ingest mode."""
+    imgs = [Image.fromarray(f) for f in frames_thwc]
+    imgs = [center_crop(resize_short_side(im, short_side), crop) for im in imgs]
+    return np.stack([np.asarray(im, dtype=np.uint8) for im in imgs])
+
+
 def kinetics_val_transform(frames_thwc: np.ndarray, short_side: int = 256,
                            crop: int = 224) -> np.ndarray:
     """The Kinetics validation pipeline on a decoded uint8 (T,H,W,C) buffer."""
-    imgs = [Image.fromarray(f) for f in frames_thwc]
-    imgs = [center_crop(resize_short_side(im, short_side), crop) for im in imgs]
-    return frames_to_normalized_clip(imgs)
+    return u8_clip_to_normalized(
+        kinetics_val_frames_u8(frames_thwc, short_side, crop))
+
+
+def ucf_test_frames_u8(frames: Sequence[Image.Image], size: int = 224) -> np.ndarray:
+    """SPATIAL half of the UCF-101 eval pipeline → uint8 (T,size,size,C)."""
+    imgs = [corner_crop_center(resize_short_side(im, size), size) for im in frames]
+    return np.stack([np.asarray(im, dtype=np.uint8) for im in imgs])
 
 
 def ucf_test_transform(frames: Sequence[Image.Image], size: int = 224) -> np.ndarray:
     """UCF-101 eval pipeline on loaded PIL frames."""
-    imgs = [corner_crop_center(resize_short_side(im, size), size) for im in frames]
-    return frames_to_normalized_clip(imgs)
+    return u8_clip_to_normalized(ucf_test_frames_u8(frames, size))
 
 
 # ---------------------------------------------------------------------------

@@ -50,13 +50,15 @@ class UCF101AttackDataset:
 
     def __init__(self, setting_path: str, image_root: str,
                  used_idxs: Optional[Sequence[int]] = None,
-                 clip_len: int = 32, crop_size: int = 224):
+                 clip_len: int = 32, crop_size: int = 224,
+                 raw_uint8: bool = False):
         clips = read_setting(setting_path, image_root)
         if used_idxs is not None:
             clips = [clips[i] for i in used_idxs]
         self.clips = clips
         self.clip_len = clip_len
         self.crop_size = crop_size
+        self.raw_uint8 = raw_uint8
 
     def __len__(self) -> int:
         return len(self.clips)
@@ -87,7 +89,9 @@ class UCF101AttackDataset:
             # instead of stacking a ragged batch downstream
             paths = [paths[i % len(paths)] for i in range(len(frame_indices))]
         frames = self._decode(paths)
-        clip = transforms.ucf_test_transform(frames, self.crop_size)
+        frames_u8 = transforms.ucf_test_frames_u8(frames, self.crop_size)
+        clip = (frames_u8 if self.raw_uint8
+                else transforms.u8_clip_to_normalized(frames_u8))
         return clip, sample.label
 
     def _decode(self, paths: list) -> list:

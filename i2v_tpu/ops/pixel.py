@@ -86,6 +86,61 @@ def sign_step_project(
     return project_linf(stepped, clean01, epsilon)
 
 
+def _u8_norm_lut():
+    """(3·256,) float32 LUT: ``lut[c·256 + v] = (v/255 − mean_c)/std_c``,
+    computed with HOST numpy arithmetic. u8 pixels take only 256 values per
+    channel, so the host half of ToTensor+Normalize is exactly tabulable."""
+    import numpy as np
+
+    v = np.arange(256, dtype=np.float32) / np.float32(255.0)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    return jnp.asarray(
+        ((v[None, :] - mean[:, None]) / std[:, None]).reshape(-1))
+
+
+def ingest_u8_clips(u8_bthwc: jnp.ndarray) -> jnp.ndarray:
+    """Device-side ingest: raw uint8 (B,T,H,W,3) clips → [0,1] (B,3,T,H,W).
+
+    The TPU-native dual of the reference's host-side ToTensor+Normalize →
+    upload → unnormalize chain (datasets.py:86-93 + base_attacks.py:145-158):
+    shipping the decoded uint8 frames and doing the arithmetic on device cuts
+    host→device traffic 4× (the usual ingest bottleneck — PCIe on a real
+    host, ~10 MB/s on this relay). The result is BIT-IDENTICAL to the
+    f32-upload path's clean01, making u8 ingress a pure transport
+    optimization, not a numerics knob (tests/test_ops.py,
+    tests/test_parallel.py pin this).
+
+    How bit-identity is achieved: TPU f32 divide is NOT correctly rounded
+    (it lowers to reciprocal-multiply — measured 1-ULP drift vs numpy on
+    ~16% of bytes), so the divide-bearing host half (/255 → (x−mean)/std)
+    is precomputed on host into a per-channel 256-entry LUT and applied as
+    an exact device gather; the remaining unnormalize (·std + mean) is the
+    SAME eager device op the f32 path runs (TPU f32 mul/add ARE correctly
+    rounded — verified elementwise against numpy for all 768 LUT inputs).
+
+    The uint8 transpose runs before the f32 upcast — 4× less transpose
+    traffic if XLA materializes it. The unnormalize MUST stay an eager
+    op-by-op dispatch: under an enclosing jit XLA contracts mul+add into
+    FMA, which shifts the last bit vs the f32 path's eager unnormalize,
+    and the flat-start cosine objectives amplify last-bit input
+    differences chaotically. The gather itself is fusion-proof (exact
+    regardless), and runs once per batch — off the attack's hot loop.
+    """
+    idx = jnp.transpose(u8_bthwc, (0, 4, 1, 2, 3)).astype(jnp.int32)
+    idx = idx + 256 * jnp.arange(3, dtype=jnp.int32).reshape(1, 3, 1, 1, 1)
+    norm = jnp.take(_u8_norm_lut(), idx)
+    return unnormalize(norm, channel_axis=1)
+
+
+def is_u8_clips(videos) -> bool:
+    """True for the raw uint8 (B,T,H,W,3) ingest layout (vs the normalized
+    f32 (B,C,T,H,W) contract). uint8 rank-5 channel-LAST is the u8 ingress
+    contract — a normalized-domain clip can never be uint8."""
+    return (hasattr(videos, "dtype") and videos.dtype == jnp.uint8
+            and videos.ndim == 5 and videos.shape[-1] == 3)
+
+
 def flatten_clip_to_frames(clip_bcthw: jnp.ndarray) -> jnp.ndarray:
     """(B,C,T,H,W) → (B·T, H, W, C) NHWC frame batch.
 

@@ -277,8 +277,12 @@ class ShardedImageGuidedAttack:
     def __call__(self, videos, labels=None, video_names=None):
         from .mesh import clip_sharding
 
+        u8 = pixel.is_u8_clips(videos)
         videos = jnp.asarray(videos)
         b = videos.shape[0]
+        # clip length: axis 2 of normalized (B,C,T,H,W), axis 1 of raw
+        # uint8 (B,T,H,W,3) ingest batches
+        t = videos.shape[1] if u8 else videos.shape[2]
         data = self.mesh.shape["data"]
         frames = self.mesh.shape["frames"]
         # A long --sharded generation run ends with a trailing partial batch;
@@ -290,18 +294,28 @@ class ShardedImageGuidedAttack:
         # real clips' adv output and the recorded per-step costs are exactly
         # the unpadded run's (pad clips are fully inert, not just sliced).
         pad = 0
-        if b % data or (b * videos.shape[2]) % (data * frames):
+        if b % data or (b * t) % (data * frames):
             target = b + (-b % data)
-            while (target * videos.shape[2]) % (data * frames):
+            while (target * t) % (data * frames):
                 target += data
             pad = target - b
             videos = jnp.concatenate(
                 [videos, jnp.repeat(videos[-1:], pad, axis=0)], axis=0)
-        clean01 = pixel.unnormalize(videos, channel_axis=1)
-        del videos  # drop the normalized copy before the attack pins HBM
-        # device-side reshard — a host round trip at relay bandwidth would
-        # cost more than the attack itself
-        clean01 = jax.device_put(clean01, clip_sharding(self.mesh))
+        if u8:
+            # raw uint8 ingest: 4× less host→device traffic; the LUT-gather
+            # + eager unnormalize on device (see ingest_u8_clips) is
+            # bit-identical to the f32 path; sharding propagates from the
+            # device_put through the eager ops, and the runner re-constrains
+            # anyway
+            clean01 = pixel.ingest_u8_clips(
+                jax.device_put(videos, jax.sharding.NamedSharding(
+                    self.mesh, P("data"))))
+        else:
+            clean01 = pixel.unnormalize(videos, channel_axis=1)
+            # device-side reshard — a host round trip at relay bandwidth
+            # would cost more than the attack itself
+            clean01 = jax.device_put(clean01, clip_sharding(self.mesh))
+        del videos  # drop the raw copy before the attack pins HBM
         adv01, costs = self._runner(clean01, n_real=b if pad else None)
         self._record_costs(costs, video_names)
         if pad:

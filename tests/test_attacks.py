@@ -161,6 +161,21 @@ class TestSignAttacks:
         np.testing.assert_allclose(g[True][1], g[False][1],
                                    atol=1e-5 * scale)
 
+    def test_whitebox_u8_ingress_bitwise_matches_f32(self, video_bundle):
+        """Attack.__call__ accepts raw uint8 (B,T,H,W,3) batches (the
+        --u8_ingress dataset layout) and produces bit-identical results to
+        the normalized-f32 path — same PRNG stream, same clean01."""
+        from i2v_tpu.data.transforms import u8_clip_to_normalized
+
+        rng = np.random.RandomState(11)
+        u8 = rng.randint(0, 256, (2, 4, 32, 32, 3), dtype=np.uint8)
+        norm = np.stack([u8_clip_to_normalized(c) for c in u8])
+        labels = jnp.asarray([1, 3])
+        adv_f32 = np.asarray(
+            attacks.BIM(video_bundle, steps=2)(jnp.asarray(norm), labels))
+        adv_u8 = np.asarray(attacks.BIM(video_bundle, steps=2)(u8, labels))
+        np.testing.assert_array_equal(adv_u8, adv_f32)
+
     def test_targeted_mode_descends_target_loss(self, video_bundle, clean_batch):
         videos, labels = clean_batch
         atk = attacks.BIM(video_bundle, steps=5)

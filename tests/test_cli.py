@@ -158,6 +158,28 @@ class TestImageGuidedCLI:
             b = np.load(os.path.join(run_b, f))
             np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f)
 
+    def test_u8_ingress_cli(self, opt_path):
+        """--u8_ingress ships raw uint8 clips and normalizes on device; the
+        run must produce protocol-conformant normalized f32 artifacts through
+        both the class path and the sharded runner."""
+        from i2v_tpu.cli import image_main
+
+        common_args = [
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "2", "--batch_size", "2",
+            "--u8_ingress",
+        ]
+        run_a = image_main.main(common_args + ["--file_prefix", "u8cls"])
+        run_b = image_main.main(common_args + ["--file_prefix", "u8shard",
+                                               "--sharded"])
+        for f in ("0-adv.npy", "1-adv.npy"):
+            a = np.load(os.path.join(run_a, f))
+            assert a.dtype == np.float32 and a.shape == (3, 8, 32, 32)
+            b = np.load(os.path.join(run_b, f))
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f)
+
     def test_data_parallel_eval_matches_single_device(self, opt_path):
         """--data_parallel shards eval batches over the 8-device CPU mesh;
         predictions and top-1 must match the unsharded run (the accuracy

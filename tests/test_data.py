@@ -175,6 +175,23 @@ class TestTransforms:
         clip = transforms.ucf_test_transform(_frames(5, 320, 240), 224)
         assert clip.shape == (3, 5, 224, 224)
 
+    def test_u8_spatial_plus_normalize_equals_full_transform(self):
+        """The u8-ingest split (spatial half → uint8, normalize later) must
+        compose back to the one-shot transforms byte-for-byte — the refactor
+        guard for raw_uint8 dataset modes."""
+        buf = np.random.RandomState(2).randint(0, 255, (4, 256, 340, 3), np.uint8)
+        u8 = transforms.kinetics_val_frames_u8(buf, 256, 224)
+        assert u8.dtype == np.uint8 and u8.shape == (4, 224, 224, 3)
+        np.testing.assert_array_equal(
+            transforms.u8_clip_to_normalized(u8),
+            transforms.kinetics_val_transform(buf, 256, 224))
+        frames = _frames(5, 320, 240)
+        u8u = transforms.ucf_test_frames_u8(frames, 224)
+        assert u8u.dtype == np.uint8 and u8u.shape == (5, 224, 224, 3)
+        np.testing.assert_array_equal(
+            transforms.u8_clip_to_normalized(u8u),
+            transforms.ucf_test_transform(frames, 224))
+
 
 class TestSyntheticAndPipeline:
     def test_batches(self):
@@ -182,6 +199,15 @@ class TestSyntheticAndPipeline:
         batches = list(iterate_batches(ds, 2))
         assert [b["clips"].shape[0] for b in batches] == [2, 2, 1]
         assert batches[0]["clips"].shape[1:] == (3, 4, 16, 16)
+
+    def test_raw_uint8_batches(self):
+        ds = SyntheticAttackDataset(n_samples=3, clip_len=4, size=16,
+                                    raw_uint8=True)
+        batches = list(iterate_batches(ds, 2))
+        clips = batches[0]["clips"]
+        assert clips.dtype == np.uint8 and clips.shape == (2, 4, 16, 16, 3)
+        # deterministic per label, like the f32 mode
+        np.testing.assert_array_equal(clips[0], ds[0][0])
 
     def test_shard_bounds_iteration(self):
         ds = SyntheticAttackDataset(n_samples=10, clip_len=2, size=8)
@@ -271,6 +297,16 @@ class TestRealDatasets:
         assert (label, name, clip_ind) == (1, "vid1", 1)
         # ImageNet-normalized domain, not [0,1]
         assert clip.min() < -0.5
+        # raw_uint8 mode: same decode/crop, clip stays (T,H,W,3) uint8 and
+        # normalizes back to the f32 item byte-for-byte
+        ds.raw_uint8 = True
+        clip_u8, label2, name2, _ = ds[1]
+        assert clip_u8.dtype == np.uint8
+        assert clip_u8.shape == (32, 224, 224, 3)
+        assert (label2, name2) == (label, name)
+        from i2v_tpu.data import transforms as tfm
+
+        np.testing.assert_array_equal(tfm.u8_clip_to_normalized(clip_u8), clip)
 
     def test_kinetics_load_batch_matches_sequential(self, tmp_path):
         ds = self._make_kinetics(tmp_path, n_videos=4)

@@ -115,6 +115,30 @@ class TestLosses:
 
 
 class TestGrads:
+    def test_ingest_u8_clips_bitwise_matches_f32_path(self):
+        """u8 ingress must be a pure transport optimization: ingest_u8_clips
+        (device /255 → normalize → unnormalize) produces the SAME clean01 the
+        f32 path does (host normalize → upload → device unnormalize), because
+        both run the identical f32 op sequence. Bitwise is the contract —
+        anything looser would make --u8_ingress a numerics knob."""
+        from i2v_tpu.data import transforms
+
+        u8 = np.random.RandomState(3).randint(
+            0, 256, (2, 4, 8, 8, 3), dtype=np.uint8)
+        host_norm = np.stack([transforms.u8_clip_to_normalized(c) for c in u8])
+        clean01_f32 = np.asarray(
+            pixel.unnormalize(jnp.asarray(host_norm), channel_axis=1))
+        clean01_u8 = np.asarray(pixel.ingest_u8_clips(jnp.asarray(u8)))
+        np.testing.assert_array_equal(clean01_u8, clean01_f32)
+
+    def test_is_u8_clips_layout_detection(self):
+        u8 = np.zeros((2, 4, 8, 8, 3), np.uint8)
+        assert pixel.is_u8_clips(u8)
+        assert not pixel.is_u8_clips(u8.astype(np.float32))
+        assert not pixel.is_u8_clips(np.zeros((2, 3, 4, 8, 8), np.float32))
+        # int-return-type adv clips are uint8 but channel-SECOND — not ingress
+        assert not pixel.is_u8_clips(np.zeros((2, 3, 4, 8, 8), np.uint8))
+
     def test_norm_grads_frame_level(self):
         g = np.random.RandomState(11).randn(2, 3, 32, 4, 4).astype(np.float32)
         out = np.asarray(grads.norm_grads(jnp.asarray(g), frame_level=True))

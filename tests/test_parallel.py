@@ -144,6 +144,31 @@ def test_sharded_attack_pads_indivisible_trailing_batch():
     np.testing.assert_allclose(adv3, adv8[:3], atol=2e-6)
 
 
+def test_sharded_attack_u8_ingress_bitwise_matches_f32():
+    """Raw uint8 (B,T,H,W,3) ingest must produce bit-identical adversarial
+    outputs to the normalized-f32 (B,3,T,H,W) path (ops.pixel.ingest_u8_clips
+    reproduces the f32 path's clean01 exactly) — including through the
+    pad-and-slice trailing-batch path, whose clip-length axis differs
+    between the two layouts."""
+    from i2v_tpu.data.transforms import u8_clip_to_normalized
+    from i2v_tpu.parallel.sharded import ShardedImageGuidedAttack
+
+    models = get_image_models(["resnet"], {"resnet": 2}, tiny=True, input_hw=32)
+    mesh = attack_mesh()
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (4, 8, 32, 32, 3), dtype=np.uint8)
+    norm = np.stack([u8_clip_to_normalized(c) for c in u8])
+
+    atk = ShardedImageGuidedAttack(models, mesh, steps=2, step_size=0.005)
+    adv_f32 = np.asarray(atk(jnp.asarray(norm)))
+    adv_u8 = np.asarray(atk(u8))
+    np.testing.assert_array_equal(adv_u8, adv_f32)
+    # trailing partial batch (3 % data-axis != 0) through the u8 layout
+    adv_u8_3 = np.asarray(atk(u8[:3]))
+    assert adv_u8_3.shape == (3, 3, 8, 32, 32)
+    np.testing.assert_array_equal(adv_u8_3, adv_f32[:3])
+
+
 def test_sharded_pad_is_inert_for_adaptive_aens():
     """Adaptive AENS shares per-batch softmax coefficients across clips, so
     pad-and-slice is only output-preserving if the pad frames are masked out
