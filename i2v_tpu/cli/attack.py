@@ -68,7 +68,8 @@ def main(argv=None) -> str:
                              remat=getattr(args, "remat", False))
     attack = common.build_whitebox_attack(args, bundle)
     done = artifacts.existing_labels(args.adv_path)
-    for step, batch in enumerate(iterate(dataset, args.batch_size)):
+    for step, batch in enumerate(
+            common.batch_iterator(args, dataset, iterate, keep_host=True)):
         if all(int(l) in done for l in batch["labels"]):
             continue  # idempotent resume
         print(f"Running {args.attack_method}, {step + 1}")

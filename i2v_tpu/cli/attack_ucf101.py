@@ -50,7 +50,8 @@ def main(argv=None) -> str:
     bundle = get_video_model(args.model, tiny=args.tiny, ucf101=not args.tiny,
                              remat=args.remat)
     attack = common.build_whitebox_attack(args, bundle)
-    for step, batch in enumerate(iterate(dataset, args.batch_size)):
+    for step, batch in enumerate(
+            common.batch_iterator(args, dataset, iterate, keep_host=True)):
         print(f"Running {args.attack_method}, {step + 1}")
         adv = attack(batch["clips"], batch["labels"])
         common.save_attack_outputs(args.adv_path, batch, adv, save_ori=True)

@@ -58,6 +58,13 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
                    help="ship decoded uint8 frames to the device and "
                         "normalize there (4x less host->device traffic; "
                         "bit-identical numerics)")
+    p.add_argument("--prefetch", type=int, default=0, metavar="DEPTH",
+                   help="decode + upload the next DEPTH batches in a "
+                        "background thread while the current batch attacks "
+                        "(data/pipeline.py); hides decode and host->device "
+                        "ingest behind attack compute. Each prefetched "
+                        "batch pins HBM (B=16 f32 is ~308 MB; 77 MB with "
+                        "--u8_ingress), so keep DEPTH small")
 
 
 def data_shape(args) -> tuple[int, int]:
@@ -92,6 +99,22 @@ def build_dataset(args):
         n_samples=args.n_synthetic, clip_len=clip_len, size=crop,
         raw_uint8=u8)
     return ds, synthetic_mod.iterate_batches
+
+
+def batch_iterator(args, dataset, iterate, left: int = 0, right=None,
+                   keep_host: bool = False):
+    """The CLI batch stream: synchronous by default; with ``--prefetch N``
+    a decode thread + early device_put run N batches ahead of the attack
+    (data/pipeline.make_input_pipeline). ``keep_host`` retains the host
+    clip array under ``clips_host`` for ori-saving consumers."""
+    depth = getattr(args, "prefetch", 0) or 0
+    if depth <= 0:
+        return iterate(dataset, args.batch_size, left, right)
+    from ..data.pipeline import make_input_pipeline
+
+    return make_input_pipeline(dataset, args.batch_size, iterate, left=left,
+                               right=right, prefetch_depth=depth,
+                               keep_host=keep_host)
 
 
 def build_whitebox_attack(args, bundle):
@@ -215,7 +238,9 @@ def save_attack_outputs(run_dir, batch, adv, save_ori: bool = False,
     adv = np.asarray(adv)
     ori = None
     if save_ori:
-        ori = np.asarray(batch["clips"])
+        # --prefetch batches keep the original host array under clips_host;
+        # using it avoids pulling the clips back over the device→host link
+        ori = np.asarray(batch.get("clips_host", batch["clips"]))
         if ori.dtype == np.uint8 and ori.ndim == 5 and ori.shape[-1] == 3:
             # u8-ingress batches carry raw (B,T,H,W,3) frames; the ori
             # artifact protocol stays normalized f32 (B,3,T,H,W)

@@ -95,7 +95,8 @@ def run(args) -> str:
     dtype = np.float16 if args.artifact_dtype == "float16" else np.float32
     timer = StepTimer(steps_per_call=args.step, clips_per_call=args.batch_size)
     with trace(getattr(args, "profile", None)):
-        for step, batch in enumerate(iterate(dataset, args.batch_size, left, right)):
+        for step, batch in enumerate(
+                common.batch_iterator(args, dataset, iterate, left, right)):
             print(f"Running {args.attack_method}, {step + 1}")
             with timer:
                 out = attack(batch["clips"], batch["labels"], batch["names"])
@@ -139,8 +140,8 @@ def _run_fused(args, dataset, iterate, attack, left, right) -> str:
     t0 = time.time()
     n_clips = 0
     with trace(getattr(args, "profile", None)):
-        for step, batch in enumerate(iterate(dataset, args.batch_size,
-                                             left, right)):
+        for step, batch in enumerate(
+                common.batch_iterator(args, dataset, iterate, left, right)):
             print(f"Running fused {args.attack_method}+eval, {step + 1}")
             fused.process_batch(batch)
             n_clips += len(batch["labels"])

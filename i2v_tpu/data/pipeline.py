@@ -42,12 +42,18 @@ def threaded_prefetch(make_iter: Callable[[], Iterator], depth: int = 2) -> Iter
         yield item
 
 
-def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2) -> Iterator[dict]:
+def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2,
+                    keep_host: bool = False) -> Iterator[dict]:
     """Move 'clips'/'labels' to device ahead of consumption.
 
     At most ``depth`` batches are resident beyond the one handed to the
     consumer (depth=2 ⇒ double-buffering ahead of the in-use batch; a B=16
     f32 clip batch is ~308 MB of HBM, so an off-by-one here is real memory).
+
+    ``keep_host=True`` retains the original host array under
+    ``clips_host`` so ori-saving consumers (cli.attack's ``save_ori``)
+    read the host copy instead of pulling the clips back over the
+    device→host link they were just pushed through.
     """
     buf = []
 
@@ -55,6 +61,8 @@ def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2) -> I
         out = dict(b)
         out["clips"] = jax.device_put(b["clips"], sharding)
         out["labels"] = jax.device_put(b["labels"])
+        if keep_host:
+            out["clips_host"] = b["clips"]
         return out
 
     for b in batches:
@@ -66,9 +74,11 @@ def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2) -> I
 
 def make_input_pipeline(dataset, batch_size: int, iterate, *, left: int = 0,
                         right: Optional[int] = None, sharding=None,
-                        prefetch_depth: int = 2) -> Iterator[dict]:
+                        prefetch_depth: int = 2,
+                        keep_host: bool = False) -> Iterator[dict]:
     """decode-thread → bounded queue → device transfer, composed."""
     host = threaded_prefetch(
         lambda: iterate(dataset, batch_size, left, right), prefetch_depth
     )
-    return device_prefetch(host, sharding, prefetch_depth)
+    return device_prefetch(host, sharding, prefetch_depth,
+                           keep_host=keep_host)

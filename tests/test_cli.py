@@ -180,6 +180,50 @@ class TestImageGuidedCLI:
             b = np.load(os.path.join(run_b, f))
             np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f)
 
+    def test_prefetch_pipeline_matches_synchronous(self, opt_path):
+        """--prefetch N decodes + device_puts batches ahead of the attack;
+        it must be a pure pipelining knob — identical artifacts to the
+        synchronous loop, for both the f32 and u8-ingress layouts."""
+        from i2v_tpu.cli import image_main
+
+        common_args = [
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "3", "--batch_size", "2",
+        ]
+        for extra, tag in (([], "pf"), (["--u8_ingress"], "pfu8")):
+            run_s = image_main.main(
+                common_args + extra + ["--file_prefix", f"{tag}sync"])
+            run_p = image_main.main(
+                common_args + extra + ["--file_prefix", f"{tag}pre",
+                                       "--prefetch", "2"])
+            for f in ("0-adv.npy", "1-adv.npy", "2-adv.npy"):
+                np.testing.assert_array_equal(
+                    np.load(os.path.join(run_s, f)),
+                    np.load(os.path.join(run_p, f)), err_msg=f"{tag}/{f}")
+
+    def test_u8_ingress_composes_with_fused_eval(self, opt_path):
+        """--u8_ingress + --fused_eval: the fused driver forwards raw uint8
+        batches to the attack untouched, so the combination must produce the
+        full reports + normalized-f32 artifacts."""
+        import json
+
+        from i2v_tpu.cli import image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "2", "--batch_size", "2",
+            "--file_prefix", "u8fused", "--u8_ingress",
+            "--fused_eval", "i3d_resnet50",
+        ])
+        a = np.load(os.path.join(run_dir, "0-adv.npy"))
+        assert a.dtype == np.float32 and a.shape == (3, 8, 32, 32)
+        with open(os.path.join(run_dir, "top1_acc_all_models.json")) as f:
+            assert set(json.load(f)) == {"i3d_resnet50"}
+
     def test_data_parallel_eval_matches_single_device(self, opt_path):
         """--data_parallel shards eval batches over the 8-device CPU mesh;
         predictions and top-1 must match the unsharded run (the accuracy

@@ -243,6 +243,19 @@ class TestSyntheticAndPipeline:
                                        sharding=clip_sharding(mesh)))
         assert out[0]["clips"].sharding == clip_sharding(mesh)
 
+    def test_input_pipeline_keep_host(self):
+        """keep_host retains the numpy original under clips_host (byte-equal
+        to the device copy) so ori-saving skips the device round trip."""
+        from i2v_tpu.data.pipeline import make_input_pipeline
+
+        ds = SyntheticAttackDataset(n_samples=4, clip_len=2, size=8)
+        out = list(make_input_pipeline(ds, 2, iterate_batches, keep_host=True))
+        assert len(out) == 2
+        for b in out:
+            assert isinstance(b["clips_host"], np.ndarray)
+            np.testing.assert_array_equal(b["clips_host"],
+                                          np.asarray(b["clips"]))
+
 
 class TestArtifacts:
     def test_roundtrip(self, tmp_path):
