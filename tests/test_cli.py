@@ -328,6 +328,50 @@ class TestRealDataCLI:
                              "--n_classes", "2", "--models", "i3d_resnet50"])
         assert set(acc) == {"i3d_resnet50"}
 
+    def test_kinetics_u8_prefetch_bitwise_matches_f32_sync(
+            self, opt_path, tmp_path, monkeypatch):
+        """The full production ingest composition over REAL decoded video —
+        native MJPEG-AVI decode → --u8_ingress (device-side LUT normalize) →
+        --prefetch 2 (decode thread + early device_put) — must emit artifacts
+        bit-identical to the plain host-normalized synchronous run: both
+        knobs are pure transport optimizations (ops/pixel.ingest_u8_clips,
+        data/pipeline.py)."""
+        from PIL import Image
+
+        from .avi_helper import write_mjpeg_avi
+
+        rng = np.random.RandomState(7)
+        data = tmp_path / "kinetics"
+        (data / "class a").mkdir(parents=True)
+        rows = ["path,gt_label,clip_index"]
+        for i in range(3):
+            rel = f"class a/vid{i}.avi"
+            frames = [Image.fromarray(
+                rng.randint(0, 255, (40, 56, 3), dtype=np.uint8))
+                for _ in range(10)]
+            write_mjpeg_avi(str(data / rel), frames)
+            rows.append(f"{rel},{i},-1")
+        anno = tmp_path / "anno.csv"
+        anno.write_text("\n".join(rows) + "\n")
+        monkeypatch.setenv("I2V_TPU_KINETICS_DATA", str(data))
+        monkeypatch.setenv("I2V_TPU_KINETICS_ANNO", str(anno))
+
+        from i2v_tpu.cli import image_main
+
+        common_args = [
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "2", "--tiny", "--data", "kinetics",
+            "--crop_size", "32", "--clip_len", "8", "--batch_size", "2",
+        ]
+        run_f32 = image_main.main(common_args + ["--file_prefix", "rdsync"])
+        run_u8 = image_main.main(common_args + [
+            "--file_prefix", "rdu8pf", "--u8_ingress", "--prefetch", "2"])
+        for f in ("0-adv.npy", "1-adv.npy", "2-adv.npy"):
+            np.testing.assert_array_equal(
+                np.load(os.path.join(run_f32, f)),
+                np.load(os.path.join(run_u8, f)), err_msg=f)
+
     def test_ucf101_decode_attack(self, opt_path, tmp_path, monkeypatch):
         from PIL import Image
 
