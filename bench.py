@@ -335,6 +335,69 @@ def bench_e2e(rows):
         log(f"  e2e failed: {type(e).__name__}: {str(e)[:300]}")
 
 
+def bench_decode(rows):
+    """Host-side ingest stage: native C++ (FFmpeg/libjpeg) batch decode
+    throughput — the decord/PIL stage of the reference pipeline
+    (datasets.py:188-244, dataset_ucf101.py:13-50). Pure host work (no
+    device); sized to the reference's decode dims (340×256,
+    datasets.py:47)."""
+    import os
+    import tempfile
+
+    try:
+        from PIL import Image
+
+        from i2v_tpu.data import native
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
+
+        if not native.available():
+            log("decode: native libi2vio.so unavailable; skipping")
+            return
+        rng = np.random.RandomState(0)
+        with tempfile.TemporaryDirectory() as d:
+            n_vids, n_frames = 8, 64
+            paths = []
+            for i in range(n_vids):
+                frames = [Image.fromarray(
+                    rng.randint(0, 255, (256, 340, 3), dtype=np.uint8))
+                    for _ in range(n_frames)]
+                p = os.path.join(d, f"v{i}.avi")
+                write_mjpeg_avi(p, frames)
+                paths.append(p)
+            out = native.decode_videos(paths)  # warm the page cache
+            if any(o is None for o in out):
+                raise RuntimeError("native video decode returned None")
+            t0 = time.time()
+            native.decode_videos(paths)
+            dt = time.time() - t0
+            rows.append(row(
+                "native MJPEG-AVI batch decode (340x256, C++ FFmpeg thread "
+                "pool)", n_vids * n_frames / dt, "frames/s"))
+        with tempfile.TemporaryDirectory() as d:
+            n_imgs = 128
+            paths = []
+            for i in range(n_imgs):
+                p = os.path.join(d, f"f{i}.jpg")
+                Image.fromarray(
+                    rng.randint(0, 255, (256, 340, 3), dtype=np.uint8)
+                ).save(p, quality=95)
+                paths.append(p)
+            native.decode_jpegs(paths)  # warm
+            t0 = time.time()
+            native.decode_jpegs(paths)
+            dt = time.time() - t0
+            t0 = time.time()
+            for p in paths:  # the reference's PIL loader, for comparison
+                np.asarray(Image.open(p).convert("RGB"))
+            pil_dt = time.time() - t0
+            rows.append(row(
+                "native JPEG batch decode (340x256, C++ libjpeg thread pool)",
+                n_imgs / dt, "images/s",
+                pil_loader_images_per_s=round(n_imgs / pil_dt, 1)))
+    except Exception as e:
+        log(f"  decode failed: {type(e).__name__}: {str(e)[:200]}")
+
+
 def main():
     import warnings
 
@@ -343,7 +406,8 @@ def main():
     rows: list = []
     # a RESOURCE_EXHAUSTED failure can poison later allocations in the same
     # process (verify-skill gotcha), so the rows closest to the HBM limit
-    # (white-box video model) run LAST
+    # (white-box video model) run LAST; the decode row is pure host work
+    bench_decode(rows)
     bench_ens(rows)
     bench_i2v(rows)
     bench_eval(rows)

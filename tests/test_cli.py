@@ -294,7 +294,7 @@ class TestRealDataCLI:
                                              monkeypatch):
         from PIL import Image
 
-        from .avi_helper import write_mjpeg_avi
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
 
         rng = np.random.RandomState(0)
         data = tmp_path / "kinetics"
@@ -338,7 +338,7 @@ class TestRealDataCLI:
         data/pipeline.py)."""
         from PIL import Image
 
-        from .avi_helper import write_mjpeg_avi
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
 
         rng = np.random.RandomState(7)
         data = tmp_path / "kinetics"

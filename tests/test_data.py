@@ -39,7 +39,7 @@ class TestNativeDecode:
     def test_video_decode_mjpeg_avi(self, tmp_path):
         from i2v_tpu.data import native
 
-        from .avi_helper import write_mjpeg_avi
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
 
         frames = []
         for i in range(5):
@@ -56,7 +56,7 @@ class TestNativeDecode:
     def test_batch_video_decode_matches_sequential(self, tmp_path):
         from i2v_tpu.data import native
 
-        from .avi_helper import write_mjpeg_avi
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
 
         rng = np.random.RandomState(3)
         paths = []
@@ -285,7 +285,7 @@ class TestRealDatasets:
     """End-to-end dataset contracts over real (tmp) media files."""
 
     def _make_kinetics(self, tmp_path, n_videos=3, n_frames=8):
-        from .avi_helper import write_mjpeg_avi
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
 
         rng = np.random.RandomState(7)
         rows = ["path,gt_label,clip_index"]
@@ -478,7 +478,7 @@ class TestReferenceManifests:
         """Real-manifest-style entries: class subdirectory with a SPACE in
         the name, clip_index=-1 (end-anchored window) — the exact row format
         of kinetics400_attack_samples.csv."""
-        from .avi_helper import write_mjpeg_avi
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
 
         from i2v_tpu.data.kinetics import KineticsAttackDataset
 
