@@ -382,7 +382,9 @@ def bench_decode(rows):
                     rng.randint(0, 255, (256, 340, 3), dtype=np.uint8)
                 ).save(p, quality=95)
                 paths.append(p)
-            native.decode_jpegs(paths)  # warm
+            warm = native.decode_jpegs(paths)  # warm the page cache
+            if any(w is None for w in warm):
+                raise RuntimeError("native JPEG decode returned None")
             t0 = time.time()
             native.decode_jpegs(paths)
             dt = time.time() - t0

@@ -25,6 +25,7 @@ from ..data import kinetics as kinetics_mod
 from ..data import transforms as transforms_mod
 from ..data import synthetic as synthetic_mod
 from ..data import ucf101 as ucf101_mod
+from ..ops import pixel
 from ..models import get_image_models
 from ..utils import artifacts, get_paths
 
@@ -241,7 +242,7 @@ def save_attack_outputs(run_dir, batch, adv, save_ori: bool = False,
         # --prefetch batches keep the original host array under clips_host;
         # using it avoids pulling the clips back over the device→host link
         ori = np.asarray(batch.get("clips_host", batch["clips"]))
-        if ori.dtype == np.uint8 and ori.ndim == 5 and ori.shape[-1] == 3:
+        if pixel.is_u8_clips(ori):
             # u8-ingress batches carry raw (B,T,H,W,3) frames; the ori
             # artifact protocol stays normalized f32 (B,3,T,H,W)
             ori = np.stack([transforms_mod.u8_clip_to_normalized(c)

@@ -34,8 +34,13 @@ def _cam_raw(bundle: ImageModel, frames01, labels):
     the in-closure logits — identical to a base-forward argmax since the
     offset is evaluated at zero."""
     key = bundle.tap_keys[0]
-    acts_shape = jax.eval_shape(
-        lambda f: bundle.module.apply(bundle.params, f)[1][key], frames01)
+    logits_shape, taps_shape = jax.eval_shape(
+        lambda f: bundle.module.apply(bundle.params, f), frames01)
+    if logits_shape is None:
+        raise ValueError(
+            f"GradCAM needs logits, but bundle {bundle.name!r} was built "
+            "truncated (logits=None); build it with truncate=False")
+    acts_shape = taps_shape[key]
 
     def score(offset):
         logits, taps = bundle.module.apply(bundle.params, frames01,

@@ -35,6 +35,10 @@ class ImageModel:
 
     def apply01(self, frames01_nhwc):
         logits, _ = self.module.apply(self.params, frames01_nhwc)
+        if logits is None:
+            raise ValueError(
+                f"bundle {self.name!r} was built truncated (no classifier "
+                "head → logits=None); rebuild with truncate=False")
         return logits
 
     def apply01_taps(self, frames01_nhwc):

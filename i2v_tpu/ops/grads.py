@@ -21,12 +21,15 @@ def norm_grads(grads: jnp.ndarray, frame_level: bool = True) -> jnp.ndarray:
     # frames: fast=x[:,::2], slow=x[:,::8]) would make this 0/0 → NaN that
     # poisons the momentum carry and the saved artifacts (the reference's
     # torch version has the same latent NaN, utils.py:58-67 — consciously
-    # fixed); zero gradient normalizes to zero
-    return jnp.where(norm > 0, grads / jnp.where(norm > 0, norm, 1.0), 0.0)
+    # fixed); zero gradient normalizes to zero. Keyed on ``norm == 0`` (not
+    # ``> 0``) so a genuinely-NaN gradient still propagates loudly instead
+    # of being silently zeroed.
+    return jnp.where(norm == 0, 0.0, grads / jnp.where(norm == 0, 1.0, norm))
 
 
 def l1_normalize(grads: jnp.ndarray) -> jnp.ndarray:
     """Whole-tensor L1 normalization (reference: base_attacks.py:398-399);
-    all-zero gradients normalize to zero (0/0 guard as in norm_grads)."""
+    all-zero gradients normalize to zero (0/0 guard as in norm_grads;
+    NaN-preserving for the same reason)."""
     total = jnp.sum(jnp.abs(grads))
-    return jnp.where(total > 0, grads / jnp.where(total > 0, total, 1.0), 0.0)
+    return jnp.where(total == 0, 0.0, grads / jnp.where(total == 0, 1.0, total))

@@ -13,6 +13,8 @@ TPU-friendly layout is ``(N, H, W, C)`` frames (NHWC convs map onto the MXU).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax.numpy as jnp
 
 # ImageNet statistics, used by both torchvision image models and the
@@ -86,10 +88,13 @@ def sign_step_project(
     return project_linf(stepped, clean01, epsilon)
 
 
+@_functools.lru_cache(maxsize=1)
 def _u8_norm_lut():
     """(3·256,) float32 LUT: ``lut[c·256 + v] = (v/255 − mean_c)/std_c``,
     computed with HOST numpy arithmetic. u8 pixels take only 256 values per
-    channel, so the host half of ToTensor+Normalize is exactly tabulable."""
+    channel, so the host half of ToTensor+Normalize is exactly tabulable.
+    Cached: ingest runs eagerly per batch, and rebuilding + re-uploading the
+    table every call would pay an avoidable host→device round trip."""
     import numpy as np
 
     v = np.arange(256, dtype=np.float32) / np.float32(255.0)

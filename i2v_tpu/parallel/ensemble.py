@@ -19,6 +19,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 import functools
 import inspect
@@ -41,8 +42,6 @@ from ..ops import pallas_kernels as pk
 
 
 def ensemble_mesh(devices=None, model: int | None = None) -> Mesh:
-    import numpy as np
-
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -85,32 +84,53 @@ def make_ensemble_parallel_runner(
 
         # Clean-tap collection must run under a switch too: collecting all
         # groups' taps unconditionally would execute every group's forward
-        # on every device AND pin every group's clean taps in HBM for the
-        # whole scan, defeating the model-axis split. lax.switch branches
-        # must agree on output structure, so each branch fills the other
-        # groups' slots with zeros — the consuming branch only reads its own
-        # group's slot, so the zero slots are dead and DCE'd.
+        # on every device. lax.switch branches must agree on output
+        # structure — and every branch's output is live for the whole scan
+        # (which branch ran is dynamic, so XLA cannot DCE the others) — so
+        # a per-group list-of-lists with zero-filled other-group slots would
+        # still pin EVERY group's clean taps in HBM. Instead each branch
+        # emits ONE flat (n_local, f_max) buffer: its own taps flattened,
+        # concatenated, and zero-padded to the max group width. Per-device
+        # clean-tap HBM is the largest single group, not the sum. The
+        # widen-then-narrow dtype round trip through ``store_dtype`` is
+        # bit-exact, so numerics match the sequential runner exactly.
         tap_shapes = [jax.eval_shape(lambda f, gg=g: group_taps(gg, f),
                                      frames_local) for g in range(m_size)]
+        n_local = frames_local.shape[0]
+        flat_sizes = [[int(np.prod(s.shape[1:])) for s in shapes]
+                      for shapes in tap_shapes]
+        group_width = [sum(fs) for fs in flat_sizes]
+        f_max = max(group_width)
+        store_dtype = jnp.result_type(
+            *[s.dtype for shapes in tap_shapes for s in shapes])
 
         def make_clean_branch(g: int):
             def fn(frames01):
-                return [
-                    [jax.lax.stop_gradient(t)
-                     for t in group_taps(gg, frames01)] if gg == g else
-                    [jnp.zeros(s.shape, s.dtype) for s in tap_shapes[gg]]
-                    for gg in range(m_size)
-                ]
+                flat = jnp.concatenate(
+                    [jax.lax.stop_gradient(t).reshape(n_local, -1)
+                     .astype(store_dtype) for t in group_taps(g, frames01)],
+                    axis=1)
+                if group_width[g] < f_max:
+                    flat = jnp.pad(flat, ((0, 0), (0, f_max - group_width[g])))
+                return flat
 
             return fn
 
-        clean_taps = jax.lax.switch(
+        clean_flat = jax.lax.switch(
             gidx, [make_clean_branch(g) for g in range(m_size)], frames_local)
+
+        def unpack_clean(g: int):
+            taps, off = [], 0
+            for size, s in zip(flat_sizes[g], tap_shapes[g]):
+                taps.append(clean_flat[:, off:off + size].astype(s.dtype)
+                            .reshape((n_local,) + s.shape[1:]))
+                off += size
+            return taps
 
         def make_objective(g: int):
             def obj(modifier):
                 adv01 = pk.rebuild_adv(frames_local, modifier, epsilon)
-                return losses.i2v_cost(group_taps(g, adv01), clean_taps[g])
+                return losses.i2v_cost(group_taps(g, adv01), unpack_clean(g))
 
             return jax.value_and_grad(obj)
 

@@ -60,6 +60,17 @@ class TestGradCAM:
         logits2, _ = tiny_resnet.module.apply(tiny_resnet.params, x, tap_offset=off)
         np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-6)
 
+    def test_truncated_bundle_raises_clear_error(self):
+        # a default (attack-build, truncate=True) bundle has no logits;
+        # GradCAM and apply01 must point at truncate=False, not TypeError
+        b = get_image_models(["densenet"], {"densenet": 2}, tiny=True,
+                             input_hw=32)[0]
+        x = jnp.zeros((1, 32, 32, 3))
+        with pytest.raises(ValueError, match="truncate=False"):
+            gradcam.grad_cam(b, x)
+        with pytest.raises(ValueError, match="truncate=False"):
+            b.apply01(x)
+
 
 class TestExtraZoo:
     def test_densenet_tiny(self):

@@ -167,6 +167,11 @@ class TestGrads:
         # all-zero input: l1_normalize is guarded the same way
         z = np.asarray(grads.l1_normalize(jnp.zeros((2, 3, 8, 4, 4))))
         assert np.isfinite(z).all() and (z == 0).all()
+        # but a genuinely-NaN gradient (model overflow) must propagate
+        # loudly, not be silently zeroed into a weak-but-passing attack
+        bad = jnp.full((1, 3, 8, 4, 4), jnp.nan)
+        assert np.isnan(np.asarray(grads.norm_grads(bad))).all()
+        assert np.isnan(np.asarray(grads.l1_normalize(bad))).all()
 
 
 class TestSmoothing:
