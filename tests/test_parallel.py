@@ -341,6 +341,52 @@ def test_ensemble_parallel_gradient_matches_sequential():
     np.testing.assert_allclose(float(costs[0]), float(cost_ref), rtol=1e-4)
 
 
+def test_ensemble_parallel_trajectory_matches_sequential_adam():
+    """Multi-step cost-trajectory parity of the model-axis runner vs a plain
+    single-device Adam loop over the same objective. Exercises the flat
+    clean-tap storage round trip (flatten→concat→pad→slice→reshape→recast)
+    across every step: any corruption of the stored clean taps would bend
+    the trajectory from step 1 on. 64² inputs give O(1)-scale costs, large
+    enough that float-order chaos stays below rtol (unlike the 32² case
+    documented in the gradient test above)."""
+    from i2v_tpu.attacks.i2v import MODIFIER_INIT, adam_like_torch
+    from i2v_tpu.models import get_image_models
+    from i2v_tpu.ops import losses, pixel
+    from i2v_tpu.ops import pallas_kernels as pk
+    from i2v_tpu.parallel.ensemble import ensemble_mesh, make_ensemble_parallel_runner
+
+    steps = 4
+    models = get_image_models(
+        ["resnet", "alexnet"], {"resnet": 2, "alexnet": 2}, tiny=True,
+        input_hw=64)
+    clean01 = jnp.asarray(
+        np.random.RandomState(0).rand(2, 3, 8, 64, 64).astype(np.float32))
+    frames = pixel.flatten_clip_to_frames(clean01)
+    clean_taps = [jax.lax.stop_gradient(t)
+                  for m in models for t in m.apply01_taps(frames)[1]]
+
+    def obj(mod):
+        adv = pk.rebuild_adv(frames, mod, 16 / 255)
+        taps = [t for m in models for t in m.apply01_taps(adv)[1]]
+        return losses.i2v_cost(taps, clean_taps)
+
+    opt = adam_like_torch(0.005)
+    mod = jnp.full_like(frames, MODIFIER_INIT)
+    state = opt.init(mod)
+    seq_costs = []
+    for _ in range(steps):
+        c, g = jax.value_and_grad(obj)(mod)
+        seq_costs.append(float(c))
+        upd, state = opt.update(g, state)
+        mod = jax.tree.map(lambda a, b: a + b, mod, upd)
+
+    runner = make_ensemble_parallel_runner(
+        models, ensemble_mesh(jax.devices()[:4], model=2), steps=steps)
+    _, costs = runner(clean01)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(seq_costs),
+                               rtol=1e-4)
+
+
 def test_whitebox_dp_sharding_matches_single_device():
     """White-box attacks are data-parallel by sharding propagation alone:
     device_put the clip batch with the mesh sharding and the jitted scan
