@@ -163,6 +163,11 @@ def build_image_guided_attack(args):
     tiny = args.tiny
     hw = 32 if tiny else data_shape(args)[1]
     sharded = getattr(args, "sharded", False)
+    model_parallel = getattr(args, "model_parallel", None)
+    if model_parallel and method != "ImageGuidedFML2_Adam_MultiModels":
+        raise SystemExit("--model_parallel splits the fixed surrogate "
+                         "ensemble; it only applies to ENS "
+                         "(ImageGuidedFML2_Adam_MultiModels)")
 
     def _sharded(models, *, step_size, adaptive=False, momentum=0.0,
                  coef_ce=False):
@@ -193,6 +198,17 @@ def build_image_guided_attack(args):
         names = ["resnet", "vgg", "squeezenet", "alexnet"]
         depths = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
         models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
+        if model_parallel:
+            if sharded:
+                raise SystemExit("--model_parallel and --sharded are "
+                                 "alternative parallelizations of the ENS "
+                                 "step; pick one")
+            from ..parallel.ensemble import (EnsembleParallelAttack,
+                                             ensemble_mesh)
+
+            return EnsembleParallelAttack(
+                models, ensemble_mesh(model=model_parallel),
+                steps=args.step, step_size=0.005, name=method)
         if sharded:
             return _sharded(models, step_size=0.005)
         return attacks.ImageGuidedFML2_Adam_MultiModels(models, steps=args.step)

@@ -46,6 +46,10 @@ def ensemble_mesh(devices=None, model: int | None = None) -> Mesh:
         devices = jax.devices()
     n = len(devices)
     model = model or (4 if n % 4 == 0 else (2 if n % 2 == 0 else 1))
+    if model < 1 or n % model:
+        raise ValueError(
+            f"model axis {model} does not divide the {n} available "
+            f"device(s); pick a divisor of the device count")
     frames = n // model
     return Mesh(np.asarray(devices).reshape(model, frames), ("model", "frames"))
 
@@ -68,8 +72,12 @@ def make_ensemble_parallel_runner(
     per = k // m_size
     opt = adam_like_torch(step_size)
 
-    def body(params_list, frames_local):
-        """Runs per (model-group, frame-shard) device."""
+    def body(params_list, frames_local, fmask_local):
+        """Runs per (model-group, frame-shard) device. ``fmask_local``:
+        None (common case — nothing traced) or a per-frame validity mask
+        zeroing pad frames out of the cost AND (via the chain rule) their
+        gradients, so a pad-and-slice trailing batch computes the exact
+        unpadded objective (same contract as sharded.py's frame mask)."""
         bound = [rebind_params(m, p) for m, p in zip(models, params_list)]
         groups = [list(bound[g * per:(g + 1) * per]) for g in range(m_size)]
 
@@ -130,7 +138,8 @@ def make_ensemble_parallel_runner(
         def make_objective(g: int):
             def obj(modifier):
                 adv01 = pk.rebuild_adv(frames_local, modifier, epsilon)
-                return losses.i2v_cost(group_taps(g, adv01), unpack_clean(g))
+                return losses.i2v_cost(group_taps(g, adv01), unpack_clean(g),
+                                       frame_weights=fmask_local)
 
             return jax.value_and_grad(obj)
 
@@ -155,20 +164,72 @@ def make_ensemble_parallel_runner(
 
     sharded_body = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P("frames")),   # params replicated; frame shards
-        out_specs=(P("frames"), P()),  # costs identical on every device
+        # params replicated; frames + mask sharded; costs identical everywhere
+        in_specs=(P(), P("frames"), P("frames")),
+        out_specs=(P("frames"), P()),
     )
 
-    def inner(params_list, clean01):
+    def inner(params_list, clean01, fmask):
         b = clean01.shape[0]
         frames = pixel.flatten_clip_to_frames(clean01)
-        adv_frames, costs = sharded_body(params_list, frames)
+        adv_frames, costs = sharded_body(params_list, frames, fmask)
         return pixel.unflatten_frames_to_clip(adv_frames, b), costs
 
     jitted = jax.jit(inner)
     params_list = [m.params for m in models]
 
-    def runner(clean01):
-        return jitted(params_list, clean01)
+    def runner(clean01, n_real: int | None = None):
+        """``n_real``: number of real clips in a pad-and-slice trailing
+        batch; pad clips beyond it are masked to zero cost/gradient."""
+        b, _, t = clean01.shape[:3]
+        fmask = (None if n_real is None or n_real >= b else
+                 (jnp.arange(b * t) < n_real * t).astype(jnp.float32))
+        return jitted(params_list, clean01, fmask)
 
     return runner
+
+
+class EnsembleParallelAttack:
+    """Reference-calling-convention adapter over the model-axis runner
+    (``--model_parallel``): same ``attack(videos, labels, names)`` contract
+    as the attack classes / ShardedImageGuidedAttack, for the fixed-ensemble
+    cosine objective (ENS-I2V — image_attacks.py:372-376). Each device along
+    the 'model' axis owns one surrogate group; gradients psum over ICI.
+    Trailing partial batches are padded to frame-axis divisibility and
+    masked exactly inert (zero cost + zero gradient), then sliced off."""
+
+    def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *,
+                 steps: int, step_size: float = 0.005,
+                 name: str = "EnsembleParallelENS"):
+        from ..attacks.core import Attack
+
+        self.attack = name
+        self.steps = steps
+        self.mesh = mesh
+        self.loss_info: dict = {}
+        self._record_costs = Attack._record_costs.__get__(self)
+        self._runner = make_ensemble_parallel_runner(
+            models, mesh, steps=steps, step_size=step_size)
+
+    def __call__(self, videos, labels=None, video_names=None):
+        u8 = pixel.is_u8_clips(videos)
+        videos = jnp.asarray(videos)
+        b = videos.shape[0]
+        t = videos.shape[1] if u8 else videos.shape[2]
+        f_axis = self.mesh.shape["frames"]
+        pad = 0
+        if (b * t) % f_axis:
+            target = b
+            while (target * t) % f_axis:
+                target += 1
+            pad = target - b
+            videos = jnp.concatenate(
+                [videos, jnp.repeat(videos[-1:], pad, axis=0)], axis=0)
+        clean01 = (pixel.ingest_u8_clips(videos) if u8
+                   else pixel.unnormalize(videos, channel_axis=1))
+        del videos
+        adv01, costs = self._runner(clean01, n_real=b if pad else None)
+        self._record_costs(costs, video_names)
+        if pad:
+            adv01 = adv01[:b]
+        return pixel.normalize(adv01, channel_axis=1)

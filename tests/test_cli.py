@@ -57,6 +57,30 @@ class TestImageGuidedCLI:
         ])
         assert set(acc_bf16) == {"i3d_resnet50"}
 
+    def test_ens_model_parallel_cli(self, opt_path):
+        """--model_parallel routes ENS through the model-axis mesh runner
+        (parallel/ensemble.py) with the same artifact/loss_info contract."""
+        from i2v_tpu.cli import image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFML2_Adam_MultiModels",
+            "--step", "2", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "3", "--batch_size", "2",
+            "--model_parallel", "2", "--file_prefix", "mp"])
+        advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
+        assert advs == ["0-adv.npy", "1-adv.npy", "2-adv.npy"]
+        clip = np.load(os.path.join(run_dir, advs[0]))
+        assert clip.shape == (3, 8, 32, 32) and clip.dtype == np.float32
+        assert np.isfinite(clip).all()
+        with open(os.path.join(run_dir, "loss_info_1.json")) as f:
+            info = json.load(f)
+        assert all(len(v) == 2 for v in info.values())  # 2 steps/clip
+        # the flag guards against non-ENS methods
+        with pytest.raises(SystemExit):
+            image_main.main([
+                "--attack_method", "ImageGuidedFMDirection_Adam",
+                "--model_parallel", "2", "--tiny", "--data", "synthetic"])
+
     def test_fused_generate_evaluate(self, opt_path):
         """--fused_eval runs attack + on-device eval in one pass: reference-
         schema reports AND async-written artifacts must both appear, and the

@@ -386,6 +386,37 @@ def test_ensemble_parallel_trajectory_matches_sequential_adam():
     np.testing.assert_allclose(np.asarray(costs), np.asarray(seq_costs),
                                rtol=1e-4)
 
+    # pad-and-slice masking: a padded batch with n_real=1 must compute the
+    # EXACT single-clip objective — pad frames are inert in cost & gradient
+    frames1 = pixel.flatten_clip_to_frames(clean01[:1])
+    clean_taps1 = [jax.lax.stop_gradient(t)
+                   for m in models for t in m.apply01_taps(frames1)[1]]
+
+    def obj1(mod):
+        adv = pk.rebuild_adv(frames1, mod, 16 / 255)
+        taps = [t for m in models for t in m.apply01_taps(adv)[1]]
+        return losses.i2v_cost(taps, clean_taps1)
+
+    mod = jnp.full_like(frames1, MODIFIER_INIT)
+    state = opt.init(mod)
+    seq1 = []
+    for _ in range(steps):
+        c, g = jax.value_and_grad(obj1)(mod)
+        seq1.append(float(c))
+        upd, state = opt.update(g, state)
+        mod = jax.tree.map(lambda a, b: a + b, mod, upd)
+    padded = jnp.concatenate([clean01[:1], clean01[:1]], axis=0)
+    adv_pad, costs_pad = runner(padded, n_real=1)
+    np.testing.assert_allclose(np.asarray(costs_pad), np.asarray(seq1),
+                               rtol=1e-4)
+    # (pixel-level comparison is NOT the invariant: reduction order differs
+    # between the psum'd shards and the sequential loop and Adam amplifies
+    # last-ulp differences chaotically — cost trajectory is; see the
+    # test_i2v_parity.py methodology note)
+    a = np.asarray(adv_pad[:1])
+    assert (a >= 0).all() and (a <= 1).all()
+    assert (np.abs(a - np.asarray(clean01[:1])) <= 16 / 255 + 1e-6).all()
+
 
 def test_whitebox_dp_sharding_matches_single_device():
     """White-box attacks are data-parallel by sharding propagation alone:
