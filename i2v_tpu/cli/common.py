@@ -164,10 +164,13 @@ def build_image_guided_attack(args):
     hw = 32 if tiny else data_shape(args)[1]
     sharded = getattr(args, "sharded", False)
     model_parallel = getattr(args, "model_parallel", None)
-    if model_parallel and method != "ImageGuidedFML2_Adam_MultiModels":
-        raise SystemExit("--model_parallel splits the fixed surrogate "
-                         "ensemble; it only applies to ENS "
-                         "(ImageGuidedFML2_Adam_MultiModels)")
+    if model_parallel and method not in ("ImageGuidedFML2_Adam_MultiModels",
+                                         "AENS_I2V_MF"):
+        raise SystemExit("--model_parallel splits the surrogate ensemble; "
+                         "it only applies to the ensemble methods (ENS/AENS)")
+    if model_parallel and sharded:
+        raise SystemExit("--model_parallel and --sharded are alternative "
+                         "parallelizations of the ensemble step; pick one")
 
     def _sharded(models, *, step_size, adaptive=False, momentum=0.0,
                  coef_ce=False):
@@ -199,10 +202,6 @@ def build_image_guided_attack(args):
         depths = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
         models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
         if model_parallel:
-            if sharded:
-                raise SystemExit("--model_parallel and --sharded are "
-                                 "alternative parallelizations of the ENS "
-                                 "step; pick one")
             from ..parallel.ensemble import (EnsembleParallelAttack,
                                              ensemble_mesh)
 
@@ -216,6 +215,15 @@ def build_image_guided_attack(args):
         names = ["resnet", "vgg", "squeezenet", "alexnet"]
         depths = {n: [2, 3] for n in names}
         models = get_image_models(names, depths, tiny=tiny, input_hw=hw)
+        if model_parallel:
+            from ..parallel.ensemble import (EnsembleParallelAttack,
+                                             ensemble_mesh)
+
+            return EnsembleParallelAttack(
+                models, ensemble_mesh(model=model_parallel),
+                steps=args.step, step_size=args.step_size, adaptive=True,
+                aens_momentum=args.aens_momentum, coef_ce=args.coef_CE,
+                name=method)
         if sharded:
             return _sharded(models, step_size=args.step_size, adaptive=True,
                             momentum=args.aens_momentum,

@@ -48,11 +48,12 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                         "multi-chip runner (parallel/sharded.py) instead of "
                         "the single-device attack class")
     p.add_argument("--model_parallel", type=int, default=None, metavar="N",
-                   help="split the ENS surrogate ensemble over an N-wide "
+                   help="split the surrogate ensemble over an N-wide "
                         "'model' mesh axis (parallel/ensemble.py): each "
                         "device runs ~1 surrogate per step instead of all "
-                        "4, gradients psum over ICI. ENS "
-                        "(ImageGuidedFML2_Adam_MultiModels) only")
+                        "4, gradients (and for AENS the per-tap coefficient "
+                        "signals) psum over ICI. Ensemble methods "
+                        "(ENS/AENS) only")
     p.add_argument("--frame_chunk", type=int, default=None,
                    help="with --sharded: gradient-accumulate over frame-axis "
                         "chunks of this size (exact — the objective is "

@@ -61,23 +61,42 @@ def make_ensemble_parallel_runner(
     steps: int,
     step_size: float = 0.005,
     epsilon: float = 16 / 255,
+    adaptive: bool = False,
+    aens_momentum: float = 0.0,
+    coef_ce: bool = False,
 ):
     """jitted runner(clean01 clips) -> (adv01 clips, per-step costs), with the
     surrogate ensemble split over the mesh's 'model' axis and the frame batch
-    over the 'frames' axis."""
+    over the 'frames' axis.
+
+    ``adaptive=True`` runs the AENS objective (TPAMI_attack.py:255-320):
+    per-tap coefficients live REPLICATED in the scan carry; each device
+    computes its own group's per-tap cosine sums, embeds them at its
+    group's static tap offset into a zeros(K) vector, and one psum over
+    BOTH axes assembles the exact global coefficient signal (the embeddings
+    are disjoint, so the sum concatenates; frame sums complete over the
+    'frames' axis in the same psum)."""
     m_size = mesh.shape["model"]
     k = len(models)
     if k % m_size:
         raise ValueError(f"{k} models do not split over model axis {m_size}")
     per = k // m_size
     opt = adam_like_torch(step_size)
+    # per-group tap offsets/counts in model order (the coefficient vector's
+    # layout — matches attacks/i2v.AENS_I2V_MF and the sharded runner)
+    tap_cnt = [sum(len(m.tap_keys) for m in models[g * per:(g + 1) * per])
+               for g in range(m_size)]
+    tap_off = [sum(tap_cnt[:g]) for g in range(m_size)]
+    n_taps = sum(tap_cnt)
 
-    def body(params_list, frames_local, fmask_local):
+    def body(params_list, frames_local, fmask_local, state0_local):
         """Runs per (model-group, frame-shard) device. ``fmask_local``:
         None (common case — nothing traced) or a per-frame validity mask
         zeroing pad frames out of the cost AND (via the chain rule) their
         gradients, so a pad-and-slice trailing batch computes the exact
-        unpadded objective (same contract as sharded.py's frame mask)."""
+        unpadded objective (same contract as sharded.py's frame mask).
+        ``state0_local``: None, or the replicated AENS (coeffs, prev_signal)
+        pair persisting across runner calls."""
         bound = [rebind_params(m, p) for m, p in zip(models, params_list)]
         groups = [list(bound[g * per:(g + 1) * per]) for g in range(m_size)]
 
@@ -136,47 +155,85 @@ def make_ensemble_parallel_runner(
             return taps
 
         def make_objective(g: int):
-            def obj(modifier):
-                adv01 = pk.rebuild_adv(frames_local, modifier, epsilon)
-                return losses.i2v_cost(group_taps(g, adv01), unpack_clean(g),
-                                       frame_weights=fmask_local)
+            o0, cnt = tap_off[g], tap_cnt[g]
 
-            return jax.value_and_grad(obj)
+            def obj(modifier, coeffs):
+                adv01 = pk.rebuild_adv(frames_local, modifier, epsilon)
+                taps = group_taps(g, adv01)
+                clean = unpack_clean(g)
+                if not adaptive:
+                    cost = losses.i2v_cost(taps, clean,
+                                           frame_weights=fmask_local)
+                    return cost, jnp.zeros((2, n_taps), jnp.float32)
+                per_tap = losses.per_tap_frame_cosines(taps, clean)
+                if fmask_local is not None:
+                    per_tap = per_tap * fmask_local[None, :]
+                # local slice of the global objective: this group's taps,
+                # this device's frames. mean over ALL K taps → /n_taps here,
+                # the cross-group + cross-frame sums complete in the psum.
+                each_local = jnp.sum(coeffs[o0:o0 + cnt, None] * per_tap,
+                                     axis=1)
+                raw_local = jnp.sum(per_tap, axis=1)
+                cost = jnp.sum(each_local) / n_taps
+                aux = (jnp.zeros((2, n_taps), per_tap.dtype)
+                       .at[0, o0:o0 + cnt].set(each_local)
+                       .at[1, o0:o0 + cnt].set(raw_local))
+                return cost, jax.lax.stop_gradient(aux.astype(jnp.float32))
+
+            return jax.value_and_grad(obj, has_aux=True)
 
         branches = [make_objective(g) for g in range(m_size)]
 
         def step(carry, _):
-            modifier, opt_state = carry
-            cost, grad = jax.lax.switch(gidx, branches, modifier)
+            modifier, opt_state, state = carry
+            if adaptive:
+                prev_coeffs, prev_signal = state
+                coeffs = jax.nn.softmax(jax.nn.softmax(prev_signal)
+                                        + aens_momentum * prev_coeffs)
+            else:
+                coeffs = jnp.zeros((n_taps,), jnp.float32)  # unused
+            (cost, aux), grad = jax.lax.switch(gidx, branches, modifier,
+                                               coeffs)
             grad = jax.lax.psum(grad, "model")
-            # cost must reduce over BOTH axes: each device's i2v_cost covers
-            # only its local frame shard, and out_specs P() asserts the
-            # replicated full-batch value
+            # cost must reduce over BOTH axes: each device's objective covers
+            # only its (model-group, frame-shard) slice, and out_specs P()
+            # asserts the replicated full-batch value
             cost = jax.lax.psum(cost, ("model", "frames"))
+            if adaptive:
+                # disjoint per-group embeddings → one psum concatenates AND
+                # completes the frame sums; result replicated on all devices
+                aux = jax.lax.psum(aux, ("model", "frames"))
+                state = (coeffs, aux[0] if coef_ce else aux[1])
             updates, opt_state = opt.update(grad, opt_state)
             modifier = jax.tree.map(lambda a, b: a + b, modifier, updates)
-            return (modifier, opt_state), cost
+            return (modifier, opt_state, state), cost
 
         mod0 = jnp.full_like(frames_local, MODIFIER_INIT)
-        (modifier, _), costs = jax.lax.scan(
-            step, (mod0, opt.init(mod0)), None, length=steps)
-        return pk.rebuild_adv(frames_local, modifier, epsilon), costs
+        (modifier, _, final_state), costs = jax.lax.scan(
+            step, (mod0, opt.init(mod0), state0_local), None, length=steps)
+        return (pk.rebuild_adv(frames_local, modifier, epsilon), costs,
+                final_state)
 
     sharded_body = shard_map(
         body, mesh=mesh,
-        # params replicated; frames + mask sharded; costs identical everywhere
-        in_specs=(P(), P("frames"), P("frames")),
-        out_specs=(P("frames"), P()),
+        # params + AENS state replicated; frames + mask sharded; costs and
+        # final state identical everywhere
+        in_specs=(P(), P("frames"), P("frames"), P()),
+        out_specs=(P("frames"), P(), P()),
     )
 
-    def inner(params_list, clean01, fmask):
+    def inner(params_list, clean01, fmask, state0):
         b = clean01.shape[0]
         frames = pixel.flatten_clip_to_frames(clean01)
-        adv_frames, costs = sharded_body(params_list, frames, fmask)
-        return pixel.unflatten_frames_to_clip(adv_frames, b), costs
+        adv_frames, costs, final_state = sharded_body(
+            params_list, frames, fmask, state0)
+        return pixel.unflatten_frames_to_clip(adv_frames, b), costs, final_state
 
     jitted = jax.jit(inner)
     params_list = [m.params for m in models]
+    # coeffs persist across runner calls like the reference's instance state
+    # (TPAMI_attack.py:165,265); previous_cs_loss resets per call (:257)
+    coeffs_box = [jnp.ones((n_taps,), jnp.float32)]
 
     def runner(clean01, n_real: int | None = None):
         """``n_real``: number of real clips in a pad-and-slice trailing
@@ -184,7 +241,12 @@ def make_ensemble_parallel_runner(
         b, _, t = clean01.shape[:3]
         fmask = (None if n_real is None or n_real >= b else
                  (jnp.arange(b * t) < n_real * t).astype(jnp.float32))
-        return jitted(params_list, clean01, fmask)
+        state0 = ((coeffs_box[0], jnp.ones((n_taps,), jnp.float32))
+                  if adaptive else None)
+        adv, costs, final_state = jitted(params_list, clean01, fmask, state0)
+        if adaptive:
+            coeffs_box[0] = final_state[0]
+        return adv, costs
 
     return runner
 
@@ -192,15 +254,17 @@ def make_ensemble_parallel_runner(
 class EnsembleParallelAttack:
     """Reference-calling-convention adapter over the model-axis runner
     (``--model_parallel``): same ``attack(videos, labels, names)`` contract
-    as the attack classes / ShardedImageGuidedAttack, for the fixed-ensemble
-    cosine objective (ENS-I2V — image_attacks.py:372-376). Each device along
-    the 'model' axis owns one surrogate group; gradients psum over ICI.
-    Trailing partial batches are padded to frame-axis divisibility and
+    as the attack classes / ShardedImageGuidedAttack, for the ensemble
+    cosine objectives (ENS-I2V — image_attacks.py:372-376 — and, with
+    ``adaptive=True``, AENS-I2V-MF — TPAMI_attack.py:255-320). Each device
+    along the 'model' axis owns one surrogate group; gradients psum over
+    ICI. Trailing partial batches are padded to frame-axis divisibility and
     masked exactly inert (zero cost + zero gradient), then sliced off."""
 
     def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *,
                  steps: int, step_size: float = 0.005,
-                 name: str = "EnsembleParallelENS"):
+                 adaptive: bool = False, aens_momentum: float = 0.0,
+                 coef_ce: bool = False, name: str = "EnsembleParallelENS"):
         from ..attacks.core import Attack
 
         self.attack = name
@@ -209,7 +273,8 @@ class EnsembleParallelAttack:
         self.loss_info: dict = {}
         self._record_costs = Attack._record_costs.__get__(self)
         self._runner = make_ensemble_parallel_runner(
-            models, mesh, steps=steps, step_size=step_size)
+            models, mesh, steps=steps, step_size=step_size,
+            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce)
 
     def __call__(self, videos, labels=None, video_names=None):
         u8 = pixel.is_u8_clips(videos)

@@ -418,6 +418,36 @@ def test_ensemble_parallel_trajectory_matches_sequential_adam():
     assert (np.abs(a - np.asarray(clean01[:1])) <= 16 / 255 + 1e-6).all()
 
 
+def test_model_parallel_aens_matches_sharded_runner():
+    """Adaptive AENS under model-axis parallelism: the per-tap coefficient
+    signal assembled by disjoint static-offset embeddings + one psum must
+    reproduce the data/frame-sharded runner's cost trajectory — including
+    across TWO consecutive calls (coefficients persist call-to-call in both,
+    TPAMI_attack.py:165,265). 64² inputs keep float-order chaos below rtol
+    (see the trajectory test above)."""
+    from i2v_tpu.parallel.ensemble import (ensemble_mesh,
+                                           make_ensemble_parallel_runner)
+
+    models = get_image_models(
+        ["resnet", "alexnet"], {"resnet": [1, 2], "alexnet": [2, 3]},
+        tiny=True, input_hw=64)
+    clean01 = jnp.asarray(
+        np.random.RandomState(5).rand(2, 3, 8, 64, 64).astype(np.float32))
+    mesh1 = attack_mesh(jax.devices()[:1])
+    for kw in ({"aens_momentum": 0.5}, {"coef_ce": True}):
+        ref_runner = make_sharded_i2v_runner(
+            models, mesh1, steps=3, adaptive=True, **kw)
+        mp_runner = make_ensemble_parallel_runner(
+            models, ensemble_mesh(jax.devices()[:4], model=2), steps=3,
+            adaptive=True, **kw)
+        for call in range(2):
+            _, costs_ref = ref_runner(shard_clips(clean01, mesh1))
+            _, costs_mp = mp_runner(clean01)
+            np.testing.assert_allclose(
+                np.asarray(costs_mp), np.asarray(costs_ref), rtol=2e-4,
+                err_msg=f"{kw} call {call}")
+
+
 def test_whitebox_dp_sharding_matches_single_device():
     """White-box attacks are data-parallel by sharding propagation alone:
     device_put the clip batch with the mesh sharding and the jitted scan
