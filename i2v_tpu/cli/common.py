@@ -207,7 +207,8 @@ def build_image_guided_attack(args):
 
             return EnsembleParallelAttack(
                 models, ensemble_mesh(model=model_parallel),
-                steps=args.step, step_size=0.005, name=method)
+                steps=args.step, step_size=0.005, name=method,
+                frame_chunk=getattr(args, "frame_chunk", None))
         if sharded:
             return _sharded(models, step_size=0.005)
         return attacks.ImageGuidedFML2_Adam_MultiModels(models, steps=args.step)
@@ -223,7 +224,8 @@ def build_image_guided_attack(args):
                 models, ensemble_mesh(model=model_parallel),
                 steps=args.step, step_size=args.step_size, adaptive=True,
                 aens_momentum=args.aens_momentum, coef_ce=args.coef_CE,
-                name=method)
+                name=method,
+                frame_chunk=getattr(args, "frame_chunk", None))
         if sharded:
             return _sharded(models, step_size=args.step_size, adaptive=True,
                             momentum=args.aens_momentum,

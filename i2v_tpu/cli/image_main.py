@@ -55,10 +55,10 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                         "signals) psum over ICI. Ensemble methods "
                         "(ENS/AENS) only")
     p.add_argument("--frame_chunk", type=int, default=None,
-                   help="with --sharded: gradient-accumulate over frame-axis "
-                        "chunks of this size (exact — the objective is "
-                        "per-frame separable); enables f32 at B=16 on one "
-                        "16GB chip")
+                   help="with --sharded/--model_parallel: gradient-"
+                        "accumulate over frame-axis chunks of this size "
+                        "(exact — the objective is per-frame separable); "
+                        "enables f32 at B=16 on one 16GB chip")
     p.add_argument("--param_dtype", default=None,
                    choices=["bfloat16"],
                    help="with --sharded: store surrogate weights in bf16 "

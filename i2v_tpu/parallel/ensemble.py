@@ -64,6 +64,7 @@ def make_ensemble_parallel_runner(
     adaptive: bool = False,
     aens_momentum: float = 0.0,
     coef_ce: bool = False,
+    frame_chunk: int | None = None,
 ):
     """jitted runner(clean01 clips) -> (adv01 clips, per-step costs), with the
     surrogate ensemble split over the mesh's 'model' axis and the frame batch
@@ -75,7 +76,13 @@ def make_ensemble_parallel_runner(
     group's static tap offset into a zeros(K) vector, and one psum over
     BOTH axes assembles the exact global coefficient signal (the embeddings
     are disjoint, so the sum concatenates; frame sums complete over the
-    'frames' axis in the same psum)."""
+    'frames' axis in the same psum).
+
+    ``frame_chunk``: exact gradient accumulation over each device's LOCAL
+    frame slice (same per-frame-separable argument as sharded.py's
+    frame_chunk) — required at reference scale when the model axis is wide
+    and the frame axis narrow (e.g. 4 surrogates over 4 chips: the VGG
+    device would otherwise hold the full 512-frame activations alone)."""
     m_size = mesh.shape["model"]
     k = len(models)
     if k % m_size:
@@ -131,56 +138,101 @@ def make_ensemble_parallel_runner(
         store_dtype = jnp.result_type(
             *[s.dtype for shapes in tap_shapes for s in shapes])
 
-        def make_clean_branch(g: int):
-            def fn(frames01):
-                flat = jnp.concatenate(
-                    [jax.lax.stop_gradient(t).reshape(n_local, -1)
-                     .astype(store_dtype) for t in group_taps(g, frames01)],
-                    axis=1)
-                if group_width[g] < f_max:
-                    flat = jnp.pad(flat, ((0, 0), (0, f_max - group_width[g])))
-                return flat
+        # exact frame-chunked gradient accumulation over the LOCAL slice
+        # (per-frame-separable objective — same argument as sharded.py);
+        # snap to a divisor so any local slice length works
+        fchunk = frame_chunk
+        chunked = fchunk is not None and fchunk < n_local
+        if chunked and n_local % fchunk:
+            fchunk = max(d for d in range(1, fchunk + 1) if n_local % d == 0)
+        k_chunks = (n_local // fchunk) if chunked else 1
+        frames_r = (frames_local.reshape((k_chunks, fchunk)
+                                         + frames_local.shape[1:])
+                    if chunked else None)
+        fmask_r = (None if fmask_local is None else
+                   fmask_local.reshape(k_chunks, fchunk)) if chunked else None
 
-            return fn
+        def flat_clean_of(g: int, frames01):
+            n = frames01.shape[0]
+            flat = jnp.concatenate(
+                [jax.lax.stop_gradient(t).reshape(n, -1)
+                 .astype(store_dtype) for t in group_taps(g, frames01)],
+                axis=1)
+            if group_width[g] < f_max:
+                flat = jnp.pad(flat, ((0, 0), (0, f_max - group_width[g])))
+            return flat
+
+        def make_clean_branch(g: int):
+            if chunked:
+                # chunk-wise clean collection: the full-slice clean forward
+                # would set the same activation peak chunking exists to avoid
+                return lambda _: jax.lax.map(
+                    lambda fr: flat_clean_of(g, fr), frames_r)
+            return lambda frames01: flat_clean_of(g, frames01)
 
         clean_flat = jax.lax.switch(
             gidx, [make_clean_branch(g) for g in range(m_size)], frames_local)
 
-        def unpack_clean(g: int):
+        def unpack_clean(g: int, flat):
+            n = flat.shape[0]
             taps, off = [], 0
             for size, s in zip(flat_sizes[g], tap_shapes[g]):
-                taps.append(clean_flat[:, off:off + size].astype(s.dtype)
-                            .reshape((n_local,) + s.shape[1:]))
+                taps.append(flat[:, off:off + size].astype(s.dtype)
+                            .reshape((n,) + s.shape[1:]))
                 off += size
             return taps
 
-        def make_objective(g: int):
+        def group_cost_aux(g: int, frames01, modifier, clean, fmask, coeffs):
+            """(cost, aux) for one group over one frame slice — the local
+            term of the global objective."""
             o0, cnt = tap_off[g], tap_cnt[g]
+            adv01 = pk.rebuild_adv(frames01, modifier, epsilon)
+            taps = group_taps(g, adv01)
+            if not adaptive:
+                cost = losses.i2v_cost(taps, clean, frame_weights=fmask)
+                return cost, jnp.zeros((2, n_taps), jnp.float32)
+            per_tap = losses.per_tap_frame_cosines(taps, clean)
+            if fmask is not None:
+                per_tap = per_tap * fmask[None, :]
+            # local slice of the global objective: this group's taps,
+            # this slice's frames. mean over ALL K taps → /n_taps here,
+            # the cross-group + cross-frame sums complete in the psum
+            # (and, when chunked, the cross-chunk sum below).
+            each_local = jnp.sum(coeffs[o0:o0 + cnt, None] * per_tap, axis=1)
+            raw_local = jnp.sum(per_tap, axis=1)
+            cost = jnp.sum(each_local) / n_taps
+            aux = (jnp.zeros((2, n_taps), per_tap.dtype)
+                   .at[0, o0:o0 + cnt].set(each_local)
+                   .at[1, o0:o0 + cnt].set(raw_local))
+            return cost, jax.lax.stop_gradient(aux.astype(jnp.float32))
 
-            def obj(modifier, coeffs):
-                adv01 = pk.rebuild_adv(frames_local, modifier, epsilon)
-                taps = group_taps(g, adv01)
-                clean = unpack_clean(g)
-                if not adaptive:
-                    cost = losses.i2v_cost(taps, clean,
-                                           frame_weights=fmask_local)
-                    return cost, jnp.zeros((2, n_taps), jnp.float32)
-                per_tap = losses.per_tap_frame_cosines(taps, clean)
-                if fmask_local is not None:
-                    per_tap = per_tap * fmask_local[None, :]
-                # local slice of the global objective: this group's taps,
-                # this device's frames. mean over ALL K taps → /n_taps here,
-                # the cross-group + cross-frame sums complete in the psum.
-                each_local = jnp.sum(coeffs[o0:o0 + cnt, None] * per_tap,
-                                     axis=1)
-                raw_local = jnp.sum(per_tap, axis=1)
-                cost = jnp.sum(each_local) / n_taps
-                aux = (jnp.zeros((2, n_taps), per_tap.dtype)
-                       .at[0, o0:o0 + cnt].set(each_local)
-                       .at[1, o0:o0 + cnt].set(raw_local))
-                return cost, jax.lax.stop_gradient(aux.astype(jnp.float32))
+        def make_objective(g: int):
+            if not chunked:
+                def obj(modifier, coeffs):
+                    return group_cost_aux(g, frames_local, modifier,
+                                          unpack_clean(g, clean_flat),
+                                          fmask_local, coeffs)
 
-            return jax.value_and_grad(obj, has_aux=True)
+                return jax.value_and_grad(obj, has_aux=True)
+
+            def fn(modifier, coeffs):
+                def one(args):
+                    fr, mod, cf, fm = args
+
+                    def o(m):
+                        return group_cost_aux(g, fr, m, unpack_clean(g, cf),
+                                              fm, coeffs)
+
+                    (c, aux), gr = jax.value_and_grad(o, has_aux=True)(mod)
+                    return c, aux, gr
+
+                mod_r = modifier.reshape(frames_r.shape)
+                costs_c, auxs, grads = jax.lax.map(
+                    one, (frames_r, mod_r, clean_flat, fmask_r))
+                return ((jnp.sum(costs_c), jnp.sum(auxs, axis=0)),
+                        grads.reshape(modifier.shape))
+
+            return fn
 
         branches = [make_objective(g) for g in range(m_size)]
 
@@ -264,7 +316,8 @@ class EnsembleParallelAttack:
     def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *,
                  steps: int, step_size: float = 0.005,
                  adaptive: bool = False, aens_momentum: float = 0.0,
-                 coef_ce: bool = False, name: str = "EnsembleParallelENS"):
+                 coef_ce: bool = False, frame_chunk: int | None = None,
+                 name: str = "EnsembleParallelENS"):
         from ..attacks.core import Attack
 
         self.attack = name
@@ -274,7 +327,8 @@ class EnsembleParallelAttack:
         self._record_costs = Attack._record_costs.__get__(self)
         self._runner = make_ensemble_parallel_runner(
             models, mesh, steps=steps, step_size=step_size,
-            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce)
+            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce,
+            frame_chunk=frame_chunk)
 
     def __call__(self, videos, labels=None, video_names=None):
         u8 = pixel.is_u8_clips(videos)

@@ -448,6 +448,37 @@ def test_model_parallel_aens_matches_sharded_runner():
                 err_msg=f"{kw} call {call}")
 
 
+def test_model_parallel_frame_chunk_is_exact():
+    """frame_chunk on the model-axis runner computes the SAME cost
+    trajectory as the unchunked program — exact accumulation over each
+    device's local frame slice, for both the plain ENS objective and
+    adaptive AENS. (Pixels are NOT compared: the lax.map chunk body fuses
+    differently from the unchunked program inside the lax.switch branch,
+    and the last-ulp gradient differences amplify chaotically through Adam
+    from the cosine flat-maximum start — same methodology note as the
+    oracle-parity tests.)"""
+    from i2v_tpu.parallel.ensemble import (ensemble_mesh,
+                                           make_ensemble_parallel_runner)
+
+    models = get_image_models(
+        ["resnet", "alexnet"], {"resnet": [1, 2], "alexnet": [2, 3]},
+        tiny=True, input_hw=32)
+    clean01 = jnp.asarray(
+        np.random.RandomState(7).rand(2, 3, 8, 32, 32).astype(np.float32))
+    mesh = ensemble_mesh(jax.devices()[:4], model=2)  # frames axis = 2
+    for kw in ({}, {"adaptive": True, "aens_momentum": 0.5}):
+        full = make_ensemble_parallel_runner(models, mesh, steps=3, **kw)
+        chunk = make_ensemble_parallel_runner(models, mesh, steps=3,
+                                              frame_chunk=4, **kw)
+        adv_f, costs_f = full(clean01)
+        adv_c, costs_c = chunk(clean01)
+        np.testing.assert_allclose(np.asarray(costs_c), np.asarray(costs_f),
+                                   rtol=1e-5, err_msg=str(kw))
+        a, c = np.asarray(adv_c), np.asarray(clean01)
+        assert (a >= 0).all() and (a <= 1).all()
+        assert (np.abs(a - c) <= 16 / 255 + 1e-6).all()
+
+
 def test_whitebox_dp_sharding_matches_single_device():
     """White-box attacks are data-parallel by sharding propagation alone:
     device_put the clip batch with the mesh sharding and the jitted scan
