@@ -404,7 +404,10 @@ def main():
     import warnings
 
     warnings.filterwarnings("ignore")
-    log(f"devices: {jax.devices()}")
+    try:
+        log(f"devices: {jax.devices()}")
+    except Exception as e:  # relay outage: still emit the host-side rows
+        log(f"device init failed ({type(e).__name__}): {str(e)[:200]}")
     rows: list = []
     # a RESOURCE_EXHAUSTED failure can poison later allocations in the same
     # process (verify-skill gotcha), so the rows closest to the HBM limit
