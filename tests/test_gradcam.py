@@ -182,3 +182,35 @@ def test_grad_cam_on_fire_concat_taps():
     cam = gradcam.grad_cam(bundle, x)
     assert cam.shape[0] == 2
     assert np.isfinite(np.asarray(cam)).all()
+
+
+class TestGradCAMCLI:
+    """cli/gradcam.py: the artifact-dir entry point for C21."""
+
+    def test_cli_over_artifacts(self, tmp_path):
+        import os
+
+        from i2v_tpu.cli import gradcam as cli
+        from i2v_tpu.ops import pixel
+
+        rng = np.random.RandomState(0)
+        run = tmp_path / "run"
+        run.mkdir()
+        for label in (3, 7):
+            clip01 = rng.rand(3, 4, 64, 64).astype(np.float32)
+            clip_norm = np.asarray(pixel.normalize(jnp.asarray(clip01),
+                                                   channel_axis=0))
+            np.save(run / f"{label}-adv.npy", clip_norm)
+        out = cli.main([
+            "--used_adv", str(run), "--tiny", "--models", "resnet", "alexnet",
+            "--batch_size", "2", "--save_png", "2",
+            "--out", str(tmp_path / "cam")])
+        for label in (3, 7):
+            cam = np.load(os.path.join(out, f"{label}-cam.npy"))
+            assert cam.shape == (4, 64, 64) and cam.dtype == np.float16
+            assert float(cam.min()) >= 0 and float(cam.max()) <= 1 + 1e-3
+            # per-clip normalization: every clip's mask spans [0, 1]
+            assert np.isclose(float(cam.max()), 1, atol=1e-3)
+            for k in range(2):
+                assert os.path.exists(os.path.join(out, f"{label}-f{k}.png"))
+        assert not os.path.exists(os.path.join(out, "3-f2.png"))
