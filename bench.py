@@ -59,7 +59,7 @@ def log(*a):
 
 
 def build_runner(names, depths, batch, dtype, donate, frame_chunk=None,
-                 param_dtype=None):
+                 param_dtype=None, adaptive=False):
     from i2v_tpu.models import get_image_models
     from i2v_tpu.parallel import attack_mesh, shard_clips
     from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
@@ -69,7 +69,8 @@ def build_runner(names, depths, batch, dtype, donate, frame_chunk=None,
     runner = make_sharded_i2v_runner(models, mesh, steps=STEPS,
                                      step_size=0.005, donate=donate,
                                      frame_chunk=frame_chunk,
-                                     param_dtype=param_dtype)
+                                     param_dtype=param_dtype,
+                                     adaptive=adaptive)
     make_input = lambda: shard_clips(
         jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
     return runner, make_input
@@ -156,6 +157,38 @@ def bench_ens(rows):
             except Exception as e:
                 log(f"  ENS {tag} B={batch} failed: {type(e).__name__}: "
                     f"{str(e)[:200]}")
+    return rows
+
+
+def bench_aens(rows):
+    """AENS-I2V-MF, the TPAMI flagship (TPAMI_attack.py:141-320): the
+    8-tap adaptive ensemble (2 taps per surrogate) at the reference's B=16.
+    Round 1 could not fit this on a single chip; frame-chunked accumulation
+    + bf16 param storage close it (PERF_PROBE.json exec_aens16_bf16_chunk256).
+    The 2080Ti anchor scales the ENS anchor by the tap ratio (8/4 surrogate
+    forward+backward passes dominate the step)."""
+    bf16 = jnp.bfloat16
+    names = ["resnet", "vgg", "squeezenet", "alexnet"]
+    # the TPAMI 2-layers-per-model tap set (TPAMI_attack.py:176-200)
+    depths = {"resnet": [1, 2], "vgg": [2, 3], "squeezenet": [1, 2],
+              "alexnet": [2, 3]}
+    for batch, chunk in [(16, 256), (8, 256)]:
+        try:
+            log(f"AENS bf16 batch={batch} chunk={chunk}...")
+            runner, make_input = build_runner(
+                names, depths, batch, bf16, True, frame_chunk=chunk,
+                param_dtype=bf16, adaptive=True)
+            sps, final, _ = time_attack(runner, make_input, batch, True)
+            rows.append(row(
+                f"AENS-I2V-MF attack steps/sec/chip (bf16, 8-tap adaptive "
+                f"ensemble, B={batch}, 512-frame-normalized)",
+                sps / len(jax.devices()), "steps/s/chip",
+                REF_2080TI_ENS_STEPS_PER_SEC / 2, final_cost=round(final, 2),
+                frame_chunk=chunk))
+            del runner
+            break
+        except Exception as e:
+            log(f"  AENS B={batch} failed: {type(e).__name__}: {str(e)[:200]}")
     return rows
 
 
@@ -414,6 +447,7 @@ def main():
     # (white-box video model) run LAST; the decode row is pure host work
     bench_decode(rows)
     bench_ens(rows)
+    bench_aens(rows)
     bench_i2v(rows)
     bench_eval(rows)
     bench_e2e(rows)
