@@ -433,19 +433,52 @@ def bench_decode(rows):
         log(f"  decode failed: {type(e).__name__}: {str(e)[:200]}")
 
 
+def devices_or_none(timeout_s: float = 180.0):
+    """jax.devices() with a watchdog: through the axon relay a dead tunnel
+    makes device init HANG indefinitely rather than raise (observed), which
+    would otherwise turn a relay outage into an empty BENCH artifact. Probe
+    in a daemon thread; on timeout report None so the host-side rows still
+    come out."""
+    import threading
+
+    out: dict = {}
+
+    def probe():
+        try:
+            out["d"] = jax.devices()
+        except Exception as e:
+            out["e"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "d" in out:
+        return out["d"]
+    log(f"device init unavailable ({out.get('e', f'hang > {timeout_s}s')})")
+    return None
+
+
 def main():
     import warnings
 
     warnings.filterwarnings("ignore")
-    try:
-        log(f"devices: {jax.devices()}")
-    except Exception as e:  # relay outage: still emit the host-side rows
-        log(f"device init failed ({type(e).__name__}): {str(e)[:200]}")
     rows: list = []
+    # the decode rows are pure host work — they come first so even a dead
+    # device relay yields a non-empty BENCH artifact
+    bench_decode(rows)
+    devs = devices_or_none()
+    if devs is None:
+        if not rows:
+            raise SystemExit("device unavailable and no host rows measured")
+        out = dict(rows[0])
+        out["device_unavailable"] = True
+        out["rows"] = rows
+        print(json.dumps(out))
+        return
+    log(f"devices: {devs}")
     # a RESOURCE_EXHAUSTED failure can poison later allocations in the same
     # process (verify-skill gotcha), so the rows closest to the HBM limit
-    # (white-box video model) run LAST; the decode row is pure host work
-    bench_decode(rows)
+    # (white-box video model) run LAST
     bench_ens(rows)
     bench_aens(rows)
     bench_i2v(rows)
