@@ -192,6 +192,40 @@ def bench_aens(rows):
     return rows
 
 
+def bench_multigrid(rows):
+    """Opt-in coarse-to-fine schedule (parallel/multigrid.py): 30 of the 60
+    ENS steps run at 112² (~1/4 the surrogate work), then the upsampled
+    modifier warm-starts 30 full-resolution steps. The row reports
+    60-step-equivalent throughput (60 / attack wall-clock) so it compares
+    directly against the plain ENS rows; ``final_cost`` shows the quality
+    proxy vs the full-resolution trajectory's."""
+    try:
+        from i2v_tpu.models import get_image_models
+        from i2v_tpu.parallel import attack_mesh, shard_clips
+        from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
+
+        bf16 = jnp.bfloat16
+        batch = 16
+        log(f"ENS multigrid bf16 batch={batch} (30 coarse @112 + 30 fine)...")
+        mesh = attack_mesh()
+        models = get_image_models(ENS_NAMES, ENS_DEPTHS, input_hw=224,
+                                  dtype=bf16)
+        runner = make_multigrid_i2v_runner(
+            models, mesh, steps=STEPS, coarse_steps=STEPS // 2, scale=2,
+            step_size=0.005, donate=True, frame_chunk=256, param_dtype=bf16)
+        make_input = lambda: shard_clips(
+            jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+        sps, final, _ = time_attack(runner, make_input, batch, True)
+        rows.append(row(
+            f"ENS-I2V multigrid attack steps/sec/chip (bf16, 30@112+30@224, "
+            f"B={batch}, 60-step-equivalent, 512-frame-normalized)",
+            sps / len(jax.devices()), "steps/s/chip",
+            REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2)))
+        del runner
+    except Exception as e:
+        log(f"  multigrid failed: {type(e).__name__}: {str(e)[:200]}")
+
+
 def bench_i2v(rows):
     try:
         log("I2V resnet101-d2 f32 B=16...")
@@ -481,6 +515,7 @@ def main():
     # (white-box video model) run LAST
     bench_ens(rows)
     bench_aens(rows)
+    bench_multigrid(rows)
     bench_i2v(rows)
     bench_eval(rows)
     bench_e2e(rows)

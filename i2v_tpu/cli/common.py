@@ -171,6 +171,16 @@ def build_image_guided_attack(args):
     if model_parallel and sharded:
         raise SystemExit("--model_parallel and --sharded are alternative "
                          "parallelizations of the ensemble step; pick one")
+    multigrid = getattr(args, "multigrid", 0) or 0
+    if multigrid and not sharded:
+        raise SystemExit("--multigrid runs through the sharded runner; "
+                         "add --sharded")
+    if multigrid and method == "AENS_I2V_MF":
+        raise SystemExit("--multigrid does not compose with AENS's adaptive "
+                         "coefficients (resolution-coupled signal)")
+    if multigrid and method == "ImageGuidedStd_Adam":
+        raise SystemExit("--multigrid supports the cosine-objective methods "
+                         "(I2V/ENS), not DR")
 
     def _sharded(models, *, step_size, adaptive=False, momentum=0.0,
                  coef_ce=False):
@@ -185,7 +195,9 @@ def build_image_guided_attack(args):
             name=method,
             frame_chunk=getattr(args, "frame_chunk", None),
             param_dtype=jnp.bfloat16
-            if getattr(args, "param_dtype", None) == "bfloat16" else None)
+            if getattr(args, "param_dtype", None) == "bfloat16" else None,
+            multigrid=getattr(args, "multigrid", 0) or 0,
+            multigrid_scale=getattr(args, "multigrid_scale", 2))
 
     if method in ("ImageGuidedStd_Adam", "ImageGuidedFMDirection_Adam"):
         models = get_image_models([args.direction_image_model],

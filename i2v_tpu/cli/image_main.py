@@ -63,6 +63,17 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                    choices=["bfloat16"],
                    help="with --sharded: store surrogate weights in bf16 "
                         "(saves ~300MB HBM for the 4-model ensemble)")
+    p.add_argument("--multigrid", type=int, default=0, metavar="K",
+                   help="with --sharded (I2V/ENS only): run the first K of "
+                        "--step Adam steps on 2x-downsampled clips and "
+                        "warm-start the full-resolution phase from the "
+                        "upsampled modifier (parallel/multigrid.py). "
+                        "~1/4 the surrogate work for the K coarse steps; "
+                        "opt-in — the trajectory differs from the "
+                        "reference's")
+    p.add_argument("--multigrid_scale", type=int, default=2,
+                   help="multigrid downsampling factor (must divide the "
+                        "spatial size)")
     p.add_argument("--fused_eval", default=None, metavar="MODELS",
                    help="fuse generation and evaluation: comma-separated "
                         "video model names (or 'all') evaluated on-device "

@@ -39,10 +39,18 @@ def make_sharded_i2v_runner(
     donate: bool = False,
     frame_chunk: int | None = None,
     param_dtype=None,
+    return_modifier: bool = False,
 ):
     """Build a jitted, mesh-sharded I2V/ENS/AENS attack runner.
 
     runner(clean01_clips (B,C,T,H,W) [0,1]) -> (adv01 clips, per-step costs).
+
+    ``runner(..., mod_init=m)`` warm-starts the Adam loop from a caller-built
+    modifier in the flattened (B·T,H,W,3) frame layout instead of the
+    reference's 0.01/255 fill — the handoff point for the coarse-to-fine
+    multigrid schedule (parallel/multigrid.py). ``return_modifier=True``
+    appends the final (unclipped) modifier to the runner's outputs so a later
+    phase can resume from it.
 
     ``frame_chunk``: gradient accumulation over the frame axis. The I2V/AENS
     objectives are exactly per-frame separable (every frame's cosine term
@@ -76,7 +84,7 @@ def make_sharded_i2v_runner(
             taps.extend(t)
         return taps
 
-    def inner(params_list, clean01, state0, fmask):
+    def inner(params_list, clean01, state0, fmask, mod_init):
         # params/adaptive-state as runtime args: closure-captured arrays
         # would be embedded as HLO constants (huge programs, slow compiles)
         # fmask: None (common case — no masking traced, zero overhead) or a
@@ -188,14 +196,17 @@ def make_sharded_i2v_runner(
             return (modifier, opt_state, state), cost
 
         mod0 = jax.lax.with_sharding_constraint(
-            jnp.full_like(frames, MODIFIER_INIT), fsharding
+            jnp.full_like(frames, MODIFIER_INIT) if mod_init is None
+            else mod_init.astype(frames.dtype), fsharding
         )
         (modifier, _, final_state), costs = jax.lax.scan(
             step, (mod0, opt.init(mod0), state0), None, length=steps,
             unroll=unroll,
         )
-        adv = pk.rebuild_adv(frames, jax.lax.stop_gradient(modifier), epsilon)
-        return pixel.unflatten_frames_to_clip(adv, b), costs, final_state
+        modifier = jax.lax.stop_gradient(modifier)
+        adv = pk.rebuild_adv(frames, modifier, epsilon)
+        out = (pixel.unflatten_frames_to_clip(adv, b), costs, final_state)
+        return out + (modifier,) if return_modifier else out
 
     csharding = clip_sharding(mesh)
     rep = jax.sharding.NamedSharding(mesh, P())
@@ -204,10 +215,13 @@ def make_sharded_i2v_runner(
     # B=16 f32) back to XLA for scan-body temporaries — this is what closes
     # the ~33 MB single-chip HBM overshoot of AENS 8-tap B=16 (VERDICT #3).
     # Off by default because benchmarks re-call the runner with one input.
+    out_sh = (csharding, rep, (rep, rep) if adaptive else None)
+    if return_modifier:
+        out_sh = out_sh + (fsharding,)
     jitted = jax.jit(
         inner,
-        in_shardings=(None, csharding, None, None),
-        out_shardings=(csharding, rep, (rep, rep) if adaptive else None),
+        in_shardings=(None, csharding, None, None, fsharding),
+        out_shardings=out_sh,
         donate_argnums=(1,) if donate else (),
     )
     params_list = [m.params for m in models]
@@ -234,17 +248,18 @@ def make_sharded_i2v_runner(
             return None
         return (jnp.arange(b * t) < n_real * t).astype(jnp.float32)
 
-    def runner(clean01, n_real=None):
-        adv, costs, final_state = jitted(
-            params_list, clean01, state0(), frame_mask(clean01, n_real))
+    def runner(clean01, n_real=None, mod_init=None):
+        out = jitted(params_list, clean01, state0(),
+                     frame_mask(clean01, n_real), mod_init)
+        adv, costs, final_state = out[:3]
         if adaptive:
             coeffs_box[0] = final_state[0]
-        return adv, costs
+        return (adv, costs) + out[3:]
 
     # exposed for AOT lowering / cost analysis (tools/perf_probe.py cost)
     runner.jitted = jitted
     runner.example_args = lambda clean01: (
-        params_list, clean01, state0(), frame_mask(clean01))
+        params_list, clean01, state0(), frame_mask(clean01), None)
     return runner
 
 
@@ -261,7 +276,7 @@ class ShardedImageGuidedAttack:
                  step_size: float, adaptive: bool = False,
                  aens_momentum: float = 0.0, coef_ce: bool = False,
                  name: str = "ShardedI2V", frame_chunk: int | None = None,
-                 param_dtype=None):
+                 param_dtype=None, multigrid: int = 0, multigrid_scale: int = 2):
         from ..attacks.core import Attack
 
         self.attack = name
@@ -269,10 +284,23 @@ class ShardedImageGuidedAttack:
         self.mesh = mesh
         self.loss_info: dict = {}
         self._record_costs = Attack._record_costs.__get__(self)
-        self._runner = make_sharded_i2v_runner(
-            models, mesh, steps=steps, step_size=step_size,
-            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce,
-            donate=True, frame_chunk=frame_chunk, param_dtype=param_dtype)
+        if multigrid:
+            if adaptive:
+                raise ValueError("--multigrid does not compose with the "
+                                 "adaptive AENS coefficients (their per-tap "
+                                 "signal is resolution-coupled)")
+            from .multigrid import make_multigrid_i2v_runner
+
+            self._runner = make_multigrid_i2v_runner(
+                models, mesh, steps=steps, coarse_steps=multigrid,
+                scale=multigrid_scale, step_size=step_size, donate=True,
+                frame_chunk=frame_chunk, param_dtype=param_dtype)
+        else:
+            self._runner = make_sharded_i2v_runner(
+                models, mesh, steps=steps, step_size=step_size,
+                adaptive=adaptive, aens_momentum=aens_momentum,
+                coef_ce=coef_ce, donate=True, frame_chunk=frame_chunk,
+                param_dtype=param_dtype)
 
     def __call__(self, videos, labels=None, video_names=None):
         from .mesh import clip_sharding

@@ -182,6 +182,41 @@ class TestImageGuidedCLI:
             b = np.load(os.path.join(run_b, f))
             np.testing.assert_allclose(a, b, atol=1e-5, err_msg=f)
 
+    def test_multigrid_cli_attack(self, opt_path):
+        """--multigrid runs the coarse-to-fine schedule through --sharded;
+        artifacts stay protocol-conformant and within the eps-ball of the
+        clean clips."""
+        from i2v_tpu.cli import image_main
+        from i2v_tpu.ops import pixel
+
+        run = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "4", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "2", "--batch_size", "2",
+            "--sharded", "--multigrid", "2", "--file_prefix", "mg"])
+        import jax.numpy as jnp
+
+        for f in ("0-adv.npy", "1-adv.npy"):
+            adv = np.load(os.path.join(run, f))
+            assert adv.shape == (3, 8, 32, 32) and adv.dtype == np.float32
+            a01 = np.asarray(pixel.unnormalize(jnp.asarray(adv),
+                                               channel_axis=0))
+            assert a01.min() >= -1e-6 and a01.max() <= 1 + 1e-6
+
+    def test_multigrid_cli_guards(self, opt_path):
+        from i2v_tpu.cli import image_main
+
+        base = ["--attack_method", "ImageGuidedFML2_Adam_MultiModels",
+                "--step", "2", "--tiny", "--data", "synthetic",
+                "--n_synthetic", "1", "--batch_size", "1"]
+        with pytest.raises(SystemExit, match="sharded"):
+            image_main.main(base + ["--multigrid", "1"])
+        with pytest.raises(SystemExit, match="AENS"):
+            image_main.main(["--attack_method", "AENS_I2V_MF", "--step", "2",
+                             "--tiny", "--data", "synthetic", "--sharded",
+                             "--multigrid", "1"])
+
     def test_u8_ingress_cli(self, opt_path):
         """--u8_ingress ships raw uint8 clips and normalizes on device; the
         run must produce protocol-conformant normalized f32 artifacts through

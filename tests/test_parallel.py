@@ -525,3 +525,126 @@ def test_runner_aot_cost_analysis_hook():
     assert float(ca.get("flops", 0)) > 0
     adv, costs = runner(clean01)  # the public callable still runs
     assert np.isfinite(np.asarray(costs)).all()
+
+
+class TestMultigrid:
+    """parallel/multigrid.py: coarse-to-fine schedule + mod_init plumbing."""
+
+    def _models(self):
+        return get_image_models(["resnet"], {"resnet": 2}, tiny=True,
+                                input_hw=32)
+
+    def test_mod_init_default_fill_is_bit_identical(self):
+        """Passing mod_init = the reference fill must reproduce the
+        default-init program bit-for-bit (plumbing exactness)."""
+        from i2v_tpu.attacks.i2v import MODIFIER_INIT
+
+        models = self._models()
+        mesh = attack_mesh()
+        r = make_sharded_i2v_runner(models, mesh, steps=3)
+        clean01 = jnp.asarray(
+            np.random.RandomState(0).rand(2, 3, 8, 32, 32).astype(np.float32))
+        adv_a, costs_a = r(shard_clips(clean01, mesh))
+        mod0 = jnp.full((2 * 8, 32, 32, 3), MODIFIER_INIT, jnp.float32)
+        adv_b, costs_b = r(shard_clips(clean01, mesh), mod_init=mod0)
+        np.testing.assert_array_equal(np.asarray(adv_a), np.asarray(adv_b))
+        np.testing.assert_array_equal(np.asarray(costs_a), np.asarray(costs_b))
+
+    def test_return_modifier_roundtrips_through_rebuild(self):
+        from i2v_tpu.ops import pallas_kernels as pk
+        from i2v_tpu.ops import pixel
+
+        models = self._models()
+        mesh = attack_mesh()
+        r = make_sharded_i2v_runner(models, mesh, steps=2,
+                                    return_modifier=True)
+        clean01 = jnp.asarray(
+            np.random.RandomState(1).rand(2, 3, 8, 32, 32).astype(np.float32))
+        adv, costs, mod = r(shard_clips(clean01, mesh))
+        assert mod.shape == (2 * 8, 32, 32, 3)
+        frames = pixel.flatten_clip_to_frames(clean01)
+        rebuilt = pixel.unflatten_frames_to_clip(
+            pk.rebuild_adv(frames, mod, 16 / 255), 2)
+        np.testing.assert_allclose(np.asarray(adv), np.asarray(rebuilt),
+                                   atol=1e-6)
+
+    def test_multigrid_invariants_and_cost_layout(self):
+        from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
+
+        models = self._models()
+        mesh = attack_mesh()
+        eps = 16 / 255
+        runner = make_multigrid_i2v_runner(models, mesh, steps=6,
+                                           coarse_steps=3, scale=2)
+        rng = np.random.RandomState(2)
+        clean01 = jnp.asarray(rng.rand(2, 3, 8, 32, 32).astype(np.float32))
+        adv, costs = runner(shard_clips(clean01, mesh))
+        assert adv.shape == clean01.shape and costs.shape == (6,)
+        a, c = np.asarray(adv), np.asarray(clean01)
+        assert (a >= 0).all() and (a <= 1).all()
+        assert (np.abs(a - c) <= eps + 1e-6).all()
+        assert np.isfinite(np.asarray(costs)).all()
+        # the warm start must actually carry over: the first fine-phase cost
+        # sits below the coarse phase's initial cost (descent held across
+        # the grid switch)
+        assert float(costs[3]) < float(costs[0])
+
+    def test_multigrid_warm_start_beats_cold_fine_phase(self):
+        """The upsampled coarse modifier is a better fine-phase start than
+        the reference fill: fine-phase step-0 cost is lower than a cold
+        full-resolution step-0 cost."""
+        from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
+
+        models = self._models()
+        mesh = attack_mesh()
+        clean01 = jnp.asarray(
+            np.random.RandomState(3).rand(2, 3, 8, 32, 32).astype(np.float32))
+        cold = make_sharded_i2v_runner(models, mesh, steps=3)
+        _, costs_cold = cold(shard_clips(clean01, mesh))
+        mg = make_multigrid_i2v_runner(models, mesh, steps=6, coarse_steps=3)
+        _, costs_mg = mg(shard_clips(clean01, mesh))
+        assert float(costs_mg[3]) < float(costs_cold[0])
+
+    def test_multigrid_pad_and_slice_trailing_batch(self):
+        from i2v_tpu.parallel.sharded import ShardedImageGuidedAttack
+        from i2v_tpu.ops import pixel
+
+        models = self._models()
+        mesh = attack_mesh()
+        atk = ShardedImageGuidedAttack(models, mesh, steps=4, step_size=0.005,
+                                       multigrid=2)
+        rng = np.random.RandomState(4)
+        videos = pixel.normalize(
+            jnp.asarray(rng.rand(3, 3, 8, 32, 32).astype(np.float32)),
+            channel_axis=1)  # 3 clips on an 8-device mesh -> pad path
+        adv = atk(videos, None, [f"v{i}" for i in range(3)])
+        assert adv.shape == videos.shape
+        assert np.isfinite(np.asarray(adv)).all()
+
+    def test_multigrid_rejects_bad_config(self):
+        from i2v_tpu.parallel.multigrid import (downsample_clips,
+                                                make_multigrid_i2v_runner)
+
+        models = self._models()
+        mesh = attack_mesh()
+        with pytest.raises(ValueError, match="coarse_steps"):
+            make_multigrid_i2v_runner(models, mesh, steps=3, coarse_steps=3)
+        with pytest.raises(ValueError, match="scale"):
+            make_multigrid_i2v_runner(models, mesh, steps=3, coarse_steps=1,
+                                      scale=1)
+        with pytest.raises(ValueError, match="divide"):
+            downsample_clips(jnp.zeros((1, 3, 2, 30, 30)), 4)
+        from i2v_tpu.parallel.sharded import ShardedImageGuidedAttack
+
+        with pytest.raises(ValueError, match="adaptive"):
+            ShardedImageGuidedAttack(models, mesh, steps=4, step_size=0.005,
+                                     adaptive=True, multigrid=2)
+
+    def test_downsample_is_exact_area_mean(self):
+        from i2v_tpu.parallel.multigrid import downsample_clips
+
+        x = jnp.arange(2 * 3 * 2 * 4 * 4, dtype=jnp.float32).reshape(
+            2, 3, 2, 4, 4)
+        got = np.asarray(downsample_clips(x, 2))
+        want = np.asarray(x).reshape(2, 3, 2, 2, 2, 2, 2).mean(axis=(4, 6))
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -116,8 +116,9 @@ def hbm_probe(which: str) -> None:
             donate=True, remat=remat, frame_chunk=frame_chunk,
             param_dtype=param_dtype)
         clip = jax.ShapeDtypeStruct((batch, 3, 32, 224, 224), jnp.float32)
-        params, _, state0, fmask = runner.example_args(clip)
-        return runner.jitted.lower(params, clip, state0, fmask).compile()
+        ex = list(runner.example_args(clip))
+        ex[1] = clip
+        return runner.jitted.lower(*ex).compile()
 
     bf16 = jnp.bfloat16
     cases = {
