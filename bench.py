@@ -169,9 +169,10 @@ def bench_aens(rows):
     forward+backward passes dominate the step)."""
     bf16 = jnp.bfloat16
     names = ["resnet", "vgg", "squeezenet", "alexnet"]
-    # the TPAMI 2-layers-per-model tap set (TPAMI_attack.py:176-200)
-    depths = {"resnet": [1, 2], "vgg": [2, 3], "squeezenet": [1, 2],
-              "alexnet": [2, 3]}
+    # the TPAMI docstring's example tap set (TPAMI_attack.py:146), the same
+    # config the AENS_I2V_MF CLI path builds (cli/common.py:229) — the bench
+    # must measure the shipped configuration
+    depths = {n: [2, 3] for n in names}
     for batch, chunk in [(16, 256), (8, 256)]:
         try:
             log(f"AENS bf16 batch={batch} chunk={chunk}...")

@@ -181,6 +181,14 @@ def build_image_guided_attack(args):
     if multigrid and method == "ImageGuidedStd_Adam":
         raise SystemExit("--multigrid supports the cosine-objective methods "
                          "(I2V/ENS), not DR")
+    if multigrid and multigrid >= args.step:
+        raise SystemExit(f"--multigrid {multigrid} must be smaller than "
+                         f"--step {args.step} (some steps must remain for "
+                         "the full-resolution phase)")
+    mg_scale = getattr(args, "multigrid_scale", 2)
+    if multigrid and (mg_scale < 2 or hw % mg_scale):
+        raise SystemExit(f"--multigrid_scale {mg_scale} must be >= 2 and "
+                         f"divide the spatial size ({hw})")
 
     def _sharded(models, *, step_size, adaptive=False, momentum=0.0,
                  coef_ce=False):

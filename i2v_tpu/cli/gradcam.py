@@ -66,28 +66,41 @@ def arg_parse(argv=None):
 def _cam_fns(bundles):
     """One jitted CAM evaluator per bundle (frames01 NHWC → (N,h',w') mask,
     model-native tap resolution; upsampling + cross-model averaging happen
-    after, at a common size)."""
-    return [jax.jit(lambda frames, b=b: gradcam_mod._cam_raw(b, frames, None)[0])
-            for b in bundles]
+    after, at a common size). Params are jit ARGUMENTS, not closure captures
+    — closed-over weight arrays would be embedded as HLO constants (huge
+    programs, slow compiles; same rationale as parallel/sharded.py)."""
+    import dataclasses
+
+    fns = []
+    for b in bundles:
+        jitted = jax.jit(lambda params, frames, b=b: gradcam_mod._cam_raw(
+            dataclasses.replace(b, params=params), frames, None)[0])
+        fns.append(lambda frames, jitted=jitted, b=b: jitted(b.params, frames))
+    return fns
 
 
 def average_cam_for_clips(clips_norm_bcthw: np.ndarray, cam_fns, size: int):
     """(B,3,T,H,W) normalized clips → (B,T,size,size) averaged masks in [0,1].
 
-    Normalization is per-clip AFTER averaging — the reference min-max scales
-    each model's full saliency tensor with scalar min/max (image_cam.py:
-    128-129) then means the stack; scaling the mean per clip keeps each
-    clip's mask self-normalized regardless of batch composition."""
+    Each model's saliency is min-max scaled PER CLIP (scalar min/max over
+    that clip's T×h'×w' tensor — the reference normalizes one clip's stacked
+    frames with scalar saliency_map.min()/.max(), image_cam.py:128-129), so
+    a clip's mask is independent of which other clips share its batch; the
+    cross-model mean is then min-max scaled per clip once more."""
     import jax.numpy as jnp
 
+    b, _, t = clips_norm_bcthw.shape[:3]
     clips01 = pixel.unnormalize(jnp.asarray(clips_norm_bcthw), channel_axis=1)
     frames = pixel.flatten_clip_to_frames(clips01)  # (B·T, H, W, 3)
     acc = None
     for fn in cam_fns:
-        cam = gradcam_mod._minmax(fn(frames))
+        cam = fn(frames)  # (B·T, h', w') at the model-native tap resolution
+        per_clip = cam.reshape(b, t, *cam.shape[1:])
+        lo = per_clip.min(axis=(1, 2, 3), keepdims=True)
+        hi = per_clip.max(axis=(1, 2, 3), keepdims=True)
+        cam = ((per_clip - lo) / jnp.maximum(hi - lo, 1e-12)).reshape(cam.shape)
         cam = gradcam_mod._upsample(cam, size)
         acc = cam if acc is None else acc + cam
-    b, _, t = clips_norm_bcthw.shape[:3]
     mean = np.asarray(acc).reshape(b, t, size, size) / len(cam_fns)
     lo = mean.min(axis=(1, 2, 3), keepdims=True)
     hi = mean.max(axis=(1, 2, 3), keepdims=True)
@@ -97,6 +110,8 @@ def average_cam_for_clips(clips_norm_bcthw: np.ndarray, cam_fns, size: int):
 
 def main(argv=None) -> str:
     args = arg_parse(argv)
+    if args.save_png:
+        from PIL import Image  # fail at startup, not mid-run
     files = artifacts.list_adv_files(args.used_adv, args.kind)
     if not files:
         raise SystemExit(f"no {args.kind} artifacts under {args.used_adv!r}")
@@ -113,8 +128,6 @@ def main(argv=None) -> str:
             np.save(os.path.join(args.out, f"{label}-cam.npy"),
                     cams[i].astype(np.float16))
             for k in range(min(args.save_png, cams.shape[1])):
-                from PIL import Image
-
                 img = gradcam_mod.visualize_cam(cams[i, k],
                                                 np.clip(frames01[i, k], 0, 1))
                 Image.fromarray(img).save(

@@ -82,6 +82,17 @@ def make_multigrid_i2v_runner(
                          f"got {coarse_steps}")
     if scale < 2:
         raise ValueError(f"multigrid scale must be ≥ 2, got {scale}")
+    if param_dtype is not None:
+        # cast ONCE and share: each sub-runner would otherwise materialize
+        # its own param_dtype copy of every surrogate (~300 MB doubled for
+        # the 4-model ensemble at bf16)
+        import dataclasses
+
+        cast = lambda x: (x.astype(param_dtype)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x)
+        models = [dataclasses.replace(m, params=jax.tree.map(cast, m.params))
+                  for m in models]
+        param_dtype = None
     coarse = make_sharded_i2v_runner(
         models, mesh, steps=coarse_steps, step_size=step_size,
         epsilon=epsilon, donate=donate, frame_chunk=frame_chunk,

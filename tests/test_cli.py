@@ -217,6 +217,21 @@ class TestImageGuidedCLI:
                              "--tiny", "--data", "synthetic", "--sharded",
                              "--multigrid", "1"])
 
+    def test_multigrid_cli_config_guards(self, opt_path):
+        """Invalid multigrid configs exit with clean messages, not
+        trace-time tracebacks (advisor-style CLI-consistency fix)."""
+        from i2v_tpu.cli import image_main
+
+        base = ["--attack_method", "ImageGuidedFMDirection_Adam",
+                "--direction_image_model", "resnet", "--depth", "2",
+                "--tiny", "--data", "synthetic", "--n_synthetic", "1",
+                "--batch_size", "1", "--sharded"]
+        with pytest.raises(SystemExit, match="smaller than"):
+            image_main.main(base + ["--step", "2", "--multigrid", "2"])
+        with pytest.raises(SystemExit, match="divide the spatial"):
+            image_main.main(base + ["--step", "4", "--multigrid", "2",
+                                    "--multigrid_scale", "3"])
+
     def test_u8_ingress_cli(self, opt_path):
         """--u8_ingress ships raw uint8 clips and normalizes on device; the
         run must produce protocol-conformant normalized f32 artifacts through

@@ -214,3 +214,34 @@ class TestGradCAMCLI:
             for k in range(2):
                 assert os.path.exists(os.path.join(out, f"{label}-f{k}.png"))
         assert not os.path.exists(os.path.join(out, "3-f2.png"))
+
+    def test_cli_masks_independent_of_batch_composition(self, tmp_path):
+        """A clip's saliency must not depend on its batch-mates: per-model
+        min-max is taken per clip (reference scalar min/max is over ONE
+        clip's stacked frames, image_cam.py:128-129), so --batch_size 1 and
+        --batch_size 2 runs produce identical {label}-cam.npy files."""
+        import os
+
+        from i2v_tpu.cli import gradcam as cli
+        from i2v_tpu.ops import pixel
+
+        rng = np.random.RandomState(1)
+        run = tmp_path / "run"
+        run.mkdir()
+        # second clip has a dominant peak — under whole-batch normalization
+        # it would rescale the first clip's per-model contributions
+        for label, scale in ((1, 1.0), (2, 0.2)):
+            clip01 = (rng.rand(3, 4, 64, 64) * scale).astype(np.float32)
+            np.save(run / f"{label}-adv.npy",
+                    np.asarray(pixel.normalize(jnp.asarray(clip01),
+                                               channel_axis=0)))
+        outs = {}
+        for bs in (1, 2):
+            outs[bs] = cli.main([
+                "--used_adv", str(run), "--tiny",
+                "--models", "resnet", "alexnet", "--batch_size", str(bs),
+                "--out", str(tmp_path / f"cam{bs}")])
+        for label in (1, 2):
+            a = np.load(os.path.join(outs[1], f"{label}-cam.npy"))
+            b = np.load(os.path.join(outs[2], f"{label}-cam.npy"))
+            np.testing.assert_array_equal(a, b)

@@ -648,3 +648,37 @@ class TestMultigrid:
         got = np.asarray(downsample_clips(x, 2))
         want = np.asarray(x).reshape(2, 3, 2, 2, 2, 2, 2).mean(axis=(4, 6))
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_multigrid_param_dtype_shares_one_cast(self):
+        """param_dtype casts the surrogate weights ONCE, shared by both
+        phases (each sub-runner materializing its own copy would double the
+        ~300MB ensemble weight HBM)."""
+        from i2v_tpu.parallel import multigrid as mg_mod
+        from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
+        from i2v_tpu.parallel import sharded as sharded_mod
+
+        models = self._models()
+        mesh = attack_mesh()
+        seen = []
+        orig = sharded_mod.make_sharded_i2v_runner
+
+        def spy(models, *a, **kw):
+            seen.append((models, kw.get("param_dtype")))
+            return orig(models, *a, **kw)
+
+        mg_mod.make_sharded_i2v_runner = spy
+        try:
+            runner = make_multigrid_i2v_runner(
+                models, mesh, steps=4, coarse_steps=2,
+                param_dtype=jnp.bfloat16)
+        finally:
+            mg_mod.make_sharded_i2v_runner = orig
+        assert len(seen) == 2
+        # both phases received the SAME pre-cast bundles with no further cast
+        assert seen[0][0] is seen[1][0] and seen[0][1] is None is seen[1][1]
+        leaf = jax.tree_util.tree_leaves(seen[0][0][0].params)[0]
+        assert leaf.dtype == jnp.bfloat16
+        clean01 = jnp.asarray(
+            np.random.RandomState(5).rand(2, 3, 8, 32, 32).astype(np.float32))
+        _, costs = runner(shard_clips(clean01, mesh))
+        assert np.isfinite(np.asarray(costs)).all()

@@ -95,12 +95,11 @@ def _ens_models(dtype):
 def _aens_models(dtype):
     from i2v_tpu.models import get_image_models
 
-    # the TPAMI 8-tap config: 2 layers per model (TPAMI_attack.py:176-200)
-    return get_image_models(
-        ["resnet", "vgg", "squeezenet", "alexnet"],
-        {"resnet": [1, 2], "vgg": [2, 3], "squeezenet": [1, 2],
-         "alexnet": [2, 3]},
-        input_hw=224, dtype=dtype)
+    # the TPAMI 8-tap config: 2 layers per model, the docstring's example
+    # set (TPAMI_attack.py:146) as built by the CLI (cli/common.py:229)
+    names = ["resnet", "vgg", "squeezenet", "alexnet"]
+    return get_image_models(names, {n: [2, 3] for n in names},
+                            input_hw=224, dtype=dtype)
 
 
 def hbm_probe(which: str) -> None:
