@@ -69,6 +69,7 @@ def make_multigrid_i2v_runner(
     epsilon: float = 16 / 255,
     donate: bool = False,
     frame_chunk: int | None = None,
+    coarse_frame_chunk: int | None | type(...) = ...,
     param_dtype=None,
 ):
     """Two-phase runner with the sharded-runner calling convention:
@@ -93,9 +94,13 @@ def make_multigrid_i2v_runner(
         models = [dataclasses.replace(m, params=jax.tree.map(cast, m.params))
                   for m in models]
         param_dtype = None
+    if coarse_frame_chunk is ...:
+        # the coarse phase's activations are 1/scale² the fine phase's, so
+        # the fine chunk size is a safe (if conservative) default there
+        coarse_frame_chunk = frame_chunk
     coarse = make_sharded_i2v_runner(
         models, mesh, steps=coarse_steps, step_size=step_size,
-        epsilon=epsilon, donate=donate, frame_chunk=frame_chunk,
+        epsilon=epsilon, donate=donate, frame_chunk=coarse_frame_chunk,
         param_dtype=param_dtype, return_modifier=True)
     fine = make_sharded_i2v_runner(
         models, mesh, steps=steps - coarse_steps, step_size=step_size,
