@@ -94,3 +94,56 @@ class TestExtraTransforms:
         d = transforms.multiscale_random_crop(img, 64)
         np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
         assert c.size == (64, 64)
+
+
+class TestBenchContract:
+    """bench.py is the driver's round-end entry point — its JSON contract
+    must survive a dead device relay (observed outage: backend init hangs
+    or raises UNAVAILABLE)."""
+
+    def _import_bench(self):
+        import importlib
+        import os
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, root)
+        try:
+            return importlib.import_module("bench")
+        finally:
+            sys.path.remove(root)
+
+    def test_device_unavailable_emits_host_rows_json(self, monkeypatch,
+                                                     capsys):
+        import json
+
+        bench = self._import_bench()
+        monkeypatch.setattr(bench, "devices_or_none", lambda: None)
+        monkeypatch.setattr(
+            bench, "bench_decode",
+            lambda rows: rows.append(bench.row(
+                "native decode clips/s (host)", 1.0, "clips/s")))
+        bench.main()
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["device_unavailable"] is True
+        assert out["rows"] and out["metric"] == "native decode clips/s (host)"
+        assert {"metric", "value", "unit"} <= set(out["rows"][0])
+
+    def test_device_unavailable_and_no_host_rows_is_an_error(self,
+                                                             monkeypatch):
+        import pytest as _pytest
+
+        bench = self._import_bench()
+        monkeypatch.setattr(bench, "devices_or_none", lambda: None)
+        monkeypatch.setattr(bench, "bench_decode", lambda rows: rows)
+        with _pytest.raises(SystemExit, match="no host rows"):
+            bench.main()
+
+    def test_watchdog_catches_raising_backend(self, monkeypatch):
+        bench = self._import_bench()
+
+        def boom():
+            raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+        monkeypatch.setattr(bench.jax, "devices", boom)
+        assert bench.devices_or_none(timeout_s=5) is None
