@@ -113,9 +113,19 @@ def batch_iterator(args, dataset, iterate, left: int = 0, right=None,
         return iterate(dataset, args.batch_size, left, right)
     from ..data.pipeline import make_input_pipeline
 
+    sharding = None
+    if getattr(args, "sharded", False):
+        # land prefetched batches directly in the attack mesh's clip layout:
+        # without this every batch is device_put whole onto device 0 and
+        # re-distributed by the runner (an extra full-batch copy + a chip-0
+        # HBM hotspot in multi-chip runs)
+        from ..parallel import attack_mesh
+        from ..parallel.mesh import clip_sharding
+
+        sharding = clip_sharding(attack_mesh())
     return make_input_pipeline(dataset, args.batch_size, iterate, left=left,
                                right=right, prefetch_depth=depth,
-                               keep_host=keep_host)
+                               keep_host=keep_host, sharding=sharding)
 
 
 def build_whitebox_attack(args, bundle):

@@ -163,7 +163,12 @@ def _run_fused(args, dataset, iterate, attack, left, right) -> str:
             print(f"Running fused {args.attack_method}+eval, {step + 1}")
             fused.process_batch(batch)
             n_clips += len(batch["labels"])
-    acc = fused.finalize(report_dir=args.adv_path)
+    import jax
+
+    multi_shard = getattr(args, "batch_nums", 1) > 1 or jax.process_count() > 1
+    acc = fused.finalize(
+        report_dir=args.adv_path,
+        shard=common.loss_shard_index(args) if multi_shard else None)
     dt = time.time() - t0
     artifacts.save_loss_info(args.adv_path, attack.loss_info,
                              common.loss_shard_index(args))

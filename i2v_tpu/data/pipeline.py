@@ -17,29 +17,49 @@ import jax
 
 
 def threaded_prefetch(make_iter: Callable[[], Iterator], depth: int = 2) -> Iterator:
-    """Run a batch iterator in a worker thread with a bounded queue."""
+    """Run a batch iterator in a worker thread with a bounded queue.
+
+    The worker's puts poll a stop event so an abandoned consumer (attack
+    loop dies mid-iteration, caller stops early) unblocks and exits the
+    thread instead of pinning ``depth`` decoded batches for the process
+    lifetime — the generator's ``finally`` (run on GeneratorExit / GC)
+    signals it."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     done = object()
     err: list[BaseException] = []
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in make_iter():
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(done)
+            put(done)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2,
@@ -59,7 +79,12 @@ def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2,
 
     def put(b):
         out = dict(b)
-        out["clips"] = jax.device_put(b["clips"], sharding)
+        try:
+            out["clips"] = jax.device_put(b["clips"], sharding)
+        except ValueError:
+            # a trailing partial batch can be indivisible by the mesh; land
+            # it unsharded — the consumer's own pad-and-slice re-shards it
+            out["clips"] = jax.device_put(b["clips"])
         out["labels"] = jax.device_put(b["labels"])
         if keep_host:
             out["clips_host"] = b["clips"]

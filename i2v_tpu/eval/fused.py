@@ -119,16 +119,26 @@ class FusedGenerateEvaluate:
             self._fwd[name] = jax.jit(fwd)
         self.predictions: dict[str, list[int]] = {n: [] for n in self.bundles}
         self.labels_seen: list[int] = []
-        self.correct: dict[str, int] = {n: 0 for n in self.bundles}
 
     def process_batch(self, batch) -> None:
         labels = np.asarray(batch["labels"])
         out = self.attack(batch["clips"], batch["labels"],
                           batch.get("names"))
         adv = out[0] if isinstance(out, tuple) else out  # AENS triple
-        if self.writer is not None:
-            self.writer.submit(labels, adv)
         adv = jnp.asarray(adv)
+        if self.writer is not None:
+            egress = adv
+            if np.dtype(self.writer.dtype) == np.float16:
+                # cast ON DEVICE so the f16 flag actually halves the
+                # device→host transfer, not just the disk bytes
+                egress = adv.astype(jnp.float16)
+            try:
+                # start the host copy now: the queue then pins HBM only for
+                # the in-flight transfer, not until the writer gets to it
+                egress.copy_to_host_async()
+            except AttributeError:
+                pass
+            self.writer.submit(labels, egress)
         jlabels = jnp.asarray(labels)
         # dispatch every model's forward before fetching any result: the
         # device queues all programs while only tiny (acc, preds) outputs
@@ -137,51 +147,61 @@ class FusedGenerateEvaluate:
                    for name in self.bundles}
         self.labels_seen += list(labels)
         for name, (acc, preds) in pending.items():
-            preds = np.asarray(preds)
-            self.predictions[name] += list(preds)
-            self.correct[name] += int((preds == labels).sum())
+            self.predictions[name] += list(np.asarray(preds))
 
-    def finalize(self, report_dir: Optional[str] = None) -> dict:
+    def finalize(self, report_dir: Optional[str] = None,
+                 shard: Optional[int] = None) -> dict:
         """Drain the artifact writer and emit the reference-schema reports.
-        Returns {model: top1_accuracy_pct}."""
+        Returns {model: top1_accuracy_pct}.
+
+        ``shard``: under manual/process sharding the fixed report names
+        would be clobbered by sibling shards, so a non-None shard id
+        suffixes them ``*_{shard}.csv/json`` (the loss_info_{N}.json
+        pattern, image_main.py:94); merge offline by running the evaluate
+        CLI over the shared artifact dir."""
         import pandas as pd
 
         if self.writer is not None:
             self.writer.close()
-        n = max(len(self.labels_seen), 1)
-        model_val_acc = {name: 100.0 * self.correct[name] / n
-                         for name in self.bundles}
+        labels = [int(x) for x in self.labels_seen]
+        keep = list(range(len(labels)))
+        if len(set(labels)) != len(labels):
+            # skip-and-resample (data/kinetics._resample) can substitute
+            # a sample whose label already appears in the stream — a
+            # legitimate run, not a malformed dir, so don't let the
+            # label-keyed report raise after hours of compute. The
+            # artifact writer's LAST write per label wins on disk, so keep
+            # the last prediction per label — in the JSON top-1 as well as
+            # the CSV, so offline re-eval of the dir agrees with both.
+            import warnings
+
+            warnings.warn(
+                "duplicate labels in the fused stream (decode "
+                "resample); keeping the last occurrence per label")
+            last = {lab: i for i, lab in enumerate(labels)}
+            keep = sorted(last.values())
+        n = max(len(keep), 1)
+        model_val_acc = {
+            name: 100.0 * sum(
+                int(self.predictions[name][i]) == labels[i] for i in keep) / n
+            for name in self.bundles}
         report_dir = report_dir or self.run_dir
         if report_dir is not None:
             from .transfer import order_predictions_by_label
 
-            labels = [int(x) for x in self.labels_seen]
-            keep = list(range(len(labels)))
-            if len(set(labels)) != len(labels):
-                # skip-and-resample (data/kinetics._resample) can substitute
-                # a sample whose label already appears in the stream — a
-                # legitimate run, not a malformed dir, so don't let the
-                # label-keyed report raise after hours of compute. The
-                # artifact writer's LAST write per label wins on disk, so
-                # keep the last prediction per label for consistency.
-                import warnings
-
-                warnings.warn(
-                    "duplicate labels in the fused stream (decode "
-                    "resample); keeping the last occurrence per label")
-                last = {lab: i for i, lab in enumerate(labels)}
-                keep = sorted(last.values())
-                labels = [labels[i] for i in keep]
+            kept_labels = [labels[i] for i in keep]
             info = pd.DataFrame()
             info["gt_label"] = list(range(self.n_classes))
             for name in self.bundles:
                 preds = [self.predictions[name][i] for i in keep]
                 info[f"{name}-pre"] = order_predictions_by_label(
-                    labels, preds, self.n_classes)
+                    kept_labels, preds, self.n_classes)
             os.makedirs(report_dir, exist_ok=True)
+            sfx = "" if shard is None else f"_{shard}"
             info.to_csv(os.path.join(
-                report_dir, "results_all_models_prediction.csv"), index=False)
-            with open(os.path.join(report_dir,
-                                   "top1_acc_all_models.json"), "w") as f:
+                report_dir, f"results_all_models_prediction{sfx}.csv"),
+                index=False)
+            with open(os.path.join(
+                    report_dir, f"top1_acc_all_models{sfx}.json"), "w") as f:
                 json.dump(model_val_acc, f)
         return model_val_acc

@@ -65,6 +65,7 @@ def make_ensemble_parallel_runner(
     aens_momentum: float = 0.0,
     coef_ce: bool = False,
     frame_chunk: int | None = None,
+    donate: bool = False,
 ):
     """jitted runner(clean01 clips) -> (adv01 clips, per-step costs), with the
     surrogate ensemble split over the mesh's 'model' axis and the frame batch
@@ -281,7 +282,9 @@ def make_ensemble_parallel_runner(
             params_list, frames, fmask, state0)
         return pixel.unflatten_frames_to_clip(adv_frames, b), costs, final_state
 
-    jitted = jax.jit(inner)
+    # donate: the clip buffer is dead after the clip→frame transpose (same
+    # rationale as parallel/sharded.py — ~308 MB back at B=16 f32)
+    jitted = jax.jit(inner, donate_argnums=(1,) if donate else ())
     params_list = [m.params for m in models]
     # coeffs persist across runner calls like the reference's instance state
     # (TPAMI_attack.py:165,265); previous_cs_loss resets per call (:257)
@@ -328,7 +331,7 @@ class EnsembleParallelAttack:
         self._runner = make_ensemble_parallel_runner(
             models, mesh, steps=steps, step_size=step_size,
             adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce,
-            frame_chunk=frame_chunk)
+            frame_chunk=frame_chunk, donate=True)
 
     def __call__(self, videos, labels=None, video_names=None):
         u8 = pixel.is_u8_clips(videos)

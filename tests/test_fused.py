@@ -60,3 +60,115 @@ def test_save_works_for_image_guided_attacks(tmp_path):
     assert files == ["0-adv.npy", "1-adv.npy"]
     a = np.load(tmp_path / "aens" / "0-adv.npy")
     assert a.dtype == np.float32 and a.shape == (3, 4, 32, 32)
+
+
+def test_fused_json_top1_matches_deduped_csv(tmp_path, tiny_bundle):
+    """On duplicate-label streams the JSON top-1 must score the SAME
+    kept-last set the CSV (and the artifact dir) reflects — not every
+    occurrence."""
+    import json
+
+    from i2v_tpu.eval.fused import FusedGenerateEvaluate
+
+    def attack(clips, labels, names=None):
+        return jnp.asarray(clips)
+
+    fused = FusedGenerateEvaluate(
+        attack, {"tinyvid": tiny_bundle}, run_dir=None, n_classes=8)
+    rng = np.random.RandomState(1)
+    fused.process_batch({"clips": rng.rand(2, 3, 4, 32, 32).astype(np.float32),
+                         "labels": np.asarray([1, 2])})
+    fused.process_batch({"clips": rng.rand(2, 3, 4, 32, 32).astype(np.float32),
+                         "labels": np.asarray([2, 3])})
+    with pytest.warns(UserWarning, match="duplicate labels"):
+        acc = fused.finalize(report_dir=str(tmp_path))
+    with open(tmp_path / "top1_acc_all_models.json") as f:
+        assert json.load(f) == acc
+    # recompute from the CSV's kept set: 3 unique labels
+    labels = [int(x) for x in fused.labels_seen]
+    last = {lab: i for i, lab in enumerate(labels)}
+    keep = sorted(last.values())
+    want = 100.0 * sum(
+        int(fused.predictions["tinyvid"][i]) == labels[i] for i in keep) / 3
+    assert acc["tinyvid"] == want
+
+
+def test_fused_shard_suffixed_reports(tmp_path, tiny_bundle):
+    """shard=N suffixes the report names so concurrent shards of one run
+    dir don't clobber each other (the loss_info_{N}.json pattern)."""
+    import os
+
+    from i2v_tpu.eval.fused import FusedGenerateEvaluate
+
+    def attack(clips, labels, names=None):
+        return jnp.asarray(clips)
+
+    fused = FusedGenerateEvaluate(
+        attack, {"tinyvid": tiny_bundle}, run_dir=None, n_classes=8)
+    fused.process_batch({
+        "clips": np.random.RandomState(2).rand(2, 3, 4, 32, 32)
+        .astype(np.float32), "labels": np.asarray([0, 1])})
+    fused.finalize(report_dir=str(tmp_path), shard=3)
+    assert os.path.exists(tmp_path / "results_all_models_prediction_3.csv")
+    assert os.path.exists(tmp_path / "top1_acc_all_models_3.json")
+    assert not os.path.exists(tmp_path / "results_all_models_prediction.csv")
+
+
+def test_fused_f16_egress_casts_on_device(tmp_path, tiny_bundle):
+    """--artifact_dtype float16 must halve the device→host transfer: the
+    array handed to the writer is already f16 (device cast), and the saved
+    artifact still round-trips."""
+    from i2v_tpu.eval.fused import AsyncArtifactWriter, FusedGenerateEvaluate
+
+    seen = []
+    orig_submit = AsyncArtifactWriter.submit
+
+    def spy(self, labels, adv):
+        seen.append(adv.dtype)
+        return orig_submit(self, labels, adv)
+
+    def attack(clips, labels, names=None):
+        return jnp.asarray(clips)
+
+    AsyncArtifactWriter.submit = spy
+    try:
+        fused = FusedGenerateEvaluate(
+            attack, {"tinyvid": tiny_bundle}, run_dir=str(tmp_path),
+            n_classes=8, artifact_dtype=np.float16)
+        fused.process_batch({
+            "clips": np.random.RandomState(3).rand(2, 3, 4, 32, 32)
+            .astype(np.float32), "labels": np.asarray([4, 5])})
+        fused.finalize(report_dir=str(tmp_path))
+    finally:
+        AsyncArtifactWriter.submit = orig_submit
+    assert seen == [jnp.float16]
+    adv = np.load(tmp_path / "4-adv.npy")
+    assert adv.dtype == np.float16 and adv.shape == (3, 4, 32, 32)
+
+
+def test_threaded_prefetch_abandoned_consumer_stops_worker():
+    """Dropping the generator mid-stream must unblock and end the worker
+    thread (it previously parked forever in q.put holding decoded
+    batches)."""
+    import threading
+    import time
+
+    from i2v_tpu.data.pipeline import threaded_prefetch
+
+    produced = []
+
+    def make_iter():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = set(threading.enumerate())
+    gen = threaded_prefetch(make_iter, depth=1)
+    assert next(gen) == 0
+    gen.close()  # GeneratorExit → stop event
+    new = [t for t in set(threading.enumerate()) - before]
+    for t in new:
+        t.join(timeout=5)
+        assert not t.is_alive()
+    time.sleep(0.05)
+    assert len(produced) < 100  # the worker did NOT drain the whole source

@@ -682,3 +682,26 @@ class TestMultigrid:
             np.random.RandomState(5).rand(2, 3, 8, 32, 32).astype(np.float32))
         _, costs = runner(shard_clips(clean01, mesh))
         assert np.isfinite(np.asarray(costs)).all()
+
+
+def test_prefetch_lands_batches_in_mesh_clip_sharding():
+    """--sharded --prefetch must device_put batches with the attack mesh's
+    clip sharding (not whole onto device 0 to be re-distributed later);
+    indivisible trailing batches fall back to unsharded."""
+    import argparse
+
+    from i2v_tpu.cli import common
+    from i2v_tpu.data import synthetic as synthetic_mod
+    from i2v_tpu.parallel.mesh import clip_sharding
+
+    args = argparse.Namespace(sharded=True, prefetch=1, batch_size=8,
+                              tiny=True, data="synthetic")
+    ds = synthetic_mod.SyntheticAttackDataset(n_samples=11, clip_len=4, size=32)
+    batches = list(common.batch_iterator(args, ds, synthetic_mod.iterate_batches))
+    mesh = attack_mesh()
+    want = clip_sharding(mesh)
+    assert batches[0]["clips"].sharding.is_equivalent_to(
+        want, batches[0]["clips"].ndim)
+    # 11 % 8: the 3-clip trailing batch can't shard over the 8-wide axis —
+    # it must land (unsharded) rather than raise
+    assert batches[-1]["clips"].shape[0] == 3
