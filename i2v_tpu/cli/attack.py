@@ -56,7 +56,7 @@ def arg_parse(argv=None):
     args.adv_path = os.path.join(
         get_paths().opt_path,
         artifacts.run_dir_name(args.model, args.attack_method, args.step,
-                               args.file_prefix))
+                               common.effective_file_prefix(args)))
     return args
 
 
@@ -67,11 +67,19 @@ def main(argv=None) -> str:
     bundle = get_video_model(args.model, tiny=args.tiny,
                              remat=getattr(args, "remat", False))
     attack = common.build_whitebox_attack(args, bundle)
-    done = artifacts.existing_labels(args.adv_path)
+    # a sample is done only when BOTH artifacts exist — a crash between the
+    # adv and ori writes must not leave the label ori-less forever
+    done = (artifacts.existing_labels(args.adv_path)
+            & artifacts.existing_labels(args.adv_path, "ori"))
+    view = common.resume_subset(dataset, done)
+    if view is not None:
+        print(f"resume: {len(dataset) - len(view)} of {len(dataset)} "
+              "samples already attacked; skipping their decode")
+        dataset = view
     for step, batch in enumerate(
             common.batch_iterator(args, dataset, iterate, keep_host=True)):
         if all(int(l) in done for l in batch["labels"]):
-            continue  # idempotent resume
+            continue  # idempotent resume (sources without cheap labels)
         print(f"Running {args.attack_method}, {step + 1}")
         adv = attack(batch["clips"], batch["labels"])
         common.save_attack_outputs(args.adv_path, batch, adv, save_ori=True)

@@ -39,7 +39,8 @@ def arg_parse(argv=None):
     args.adv_path = os.path.join(
         get_paths().opt_path,
         artifacts.run_dir_name(f"UCF101_Video_{args.model}",
-                               args.attack_method, args.step, args.file_prefix))
+                               args.attack_method, args.step,
+                               common.effective_file_prefix(args)))
     return args
 
 

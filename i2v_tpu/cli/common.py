@@ -281,6 +281,49 @@ def shard_bounds(args, n_samples: int) -> tuple[int, int]:
     return process_shard_bounds(n_samples, args.batch_nums, args.batch_index - 1)
 
 
+def effective_file_prefix(args) -> str:
+    """Run-dir prefix with the synthetic smoke source marked: a
+    ``--data synthetic`` run must not share an artifact dir (and be
+    silently skip-if-exists-resumed into) with a real kinetics/ucf101 run
+    of the same config."""
+    prefix = getattr(args, "file_prefix", "") or ""
+    if getattr(args, "data", None) == "synthetic" and "synthetic" not in prefix:
+        prefix = f"synthetic{'-' + prefix if prefix else ''}"
+    return prefix
+
+
+class _ResumeSubsetView:
+    """Dataset view over the not-yet-attacked manifest indices."""
+
+    def __init__(self, inner, idxs):
+        self._inner = inner
+        self._idxs = list(idxs)
+        if not hasattr(inner, "load_batch"):
+            self.load_batch = None  # falsy: iterate_batches item fallback
+
+    def __len__(self):
+        return len(self._idxs)
+
+    def __getitem__(self, i):
+        return self._inner[self._idxs[i]]
+
+    def load_batch(self, idxs):
+        return self._inner.load_batch([self._idxs[i] for i in idxs])
+
+
+def resume_subset(dataset, done: set):
+    """Index-level skip-if-exists: drop manifest entries whose label already
+    has artifacts BEFORE decode (the in-loop batch skip still decodes —
+    resuming a mostly-complete run would re-decode every finished video).
+    Returns None when nothing can be (or needs to be) dropped — datasets
+    without cheap label metadata fall back to the in-loop skip."""
+    samples = getattr(dataset, "samples", None)
+    if not done or not samples or not hasattr(samples[0], "label"):
+        return None
+    keep = [i for i, s in enumerate(samples) if int(s.label) not in done]
+    return None if len(keep) == len(samples) else _ResumeSubsetView(dataset, keep)
+
+
 def loss_shard_index(args) -> int:
     """``loss_info_{N}.json`` shard id: the CLI's --batch_index, or the
     process index under a distributed launch so each host writes a disjoint

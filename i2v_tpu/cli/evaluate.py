@@ -30,8 +30,12 @@ def arg_parse(argv=None, n_classes: int = 400):
     p.add_argument("--data_parallel", action="store_true",
                    help="shard eval batches over all local devices (dp eval; "
                         "partial batches fall back to replicated)")
-    p.add_argument("--n_classes", type=int, default=n_classes)
+    p.add_argument("--n_classes", type=int, default=None,
+                   help=f"report rows (default: {n_classes}, or 101 with "
+                        "--ucf101 — the reference_ucf101.py:137 schema)")
     args = p.parse_args(argv)
+    if args.n_classes is None:
+        args.n_classes = 101 if args.ucf101 else n_classes
     if not os.path.isdir(args.adv_path):
         args.adv_path = os.path.join(get_paths().opt_path, args.adv_path)
     return args

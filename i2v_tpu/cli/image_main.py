@@ -94,7 +94,7 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
     args.adv_path = os.path.join(
         get_paths().opt_path,
         artifacts.run_dir_name(kind, args.attack_method, args.step,
-                               args.file_prefix))
+                               common.effective_file_prefix(args)))
     os.makedirs(args.adv_path, exist_ok=True)
     return args
 

@@ -142,13 +142,19 @@ class KineticsAttackDataset:
 
     def _resample(self, sample: KineticsSample):
         """skip-and-resample (datasets.py:142-147): random picks until one
-        loads. ``sample`` is the already-failed item (for the warning)."""
-        buffer = None
-        while buffer is None:
+        loads. ``sample`` is the already-failed item (for the warning).
+        Bounded: if no draw succeeds in 3·len(dataset) tries the data source
+        itself is broken (wrong path, unmounted volume) — raise loudly
+        instead of spinning the warning loop forever."""
+        for _ in range(3 * len(self)):
             warnings.warn(f"video {sample.path} not correctly loaded; resampling")
             sample = self.samples[np.random.randint(len(self))]
             buffer = self._load(sample)
-        return self._pack(sample, buffer)
+            if buffer is not None:
+                return self._pack(sample, buffer)
+        raise RuntimeError(
+            f"no video in the manifest decoded after {3 * len(self)} random "
+            f"draws — the data source looks unusable (root: {self.data_path!r})")
 
     def __getitem__(self, index: int):
         sample = self.samples[index]

@@ -71,9 +71,10 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     Artifacts are normalized-domain clips (the protocol); the bundle's
     apply_norm consumes them directly. With ``mesh``, batches are sharded
     over the mesh's devices on the clip axis (dp eval): XLA propagates the
-    sharding through the forward and inserts the accuracy psum; a trailing
-    partial batch that doesn't divide the device count falls back to
-    replicated execution.
+    sharding through the forward and inserts the accuracy psum; a batch that
+    doesn't divide the device count falls back to single-device execution
+    (warned once — if EVERY batch is indivisible, dp eval would otherwise
+    silently degrade to 1/N throughput).
     """
     data_time, batch_time, top1 = AverageMeter(), AverageMeter(), AverageMeter()
     predictions: list[int] = []
@@ -86,7 +87,8 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
                                   labels)
 
     fwd_jit = jax.jit(_fwd)
-    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh is not None else 1
+    n_shards = mesh.size if mesh is not None else 1
+    warned_fallback = []
 
     def fwd(clips, labels):
         # clips/labels arrive as host numpy from the artifact loader — no
@@ -98,6 +100,15 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
             spec = P(tuple(mesh.axis_names))  # batch over every mesh axis
             clips = jax.device_put(clips, NamedSharding(mesh, spec))
             labels = jax.device_put(labels, NamedSharding(mesh, spec))
+        elif mesh is not None and not warned_fallback:
+            warned_fallback.append(True)
+            import warnings
+
+            warnings.warn(
+                f"dp eval: batch of {clips.shape[0]} does not divide the "
+                f"{n_shards}-device mesh; running this batch on a single "
+                "device (pick a batch_size divisible by the device count "
+                "to keep eval data-parallel)")
         return fwd_jit(bundle.params, jnp.asarray(clips), jnp.asarray(labels))
 
     # disk IO overlaps device compute (the reference's DataLoader-worker

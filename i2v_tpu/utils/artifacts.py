@@ -80,9 +80,8 @@ def label_of(filename: str) -> int:
 
 def batch_files(files: Sequence[str], batch_size: int) -> list[list[str]]:
     """Chunk the artifact list (reference: reference.py:99-103)."""
-    n = math.ceil(len(files) / batch_size)
-    return [list(files[i * batch_size:min((i + 1) * batch_size, len(files))])
-            for i in range(n)]
+    return [list(files[i:i + batch_size])
+            for i in range(0, len(files), batch_size)]
 
 
 def load_adv_batch(run_dir: str, files: Iterable[str]):

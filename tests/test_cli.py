@@ -26,7 +26,8 @@ class TestImageGuidedCLI:
             "--data", "synthetic", "--n_synthetic", "3", "--batch_size", "2",
             "--file_prefix", "smoke",
         ])
-        assert os.path.basename(run_dir) == "Image-ImageGuidedFMDirection_Adam-2-smoke"
+        assert os.path.basename(run_dir) == \
+            "Image-ImageGuidedFMDirection_Adam-2-synthetic-smoke"
         advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
         assert advs == ["0-adv.npy", "1-adv.npy", "2-adv.npy"]
         clip = np.load(os.path.join(run_dir, advs[0]))
@@ -330,7 +331,8 @@ class TestImageGuidedCLI:
         # must still match the single-device run.
         mixed = ["--adv_path", run_dir, "--tiny", "--n_classes", "8",
                  "--batch_size", "6", "--models", "i3d_resnet50"]
-        acc_mixed = evaluate.main(mixed + ["--data_parallel"])
+        with pytest.warns(UserWarning, match="does not divide"):
+            acc_mixed = evaluate.main(mixed + ["--data_parallel"])
         # batch-size 6 changes the AverageMeter accumulation order → tiny fp drift
         assert acc_mixed["i3d_resnet50"] == pytest.approx(
             acc_single["i3d_resnet50"], abs=1e-4)
@@ -590,7 +592,7 @@ class TestGridDriver:
         run_grid.main(["steps_ablation", *common])
         run_grid.main(["kinetics_perf", *common])
         runs = os.listdir(opt_path)
-        assert any(r.startswith("Image-ImageGuidedFMDirection_Adam-20-ablation")
+        assert any(r.startswith("Image-ImageGuidedFMDirection_Adam-20-synthetic-ablation")
                    for r in runs)
         assert any("table3" in r for r in runs)
         for r in runs:
@@ -611,3 +613,89 @@ class TestGridDriver:
         with open(os.path.join(opt_path, runs[0],
                                "top1_acc_all_models.json")) as f:
             assert set(json.load(f)) == {"i3d_resnet50"}
+
+
+class TestResumeAndGuards:
+    """Round-2 review fixes: data-source-marked run dirs, both-kind resume,
+    decode-free resume, bounded resample, UCF eval schema default."""
+
+    def test_synthetic_runs_get_marked_run_dirs(self, opt_path):
+        import argparse
+
+        from i2v_tpu.cli import common
+
+        mk = lambda **kw: common.effective_file_prefix(
+            argparse.Namespace(**kw))
+        assert mk(file_prefix="x", data="synthetic") == "synthetic-x"
+        assert mk(file_prefix="", data="synthetic") == "synthetic"
+        assert mk(file_prefix="x", data="kinetics") == "x"
+        assert mk(file_prefix="synthetic-x", data="synthetic") == "synthetic-x"
+
+    def test_resume_requires_both_artifact_kinds(self, opt_path, tmp_path):
+        """A label with only the adv write (crash between adv and ori saves)
+        must be re-attacked on resume."""
+        import numpy as np
+
+        from i2v_tpu.utils import artifacts
+
+        d = str(tmp_path)
+        np.save(os.path.join(d, "5-adv.npy"), np.zeros(1, np.float32))
+        np.save(os.path.join(d, "5-ori.npy"), np.zeros(1, np.float32))
+        np.save(os.path.join(d, "6-adv.npy"), np.zeros(1, np.float32))
+        done = (artifacts.existing_labels(d)
+                & artifacts.existing_labels(d, "ori"))
+        assert done == {5}
+
+    def test_resume_subset_skips_decode(self):
+        """resume_subset drops done manifest entries BEFORE decode."""
+        import dataclasses
+
+        from i2v_tpu.cli import common
+
+        @dataclasses.dataclass
+        class S:
+            label: int
+
+        decoded = []
+
+        class DS:
+            samples = [S(0), S(1), S(2), S(3)]
+
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                decoded.append(i)
+                return ("clip", self.samples[i].label, f"v{i}", i)
+
+        view = common.resume_subset(DS(), {0, 2})
+        assert view is not None and len(view) == 2
+        assert view[0][1] == 1 and view[1][1] == 3
+        assert decoded == [1, 3]  # only the not-done indices decode
+        assert common.resume_subset(DS(), set()) is None
+        assert common.resume_subset(object(), {0}) is None
+
+    def test_resample_bounded_failure_raises(self, tmp_path):
+        """A dataset whose every video fails to decode must raise loudly,
+        not spin the resample loop forever."""
+        from i2v_tpu.data import kinetics as kmod
+
+        anno = tmp_path / "anno.csv"
+        anno.write_text("path,gt_label,clip_index\nmissing.mp4,0,0\n"
+                        "gone.mp4,1,0\n")
+        ds = kmod.KineticsAttackDataset(str(anno), str(tmp_path),
+                                        clip_len=4, crop_size=32)
+        with pytest.warns(UserWarning, match="resampling"), \
+                pytest.raises(RuntimeError, match="unusable"):
+            ds[0]
+
+    def test_evaluate_ucf101_defaults_101_rows(self, opt_path):
+        from i2v_tpu.cli import evaluate
+
+        args = evaluate.arg_parse(["--adv_path", "x", "--ucf101"])
+        assert args.n_classes == 101
+        args = evaluate.arg_parse(["--adv_path", "x"])
+        assert args.n_classes == 400
+        args = evaluate.arg_parse(["--adv_path", "x", "--ucf101",
+                                   "--n_classes", "7"])
+        assert args.n_classes == 7

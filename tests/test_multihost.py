@@ -70,7 +70,7 @@ def test_two_process_distributed_generate_then_merged_eval(tmp_path):
     assert "WORKER_DONE 0" in outs[0][0]
     assert "WORKER_DONE 1" in outs[1][0]
 
-    run_dir = os.path.join(opt, "Image-ImageGuidedFMDirection_Adam-2-mh")
+    run_dir = os.path.join(opt, "Image-ImageGuidedFMDirection_Adam-2-synthetic-mh")
     advs = sorted(f for f in os.listdir(run_dir) if f.endswith("-adv.npy"))
     # 4 samples, disjointly attacked by the two processes, merged on disk
     assert advs == ["0-adv.npy", "1-adv.npy", "2-adv.npy", "3-adv.npy"]
