@@ -278,7 +278,11 @@ def shard_bounds(args, n_samples: int) -> tuple[int, int]:
     if (maybe_initialize_distributed() and args.batch_nums == 1
             and jax.process_count() > 1):
         return process_shard_bounds(n_samples)
-    return process_shard_bounds(n_samples, args.batch_nums, args.batch_index - 1)
+    try:
+        return process_shard_bounds(n_samples, args.batch_nums,
+                                    args.batch_index - 1)
+    except ValueError as e:
+        raise SystemExit(f"--batch_index/--batch_nums: {e}")
 
 
 def effective_file_prefix(args) -> str:

@@ -25,7 +25,9 @@ def arg_parse(argv=None):
     p.add_argument("--used_ori", default=None,
                    help="run dir containing {id}-ori.npy (defaults to used_adv)")
     p.add_argument("--model", default="i3d_resnet50")
-    p.add_argument("--attack_method", default="ILAF")
+    p.add_argument("--attack_method", default="ILAF", choices=["ILAF"],
+                   help="kept for reference-CLI compatibility "
+                        "(image_fine_tune_attack.py defines only ILAF)")
     p.add_argument("--step", type=int, default=60)
     p.add_argument("--step_size", type=float, default=0.005)
     p.add_argument("--file_prefix", default="")
@@ -51,7 +53,10 @@ def iter_pairs(adv_dir: str, ori_dir: str, batch_size: int):
     advs = artifacts.list_adv_files(adv_dir, "adv")
     for chunk in artifacts.batch_files(advs, batch_size):
         adv, labels = artifacts.load_adv_batch(adv_dir, chunk)
-        ori_files = [f.replace("adv", "ori") for f in chunk]
+        # re-derive the ori name through the protocol helpers (a string
+        # .replace would mangle any name with 'adv' elsewhere in it)
+        ori_files = [artifacts.adv_filename(artifacts.label_of(f), "ori")
+                     for f in chunk]
         ori, _ = artifacts.load_adv_batch(ori_dir, ori_files)
         yield adv, ori, labels
 
@@ -59,6 +64,19 @@ def iter_pairs(adv_dir: str, ori_dir: str, batch_size: int):
 def main(argv=None) -> str:
     args = arg_parse(argv)
     print(args)
+    advs = artifacts.list_adv_files(args.used_adv, "adv")
+    if not advs:
+        raise SystemExit(f"no {{id}}-adv.npy under {args.used_adv!r}")
+    probe_ori = os.path.join(
+        args.used_ori, artifacts.adv_filename(artifacts.label_of(advs[0]),
+                                              "ori"))
+    if not os.path.exists(probe_ori):
+        # fail BEFORE model load/compile: image-guided runs save adv only
+        # (image_main.py:90-92), so their dirs have no oris to pair with
+        raise SystemExit(
+            f"no ori artifact {probe_ori!r} — image-guided runs don't save "
+            "oris; point --used_ori at a white-box run dir (attack.py "
+            "saves both, reference README workflow)")
     bundle = get_video_model(args.model, tiny=args.tiny,
                              ucf101=args.ucf101 and not args.tiny)
     bundle = bundle.with_taps(tap_keys_for(args.model, "ilaf"))

@@ -111,12 +111,20 @@ def run(args) -> str:
     import numpy as np
 
     dtype = np.float16 if args.artifact_dtype == "float16" else np.float32
-    timer = StepTimer(steps_per_call=args.step, clips_per_call=args.batch_size)
+    import jax
+
+    # per-CHIP throughput: the mesh runners span every local device, the
+    # plain attack classes jit onto one
+    n_chips = (len(jax.devices())
+               if (getattr(args, "sharded", False)
+                   or getattr(args, "model_parallel", None)) else 1)
+    timer = StepTimer(steps_per_call=args.step, clips_per_call=args.batch_size,
+                      n_chips=n_chips)
     with trace(getattr(args, "profile", None)):
         for step, batch in enumerate(
                 common.batch_iterator(args, dataset, iterate, left, right)):
             print(f"Running {args.attack_method}, {step + 1}")
-            with timer:
+            with timer(clips=len(batch["labels"])):
                 out = attack(batch["clips"], batch["labels"], batch["names"])
             adv = out[0] if isinstance(out, tuple) else out  # AENS triple-return
             common.save_attack_outputs(args.adv_path, batch, adv, dtype=dtype)

@@ -19,13 +19,20 @@ import os
 from ..utils import get_paths
 
 
-def collect(run_dirs) -> tuple[list[str], list[dict]]:
-    """Read top1 JSONs → (sorted model names, per-run {run, model: asr})."""
+def collect(run_dirs, warn_missing: bool = False) -> tuple[list[str], list[dict]]:
+    """Read top1 JSONs → (sorted model names, per-run {run, model: asr}).
+
+    ``warn_missing``: print a note for a run without a report instead of
+    dropping it silently (explicit --runs entries are user intent; a typo
+    should not just produce a shorter table)."""
     rows = []
     models: set[str] = set()
     for d in run_dirs:
         path = os.path.join(d, "top1_acc_all_models.json")
         if not os.path.exists(path):
+            if warn_missing:
+                print(f"[report] skipping {d!r}: no top1_acc_all_models.json "
+                      "(not evaluated yet, or a typo?)")
             continue
         with open(path) as f:
             top1 = json.load(f)
@@ -62,13 +69,19 @@ def main(argv=None) -> str:
     args = p.parse_args(argv)
 
     runs = args.runs
+    explicit = runs is not None
     if runs is None:
         root = get_paths().opt_path
         runs = sorted(
             os.path.join(root, d) for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
         )
-    models, rows = collect(runs)
+    else:
+        # bare run NAMES resolve under OPT_PATH, like evaluate's --adv_path
+        opt = get_paths().opt_path
+        runs = [r if os.path.isabs(r) or os.path.isdir(r)
+                else os.path.join(opt, r) for r in runs]
+    models, rows = collect(runs, warn_missing=explicit)
     if not rows:
         raise SystemExit("no top1_acc_all_models.json found in the given runs")
     table = render(models, rows, args.format)

@@ -26,6 +26,7 @@ _FUSED = None
 
 
 def _gen_and_eval(gen_main, eval_main, gen_args, run_name, extra_eval=()):
+    print(f"[grid] {run_name}", flush=True)
     if _FUSED is not None:
         return gen_main(gen_args + ["--fused_eval", _FUSED])
     adv_path = gen_main(gen_args)

@@ -25,7 +25,9 @@ def maybe_initialize_distributed() -> bool:
     import os
 
     global _initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and not _initialized:
+    if _initialized:
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         # jax.distributed auto-detects only managed clusters (SLURM etc.);
         # for the plain env-var launch contract pass the values explicitly
         num = os.environ.get("JAX_NUM_PROCESSES")
@@ -33,6 +35,12 @@ def maybe_initialize_distributed() -> bool:
         jax.distributed.initialize(
             num_processes=int(num) if num else None,
             process_id=int(pid) if pid else None)
+        _initialized = True
+    elif int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+        # managed clusters carry their own env contract — argless
+        # initialize() auto-detects them; without this, a SLURM multi-task
+        # launch would silently run every task over the FULL sample set
+        jax.distributed.initialize()
         _initialized = True
     return _initialized
 
@@ -49,6 +57,12 @@ def process_shard_bounds(n_samples: int, n_shards: int | None = None,
         n_shards = jax.process_count()
     if shard_index is None:
         shard_index = jax.process_index()
+    if n_shards < 1 or not 0 <= shard_index < n_shards:
+        # a 0-based --batch_index habit would otherwise wrap via Python
+        # negative indexing and silently attack the wrong shard
+        raise ValueError(
+            f"shard index {shard_index} out of range for {n_shards} shards "
+            "(the CLI --batch_index contract is 1-based, image_main.py:18-19)")
     per = n_samples // n_shards
     left = shard_index * per
     right = n_samples if shard_index == n_shards - 1 else left + per

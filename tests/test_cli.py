@@ -699,3 +699,45 @@ class TestResumeAndGuards:
         args = evaluate.arg_parse(["--adv_path", "x", "--ucf101",
                                    "--n_classes", "7"])
         assert args.n_classes == 7
+
+
+class TestShardAndReportGuards:
+    """Round-2 review fixes: shard-index validation, ILAF ori precheck,
+    report name resolution."""
+
+    def test_out_of_range_batch_index_exits(self, opt_path):
+        from i2v_tpu.cli import image_main
+
+        base = ["--attack_method", "ImageGuidedFMDirection_Adam",
+                "--direction_image_model", "resnet", "--depth", "2",
+                "--step", "1", "--tiny", "--data", "synthetic",
+                "--n_synthetic", "2", "--batch_size", "1",
+                "--batch_nums", "2"]
+        with pytest.raises(SystemExit, match="1-based"):
+            image_main.main(base + ["--batch_index", "0"])
+        with pytest.raises(SystemExit, match="out of range"):
+            image_main.main(base + ["--batch_index", "3"])
+
+    def test_ilaf_missing_ori_fails_fast(self, opt_path, tmp_path):
+        import numpy as np
+
+        from i2v_tpu.cli import fine_tune
+
+        run = tmp_path / "advonly"
+        run.mkdir()
+        np.save(run / "0-adv.npy", np.zeros((3, 4, 32, 32), np.float32))
+        with pytest.raises(SystemExit, match="white-box"):
+            fine_tune.main(["--used_adv", str(run), "--tiny", "--step", "1"])
+
+    def test_report_resolves_bare_run_names(self, opt_path, capsys):
+        import json as _json
+
+        from i2v_tpu.cli import report
+
+        d = os.path.join(opt_path, "SomeRun-BIM-2-x")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "top1_acc_all_models.json"), "w") as f:
+            _json.dump({"i3d_resnet50": 40.0}, f)
+        table = report.main(["--runs", "SomeRun-BIM-2-x", "missing-run"])
+        assert "SomeRun-BIM-2-x" in table and "60.0" in table
+        assert "skipping" in capsys.readouterr().out

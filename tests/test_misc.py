@@ -147,3 +147,34 @@ class TestBenchContract:
 
         monkeypatch.setattr(bench.jax, "devices", boom)
         assert bench.devices_or_none(timeout_s=5) is None
+
+
+class TestStepTimerSemantics:
+    """Round-2 review fixes: per-chip denominator, failed calls, partial
+    batches."""
+
+    def test_failed_call_not_counted(self):
+        timer = StepTimer(steps_per_call=10, clips_per_call=4, report_every=0)
+        with pytest.raises(RuntimeError):
+            with timer:
+                raise RuntimeError("boom")
+        assert timer.calls == 0 and timer.elapsed == 0.0
+
+    def test_variable_clips_per_call(self):
+        timer = StepTimer(steps_per_call=10, clips_per_call=16,
+                          report_every=0)
+        with timer:
+            pass
+        with timer(clips=10):  # trailing partial batch
+            pass
+        assert timer.clips == 26 and timer.calls == 2
+
+    def test_n_chips_defaults_to_one(self):
+        """The plain attack classes run on one device; dividing by the
+        global device count would understate steps/s/chip 8x on the test
+        mesh."""
+        t1 = StepTimer(steps_per_call=10, clips_per_call=2, report_every=0)
+        assert t1.n_chips == 1
+        t8 = StepTimer(steps_per_call=10, clips_per_call=2, report_every=0,
+                       n_chips=8)
+        assert t8.n_chips == 8
