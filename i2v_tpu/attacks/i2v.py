@@ -198,6 +198,18 @@ class AENS_I2V_MF(_FrameAttack):
     (TPAMI_attack.py:320); per-step coefficients are kept in ``self.weights``.
     """
 
+    def set_return_type(self, type: str) -> None:
+        # the reference's AENS sits on the slim image-attack base whose
+        # forward has no int/float machinery (TPAMI_attack.py:16-139) —
+        # refuse rather than silently accept-and-ignore the setting
+        if type != "float":
+            raise NotImplementedError(
+                "AENS_I2V_MF always returns the normalized-domain triple "
+                "(adv, used_time, cost_saved) (TPAMI_attack.py:314-320); "
+                "the int return type is a video-attack-base contract it "
+                "never had")
+        super().set_return_type(type)
+
     def __init__(self, models: Sequence[ImageModel], step_size: float,
                  momentum: float = 0.0, coef_CE: bool = False,
                  epsilon=16 / 255, steps=60):
@@ -279,6 +291,15 @@ class ILAF(Attack):
     scramble (image_attacks.py:625-628) is intentionally NOT reproduced —
     output layout is identity (SURVEY.md C20).
     """
+
+    def save(self, save_dir, batches, verbose: bool = True) -> None:
+        # the inherited save loop calls self(clips, labels) — ILAF's
+        # signature is (videos, ORI_videos, labels), so labels would bind to
+        # ori_videos and crash deep in the pixel math; fail with intent
+        raise NotImplementedError(
+            "ILAF consumes PAIRED (adv, ori) artifact batches, not raw "
+            "clips (image_fine_tune_attack.py:73-82) — drive it through "
+            "cli.fine_tune, which pairs {id}-adv.npy with {id}-ori.npy")
 
     def __init__(self, model: VideoModel, model_type: str = "",
                  step_size=0.005, epsilon=16 / 255, steps=60):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 def input_diversity(
     x: jnp.ndarray,
     rng: jax.Array,
-    prob: float = 0.5,
+    keep_prob: float = 0.5,
     low: int | None = None,
     high: int | None = None,
 ) -> jnp.ndarray:
@@ -25,7 +25,10 @@ def input_diversity(
 
     Defaults derive from the input: low = H, high = round(H·250/224) — the
     reference's fixed 224→[224,250) margin generalized to any resolution.
-    With probability ``prob`` the input is returned unchanged (matching the
+    With probability ``keep_prob`` the input is returned unchanged — note
+    this is the KEEP probability, not torchattacks' diversity_prob apply
+    probability (the reference's `random.random() < 0.5: return videos`,
+    base_attacks.py:359) — (matching the
     reference's ``random.random() < 0.5`` branch).
     """
     if low is None:
@@ -40,7 +43,7 @@ def input_diversity(
     pad_left = jnp.floor(jax.random.uniform(k_left) * h_rem).astype(jnp.int32)
 
     transformed = diversity_gather(x, rnd, pad_top, pad_left, low, high)
-    apply = jax.random.uniform(k_apply) >= prob
+    apply = jax.random.uniform(k_apply) >= keep_prob
     return jnp.where(apply, transformed, x)
 
 

@@ -62,6 +62,10 @@ def temporal_kernel(kernlen: int, mode: str = "gaussian") -> np.ndarray:
     (the reference spells uniform 'random')."""
     if mode == "gaussian":
         assert kernlen % 2 == 1
+        if kernlen == 1:
+            # sigma would be 0 → 0/0 NaN kernel; a length-1 kernel is the
+            # identity regardless of mode
+            return np.ones((1,), np.float32)
         k = (kernlen - 1) / 2
         sigma = k / 3.0
         xs = np.arange(-int(k), int(k) + 1, dtype=np.float64)

@@ -76,9 +76,20 @@ int i2v_decode_video(const char* path, int width, int height,
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   SwsContext* sws = nullptr;
+  int sws_w = 0, sws_h = 0, sws_fmt = -1;
+  // every alloc/convert failure routes through `err` so the thread-pool
+  // batch decoder's per-item isolation (rcs[i]) actually sees it instead
+  // of the process crashing on a NULL dereference
+  int err = buf ? 0 : -6;
 
   auto emit = [&](AVFrame* f) {
-    if (!sws) {
+    if (err) return;
+    if (!sws || f->width != sws_w || f->height != sws_h ||
+        f->format != sws_fmt) {
+      // a mid-stream resolution/format change (spliced segments, SPS
+      // switch) invalidates the cached context — rebuild rather than scale
+      // with stale geometry (out-of-bounds reads when the frame shrank)
+      if (sws) sws_freeContext(sws);
       // BITEXACT: swscale's SIMD tail paths vary with buffer alignment on
       // non-multiple-of-16 widths (e.g. the reference's 340), making output
       // depend on heap state; force the bit-exact path so decode is
@@ -87,10 +98,22 @@ int i2v_decode_video(const char* path, int width, int height,
                            width, height, AV_PIX_FMT_RGB24,
                            SWS_BILINEAR | SWS_BITEXACT | SWS_ACCURATE_RND,
                            nullptr, nullptr, nullptr);
+      if (!sws) {  // unsupported/invalid source format
+        err = -7;
+        return;
+      }
+      sws_w = f->width;
+      sws_h = f->height;
+      sws_fmt = f->format;
     }
     if (count == cap) {
+      uint8_t* nbuf = (uint8_t*)realloc(buf, cap * 2 * frame_bytes);
+      if (!nbuf) {  // keep the old buf valid for the cleanup free()
+        err = -6;
+        return;
+      }
+      buf = nbuf;
       cap *= 2;
-      buf = (uint8_t*)realloc(buf, cap * frame_bytes);
     }
     uint8_t* dst[1] = {buf + count * frame_bytes};
     int dst_stride[1] = {width * 3};
@@ -98,8 +121,8 @@ int i2v_decode_video(const char* path, int width, int height,
     ++count;
   };
 
-  int err = 0;
-  while (av_read_frame(fmt, pkt) >= 0) {
+  int rret;
+  while ((rret = av_read_frame(fmt, pkt)) >= 0) {
     if (pkt->stream_index == vstream) {
       if (avcodec_send_packet(ctx, pkt) == 0) {
         while (avcodec_receive_frame(ctx, frame) == 0) emit(frame);
@@ -107,6 +130,10 @@ int i2v_decode_video(const char* path, int width, int height,
     }
     av_packet_unref(pkt);
   }
+  // a read error that is NOT end-of-file means the container is truncated
+  // or corrupt mid-stream — fail the item (the skip-and-resample layer keys
+  // on rc != 0) instead of returning a silently short frame set
+  if (rret != AVERROR_EOF && err == 0) err = -8;
   // drain
   avcodec_send_packet(ctx, nullptr);
   while (avcodec_receive_frame(ctx, frame) == 0) emit(frame);
@@ -117,13 +144,13 @@ int i2v_decode_video(const char* path, int width, int height,
   avcodec_free_context(&ctx);
   avformat_close_input(&fmt);
 
-  if (count == 0) {
+  if (err != 0 || count == 0) {
     free(buf);
-    return -5;
+    return err != 0 ? err : -5;
   }
   *out = buf;
   *n_frames = (int)count;
-  return err;
+  return 0;
 }
 
 // libjpeg's default error_exit calls exit(); route fatal errors through
@@ -170,6 +197,11 @@ int i2v_decode_jpeg(const char* path, uint8_t** out, int* w, int* h) {
   *h = (int)cinfo.output_height;
   size_t stride = (size_t)(*w) * 3;
   buf = (uint8_t*)malloc((size_t)(*h) * stride);
+  if (!buf) {  // fail the item, don't crash the pool on a NULL row pointer
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -3;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = buf + cinfo.output_scanline * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);

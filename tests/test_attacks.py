@@ -474,3 +474,40 @@ class TestReviewRegressions:
             steps=2)
         adv = atk(videos, labels)
         _check_invariants(adv, videos)
+
+
+class TestAPIGuards:
+    """Round-2 review fixes: attack API misuse fails with intent."""
+
+    def test_aens_rejects_int_return_type(self):
+        from i2v_tpu.attacks.i2v import AENS_I2V_MF
+        from i2v_tpu.models import get_image_models
+
+        models = get_image_models(["resnet"], {"resnet": [1, 2]}, tiny=True,
+                                  input_hw=32)
+        atk = AENS_I2V_MF(models, step_size=0.005, steps=2)
+        atk.set_return_type("float")  # the only supported value
+        with pytest.raises(NotImplementedError, match="triple"):
+            atk.set_return_type("int")
+
+    def test_ilaf_save_rejected_with_pointer_to_cli(self):
+        from i2v_tpu.attacks.i2v import ILAF
+        from i2v_tpu.models import TinyVideoNet, init_bundle, tap_keys_for
+        import jax.numpy as jnp
+
+        clip = jnp.zeros((1, 3, 4, 32, 32), jnp.float32)
+        bundle = init_bundle(TinyVideoNet(), clip, "tinyvid",
+                             tap_keys=("block1",))
+        atk = ILAF(bundle, "tinyvid", steps=1)
+        with pytest.raises(NotImplementedError, match="fine_tune"):
+            atk.save("/tmp/nowhere", [])
+
+    def test_temporal_kernel_len1_identity(self):
+        import numpy as np
+
+        from i2v_tpu.ops.smoothing import temporal_kernel
+
+        for mode in ("gaussian", "linear", "uniform"):
+            k = np.asarray(temporal_kernel(1, mode))
+            assert k.shape == (1,) and np.isfinite(k).all()
+            np.testing.assert_allclose(k, [1.0])

@@ -494,3 +494,51 @@ class TestReferenceManifests:
         assert clip.shape == (3, 32, 224, 224)
         assert (label, ind) == (1, -1)
         assert name == "air drumming/--nQbRBEz2s_000104_000114"
+
+
+class TestDecoderRobustness:
+    """Round-2 review fixes in native/i2vio.cc: truncated containers fail
+    the item (not a silently short frame set); geometry-tracked sws."""
+
+    def test_truncated_video_never_returns_full_set(self, tmp_path):
+        """A mid-payload truncation must fail the item or decode fewer
+        frames (short clips are then caught by the clip-length minimum in
+        _select_clip) — never a silently complete frame set."""
+        from i2v_tpu.data import native
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
+
+        frames = [Image.fromarray(np.full((48, 64, 3), i * 30, np.uint8))
+                  for i in range(6)]
+        p = tmp_path / "full.avi"
+        write_mjpeg_avi(str(p), frames)
+        data = p.read_bytes()
+        trunc = tmp_path / "trunc.avi"
+        trunc.write_bytes(data[: len(data) // 2])
+        try:
+            arr = native.decode_video(str(trunc), width=32, height=24)
+            assert arr.shape[0] < 6
+        except RuntimeError:
+            pass  # hard failure is equally acceptable
+
+    def test_garbage_file_fails_item_batch_isolated(self, tmp_path):
+        from i2v_tpu.data import native
+        from i2v_tpu.data.avi_synth import write_mjpeg_avi
+
+        frames = [Image.fromarray(np.full((48, 64, 3), i * 30, np.uint8))
+                  for i in range(6)]
+        p = tmp_path / "full.avi"
+        write_mjpeg_avi(str(p), frames)
+        bad = tmp_path / "bad.avi"
+        bad.write_bytes(b"\x00" * 4096)
+        with pytest.raises(RuntimeError, match="failed with code"):
+            native.decode_video(str(bad), width=32, height=24)
+        out = native.decode_videos([str(bad), str(p)], width=32, height=24)
+        assert out[0] is None
+        assert out[1] is not None and out[1].shape == (6, 24, 32, 3)
+
+    def test_missing_file_still_fails_cleanly(self, tmp_path):
+        from i2v_tpu.data import native
+
+        with pytest.raises(RuntimeError):
+            native.decode_video(str(tmp_path / "nope.avi"), width=32,
+                                height=24)
