@@ -95,10 +95,7 @@ def average_cam_for_clips(clips_norm_bcthw: np.ndarray, cam_fns, size: int):
     acc = None
     for fn in cam_fns:
         cam = fn(frames)  # (B·T, h', w') at the model-native tap resolution
-        per_clip = cam.reshape(b, t, *cam.shape[1:])
-        lo = per_clip.min(axis=(1, 2, 3), keepdims=True)
-        hi = per_clip.max(axis=(1, 2, 3), keepdims=True)
-        cam = ((per_clip - lo) / jnp.maximum(hi - lo, 1e-12)).reshape(cam.shape)
+        cam = gradcam_mod.minmax_per_clip(cam, t)
         cam = gradcam_mod._upsample(cam, size)
         acc = cam if acc is None else acc + cam
     mean = np.asarray(acc).reshape(b, t, size, size) / len(cam_fns)

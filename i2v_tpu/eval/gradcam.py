@@ -97,13 +97,36 @@ def grad_cam_update(bundle: ImageModel, frames01, ref_cam, labels=None):
     return jax.grad(loss)(frames01)
 
 
+def minmax_per_clip(cam: jnp.ndarray, frames_per_clip: int) -> jnp.ndarray:
+    """Min-max scale a stacked-frame cam (B·T, h, w) with scalar min/max per
+    CLIP of ``frames_per_clip`` frames — the reference normalizes one clip's
+    stacked frames with scalar saliency_map.min()/.max() (image_cam.py:
+    128-129), so a clip's mask must not depend on its batch-mates."""
+    per = cam.reshape(-1, frames_per_clip, *cam.shape[1:])
+    lo = per.min(axis=(1, 2, 3), keepdims=True)
+    hi = per.max(axis=(1, 2, 3), keepdims=True)
+    return ((per - lo) / jnp.maximum(hi - lo, 1e-12)).reshape(cam.shape)
+
+
 def average_grad_cam(bundles: Sequence[ImageModel], frames01,
-                     upsample_to: int = 224) -> jnp.ndarray:
+                     upsample_to: int = 224,
+                     frames_per_clip: Optional[int] = None) -> jnp.ndarray:
     """Mean saliency over several image models, each at its own tap
     (reference: average_grad_cam_from_images, image_cam.py:9-37; that code
     stacks maps of UNEQUAL spatial sizes — unrunnable as written — so maps
-    are upsampled to a common size here before averaging)."""
-    cams = [grad_cam(b, frames01, upsample_to=upsample_to) for b in bundles]
+    are upsampled to a common size here before averaging).
+
+    ``frames_per_clip``: when the frame batch stacks several clips, each
+    model's cam is min-max scaled per clip (see :func:`minmax_per_clip`)
+    instead of over the whole batch, making every clip's mask independent
+    of its batch-mates. Default keeps the single-clip semantics (one global
+    min/max — identical when the batch IS one clip)."""
+    cams = []
+    for b in bundles:
+        cam, _ = _cam_raw(b, jnp.asarray(frames01), None)
+        cam = (_minmax(cam) if frames_per_clip is None
+               else minmax_per_clip(cam, frames_per_clip))
+        cams.append(_upsample(cam, upsample_to))
     return jnp.mean(jnp.stack(cams), axis=0)
 
 

@@ -9,7 +9,10 @@ Outputs, byte-compatible schemas:
     (attack success rate = 100 − top-1)
 
 TPU design: each model's eval loop is ONE jitted forward per batch with
-device-side top-1; predictions all-gather through the data mesh when sharded.
+device-side top-1; with dp eval the batch shards over the LOCAL-device data
+mesh and XLA inserts the accuracy reduction (multi-host runs dp-eval their
+own artifact shard per process — the loop's host-numpy in / np.asarray out
+contract is host-local by design).
 Models are loaded serially and dropped after use (the reference's
 del-model/empty_cache swap, reference.py:124-125, becomes letting the bundle
 go out of scope — XLA frees device buffers on GC).
@@ -157,7 +160,12 @@ def evaluate_run(
     if data_parallel and mesh is None:
         from ..parallel import attack_mesh
 
-        mesh = attack_mesh()
+        # LOCAL devices only: the eval loop feeds host numpy and fetches
+        # per-batch predictions with np.asarray — on a multi-host pod a
+        # global mesh would make those host-local transfers illegal
+        # (non-addressable shards). Each process dp-evals its own artifact
+        # shard over its own chips instead.
+        mesh = attack_mesh(devices=jax.local_devices())
     files = artifacts.list_adv_files(run_dir)
     if not files:
         raise FileNotFoundError(f"no adv artifacts under {run_dir!r}")

@@ -105,15 +105,10 @@ def convert_resnet(sd, stage_sizes=(3, 4, 23, 3)) -> dict:
             if f"{t}.downsample.0.weight" in sd:
                 entry["downsample"] = _conv_entry(
                     sd, f"{t}.downsample.0", f"{t}.downsample.1")
-            p[f"layer{stage + 1}_{block}"] = {
-                k: v for k, v in entry.items()
-            }
-        # flax nests submodules under the Bottleneck module name
-    out = {"stem": p.pop("stem")}
-    for k, v in p.items():
-        out[k] = v
-    out["fc"] = _dense_entry(sd, "fc")
-    return out
+            # flax nests submodules under the Bottleneck module name
+            p[f"layer{stage + 1}_{block}"] = entry
+    p["fc"] = _dense_entry(sd, "fc")
+    return p
 
 
 _VGG_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)

@@ -68,7 +68,10 @@ class DenseNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tap_offset=None):
+        # tap_offset: {depth: array} added to the tap activation in-flow —
+        # autodiff w.r.t. it at 0 gives exact ∂/∂(tap) (GradCAM support,
+        # same contract as resnet.py)
         taps = {}
         if self.normalize:
             x = NormalizeInput()(x)
@@ -83,6 +86,8 @@ class DenseNet(nn.Module):
                 x = DenseLayer(self.growth, dtype=self.dtype,
                                name=f"denseblock{i + 1}_layer{j + 1}")(x)
             feats += layers * self.growth
+            if tap_offset is not None and i + 1 in tap_offset:
+                x = x + tap_offset[i + 1]
             taps[i + 1] = x
             if self.truncate and deepest is not None and i + 1 >= deepest:
                 return None, taps

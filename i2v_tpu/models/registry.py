@@ -47,6 +47,18 @@ def ckpt_dir() -> str:
     return os.environ.get("I2V_TPU_CKPTS", "./checkpoints")
 
 
+def _clamped_taps(tap_keys, hi: int, lo: int = 1) -> tuple:
+    """Clamp tap keys into [lo, hi] and dedupe preserving order — for the
+    width/depth-reduced tiny variants whose stage count is below the
+    full-size tap tables'."""
+    out: list = []
+    for t in tap_keys:
+        c = max(lo, min(t, hi))
+        if c not in out:
+            out.append(c)
+    return tuple(out)
+
+
 def build_image_model(
     name: str,
     depths: int | Sequence[int],
@@ -78,14 +90,26 @@ def build_image_model(
     elif name == "densenet":
         from . import densenet as _densenet
 
-        module = (_densenet.densenet_tiny(**kw) if tiny
-                  else _densenet.densenet161(**kw))
+        if tiny:
+            # tiny has 2 dense blocks — clamp the depth-3/4 taps (and
+            # dedupe, preserving request order) or the tap dict would have
+            # no entry for the requested key
+            n_blocks = len(_densenet.densenet_tiny(dtype=kw["dtype"])
+                           .block_config)
+            tap_keys = _clamped_taps(tap_keys, n_blocks)
+            kw["taps"] = tap_keys
+            module = _densenet.densenet_tiny(**kw)
+        else:
+            module = _densenet.densenet161(**kw)
     elif name == "vit":
         from . import vit as _vit
 
         if tiny:
             depth = _vit.vit_tiny(dtype=kw["dtype"]).depth
-            tap_keys = tuple(min(t, depth - 1) for t in tap_keys)
+            # clamp AND dedupe: min() alone maps distinct depths onto the
+            # same block, silently double-weighting one tap in multi-tap
+            # (AENS) losses
+            tap_keys = _clamped_taps(tap_keys, depth - 1, lo=0)
             module = _vit.vit_tiny(taps=tap_keys, truncate=truncate,
                                    dtype=kw["dtype"])
         else:

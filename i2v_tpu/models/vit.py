@@ -65,7 +65,9 @@ class ViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tap_offset=None):
+        # tap_offset: {block_idx: array} added to the tap activation in-flow
+        # (GradCAM support, same contract as resnet.py)
         taps = {}
         if self.normalize:
             x = NormalizeInput()(x)
@@ -100,6 +102,8 @@ class ViT(nn.Module):
         deepest = max(self.taps) if self.taps else None
         for i in range(self.depth):
             x = Block(self.dim, self.heads, dtype=self.dtype, name=f"block{i}")(x)
+            if tap_offset is not None and i in tap_offset:
+                x = x + tap_offset[i]
             taps[i] = x
             if self.truncate and deepest is not None and i >= deepest:
                 return None, taps

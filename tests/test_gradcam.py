@@ -245,3 +245,59 @@ class TestGradCAMCLI:
             a = np.load(os.path.join(outs[1], f"{label}-cam.npy"))
             b = np.load(os.path.join(outs[2], f"{label}-cam.npy"))
             np.testing.assert_array_equal(a, b)
+
+    def test_cli_default_models_include_densenet_and_run(self, tmp_path):
+        """The ADVERTISED default invocation (all five reference CAM models,
+        densenet included) must run: densenet/vit now accept tap_offset and
+        tiny tap keys clamp to the reduced block count."""
+        import os
+
+        from i2v_tpu.cli import gradcam as cli
+        from i2v_tpu.ops import pixel
+
+        run = tmp_path / "run"
+        run.mkdir()
+        clip01 = np.random.RandomState(2).rand(3, 2, 64, 64).astype(np.float32)
+        np.save(run / "9-adv.npy",
+                np.asarray(pixel.normalize(jnp.asarray(clip01),
+                                           channel_axis=0)))
+        out = cli.main(["--used_adv", str(run), "--tiny",
+                        "--batch_size", "1", "--out", str(tmp_path / "cam")])
+        cam = np.load(os.path.join(out, "9-cam.npy"))
+        assert cam.shape == (2, 64, 64) and np.isfinite(cam).all()
+
+
+class TestTinyTapClamps:
+    def test_tiny_vit_multi_depth_taps_deduped(self):
+        from i2v_tpu.models.registry import build_image_model
+
+        module, tap_keys = build_image_model("vit", [2, 3], tiny=True)
+        assert len(tap_keys) == len(set(tap_keys))
+
+    def test_tiny_densenet_deep_taps_clamped(self):
+        from i2v_tpu.models.registry import build_image_model
+
+        module, tap_keys = build_image_model("densenet", [3, 4], tiny=True)
+        n_blocks = len(module.block_config)
+        assert all(1 <= t <= n_blocks for t in tap_keys)
+        assert len(tap_keys) == len(set(tap_keys))
+
+    def test_library_average_cam_per_clip_mode(self):
+        """average_grad_cam(frames_per_clip=T) gives batch-composition-
+        independent masks through the shared library function (not just the
+        CLI's path)."""
+        from i2v_tpu.eval import gradcam as g
+        from i2v_tpu.models import get_image_models
+
+        bundles = get_image_models(["resnet"], {"resnet": 2}, tiny=True,
+                                   truncate=False, input_hw=32)
+        rng = np.random.RandomState(3)
+        a = rng.rand(2, 32, 32, 3).astype(np.float32)         # clip A frames
+        b = (rng.rand(2, 32, 32, 3) * 0.2).astype(np.float32)  # clip B frames
+        both = np.concatenate([a, b])
+        cam_both = np.asarray(g.average_grad_cam(bundles, both,
+                                                 upsample_to=32,
+                                                 frames_per_clip=2))
+        cam_a = np.asarray(g.average_grad_cam(bundles, a, upsample_to=32,
+                                              frames_per_clip=2))
+        np.testing.assert_allclose(cam_both[:2], cam_a, atol=1e-6)
