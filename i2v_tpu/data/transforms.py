@@ -46,14 +46,10 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
     return img.crop((x1, y1, x1 + size, y1 + size))
 
 
-def corner_crop_center(img: Image.Image, size: int) -> Image.Image:
-    """CornerCrop(size, 'c') — the center corner. The reference ROUNDS the
-    margin split (transforms_ucf101.py:345-346), which differs from floor
-    division by 1px on odd margins."""
-    w, h = img.size
-    x1 = int(round((w - size) / 2.0))
-    y1 = int(round((h - size) / 2.0))
-    return img.crop((x1, y1, x1 + size, y1 + size))
+# CornerCrop(size, 'c') — the center corner (transforms_ucf101.py:345-346)
+# is arithmetically identical to center_crop (both round the margin split);
+# keep the reference-named alias, not a second copy of the math
+corner_crop_center = center_crop
 
 
 def frames_to_normalized_clip(frames: Sequence[Image.Image]) -> np.ndarray:
@@ -222,6 +218,10 @@ def kinetics_clip_indices(n_frames: int, clip_ind: int, clip_len: int = 32,
     converted_len = int(clip_len * frame_sample_rate)
     seg_len = n_frames // num_segment
     all_index = []
+    # ONE RNG stream across segments (the reference seeds once and draws
+    # sequentially, datasets.py:230-241) — re-seeding per segment would give
+    # every segment the identical window offset
+    rng = np.random.RandomState(clip_ind) if clip_ind != -1 else None
     for i in range(num_segment):
         if seg_len <= converted_len:
             index = np.linspace(0, seg_len, num=seg_len // frame_sample_rate)
@@ -230,10 +230,9 @@ def kinetics_clip_indices(n_frames: int, clip_ind: int, clip_len: int = 32,
             )
             index = np.clip(index, 0, seg_len - 1).astype(np.int64)
         else:
-            if clip_ind == -1:
+            if rng is None:
                 end_idx = seg_len - 1
             else:
-                rng = np.random.RandomState(clip_ind)
                 end_idx = rng.randint(converted_len, seg_len)
             str_idx = end_idx - converted_len
             index = np.linspace(str_idx, end_idx, num=clip_len)

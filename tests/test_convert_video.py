@@ -232,9 +232,9 @@ class TorchMiniSlowFast(tnn.Module):
         alpha = slow_stride // fast_stride
         fw = width // beta_inv
         self.fast_conv1 = tnn.Conv3d(3, fw, (5, 7, 7), (1, 2, 2), (2, 3, 3))
-        self.fast_bn1 = tnn.Identity()
+        self.fast_bn1 = tnn.BatchNorm3d(fw)
         self.slow_conv1 = tnn.Conv3d(3, width, (1, 7, 7), (1, 2, 2), (0, 3, 3))
-        self.slow_bn1 = tnn.Identity()
+        self.slow_bn1 = tnn.BatchNorm3d(width)
         self.relu = tnn.ReLU(True)
         self.pool = tnn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1))
         self.lateral_p1 = tnn.Conv3d(fw, 2 * fw, (5, 1, 1), (alpha, 1, 1),
@@ -265,8 +265,10 @@ class TorchMiniSlowFast(tnn.Module):
 
     def forward(self, x):
         # gluoncv 8x8 forward subsamples its own input per pathway
-        fast = self.pool(self.relu(self.fast_conv1(x[:, :, ::self.fast_stride])))
-        slow = self.pool(self.relu(self.slow_conv1(x[:, :, ::self.slow_stride])))
+        fast = self.pool(self.relu(
+            self.fast_bn1(self.fast_conv1(x[:, :, ::self.fast_stride]))))
+        slow = self.pool(self.relu(
+            self.slow_bn1(self.slow_conv1(x[:, :, ::self.slow_stride]))))
         slow = torch.cat([slow, self.relu(self.lateral_p1(fast))], 1)
         for stage in range(4):
             fast = getattr(self, f"fast_res{stage+2}")(fast)

@@ -26,11 +26,28 @@ import numpy as np  # noqa: E402
 from i2v_tpu.models import convert as cv  # noqa: E402
 
 
-def _conv3d(sd, conv, bn=None):
+def _conv3d(sd, conv, bn=None, expect_bn=True):
+    if conv is None:
+        raise KeyError(
+            "no conv weight found among the naming candidates — run with "
+            "--report to see the checkpoint's actual keys")
     w = cv._np(sd[f"{conv}.weight"])
     b = cv._np(sd[f"{conv}.bias"]) if f"{conv}.bias" in sd else None
+    folded = False
     if bn is not None and f"{bn}.weight" in sd:
         w, b = cv.fold_bn(w, b, sd, bn)
+        folded = True
+    if expect_bn and not folded:
+        # silently skipping the fold would save a checkpoint whose conv
+        # weights are numerically WRONG (the Flax modules assume BN is
+        # pre-folded) — make the drift loud instead
+        import warnings
+
+        warnings.warn(
+            f"no BatchNorm folded into {conv!r} (bn candidate "
+            f"{bn!r} not in the checkpoint) — if the source layer has a BN "
+            "under an unrecognized name the converted weights are wrong; "
+            "check --report / run --verify")
     kernel = cv.conv3d_kernel(w)
     if b is None:
         b = np.zeros(kernel.shape[-1], np.float32)
@@ -72,8 +89,10 @@ def convert_i3d(sd, stage_sizes):
                 root = nl.rsplit(".theta", 1)[0]
 
                 def _nl_conv(leaf):
+                    # theta/phi/g are raw convs in the non-local design
                     return _conv3d(sd, _maybe(sd, f"{root}.{leaf}",
-                                              f"{root}.{leaf}.conv"))
+                                              f"{root}.{leaf}.conv"),
+                                   expect_bn=False)
 
                 p[f"layer{stage + 1}_{block}_nl"] = {
                     "theta": _nl_conv("theta"),
@@ -110,8 +129,10 @@ def convert_slowfast(sd, stage_sizes):
     for lat in ("p1", "res2", "res3", "res4"):
         src = _maybe(sd, f"lateral_{lat}.conv", f"lateral_{lat}.0",
                      f"lateral_{lat}")
+        # gluoncv laterals are bare convs (BN-free by design)
         p[f"lateral_{lat}"] = _conv3d(
-            sd, src, _maybe(sd, f"lateral_{lat}.bn", f"lateral_{lat}.1"))
+            sd, src, _maybe(sd, f"lateral_{lat}.bn", f"lateral_{lat}.1"),
+            expect_bn=False)
     p["fc"] = cv._dense_entry(sd, _maybe(sd, "fc", "head.fc", "dp.fc"))
     return p
 
@@ -226,7 +247,21 @@ def _verify(name, params, sd, *, ucf=False, gluoncv_cfg=None):
 
     module = VIDEO_BUILDERS[name](num_classes=101 if ucf else 400)
     x01 = np.random.RandomState(0).rand(1, 3, 32, 224, 224).astype(np.float32)
-    logits, _ = module.apply({"params": params}, jnp.asarray(x01))
+    # overlay onto an init tree exactly like get_video_model does: the
+    # converters intentionally emit PARTIAL trees on naming drift (e.g. TPN
+    # neck), and a raw apply would crash on the very checkpoints this tool
+    # exists to diagnose
+    import jax
+
+    from i2v_tpu.models.video_zoo import _overlay
+
+    init = module.init(jax.random.PRNGKey(0), jnp.asarray(x01))["params"]
+    merged, missing = _overlay(init, params)
+    if missing:
+        print(f"WARNING: {len(missing)} module(s) at random init "
+              f"(unconverted): {sorted(missing)[:8]}"
+              f"{'…' if len(missing) > 8 else ''}")
+    logits, _ = module.apply({"params": merged}, jnp.asarray(x01))
     logits = np.asarray(logits)
     assert np.isfinite(logits).all(), "converted model produced non-finite logits"
     print(f"flax logits: finite, top-5 {np.argsort(logits[0])[-5:][::-1]}")

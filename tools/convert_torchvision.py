@@ -61,6 +61,8 @@ def main(argv=None):
     p.add_argument("--download", action="store_true")
     p.add_argument("--out", default=None, help="checkpoint output dir")
     args = p.parse_args(argv)
+    if not args.all and not args.name:
+        p.error("--name or --all is required")
 
     names = sorted(IMAGE_CONVERTERS) if args.all else [args.name]
     for name in names:
