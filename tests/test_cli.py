@@ -741,3 +741,26 @@ class TestShardAndReportGuards:
         table = report.main(["--runs", "SomeRun-BIM-2-x", "missing-run"])
         assert "SomeRun-BIM-2-x" in table and "60.0" in table
         assert "skipping" in capsys.readouterr().out
+
+    def test_multigrid_composes_with_u8_ingress_and_prefetch(self, opt_path):
+        """The production levers compose: uint8 ingest + pipelined decode +
+        the coarse-to-fine schedule through one --sharded run; artifacts
+        stay protocol-conformant."""
+        from i2v_tpu.cli import image_main
+        from i2v_tpu.ops import pixel
+
+        run = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "4", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "3", "--batch_size", "2",
+            "--sharded", "--multigrid", "2", "--u8_ingress", "--prefetch", "1",
+            "--file_prefix", "mgcompose"])
+        import jax.numpy as jnp
+
+        for f in ("0-adv.npy", "1-adv.npy", "2-adv.npy"):
+            adv = np.load(os.path.join(run, f))
+            assert adv.shape == (3, 8, 32, 32) and adv.dtype == np.float32
+            a01 = np.asarray(pixel.unnormalize(jnp.asarray(adv),
+                                               channel_axis=0))
+            assert a01.min() >= -1e-6 and a01.max() <= 1 + 1e-6
