@@ -66,7 +66,21 @@ def main(argv=None) -> str:
                    help="run dirs (default: every dir under OPT_PATH)")
     p.add_argument("--format", choices=["csv", "markdown"], default="csv")
     p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.add_argument("--merge_shards", default=None, metavar="RUN_DIR",
+                   help="merge a sharded fused run's suffixed reports "
+                        "(results_all_models_prediction_<k>.csv / "
+                        "top1_acc_all_models_<k>.json) into the plain "
+                        "reference-schema files, then exit")
     args = p.parse_args(argv)
+    if args.merge_shards:
+        from ..eval.fused import merge_shard_reports
+
+        d = args.merge_shards
+        if not os.path.isabs(d) and not os.path.isdir(d):
+            d = os.path.join(get_paths().opt_path, d)
+        acc = merge_shard_reports(d)
+        print(json.dumps(acc))
+        return json.dumps(acc)
 
     runs = args.runs
     explicit = runs is not None

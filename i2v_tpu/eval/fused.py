@@ -90,6 +90,60 @@ class AsyncArtifactWriter:
             raise self._err[0]
 
 
+def merge_shard_reports(run_dir: str) -> dict:
+    """Merge shard-suffixed fused reports (``*_{k}.csv/json``) into the
+    plain reference-schema files.
+
+    The offline alternative is re-running the evaluate CLI over the shared
+    artifact dir — but a ``--no_artifacts`` sharded fused run leaves ONLY
+    the suffixed reports, so this merges them directly: per-label
+    predictions (rows where a shard produced one, i.e. != -1) union across
+    shards — two shards claiming the same label with different predictions
+    raise, like the malformed-dir guards in eval/transfer — and the merged
+    JSON top-1 is recomputed over the union. Returns {model: top1_pct}."""
+    import glob
+    import re
+
+    import pandas as pd
+
+    shard_csvs = sorted(
+        glob.glob(os.path.join(run_dir, "results_all_models_prediction_*.csv")))
+    if not shard_csvs:
+        raise FileNotFoundError(
+            f"no shard-suffixed reports under {run_dir!r} (pattern "
+            "results_all_models_prediction_<k>.csv)")
+    frames = [pd.read_csv(p) for p in shard_csvs]
+    model_cols = [c for c in frames[0].columns if c.endswith("-pre")]
+    merged = frames[0].copy()
+    for p, df in zip(shard_csvs[1:], frames[1:]):
+        if list(df.columns) != list(merged.columns):
+            raise ValueError(f"{p!r} has different model columns than "
+                             f"{shard_csvs[0]!r}; cannot merge")
+        for col in model_cols:
+            ours, theirs = merged[col].to_numpy(), df[col].to_numpy()
+            clash = (ours != -1) & (theirs != -1) & (ours != theirs)
+            if clash.any():
+                lab = int(np.flatnonzero(clash)[0])
+                raise ValueError(
+                    f"shards disagree on label {lab} for {col!r} "
+                    f"({int(ours[lab])} vs {int(theirs[lab])} in {p!r}) — "
+                    "overlapping shard bounds?")
+            merged[col] = np.where(theirs != -1, theirs, ours)
+    acc = {}
+    gt = merged["gt_label"].to_numpy()
+    for col in model_cols:
+        preds = merged[col].to_numpy()
+        have = preds != -1
+        n = max(int(have.sum()), 1)
+        acc[re.sub(r"-pre$", "", col)] = 100.0 * float(
+            (preds[have] == gt[have]).sum()) / n
+    merged.to_csv(os.path.join(run_dir, "results_all_models_prediction.csv"),
+                  index=False)
+    with open(os.path.join(run_dir, "top1_acc_all_models.json"), "w") as f:
+        json.dump(acc, f)
+    return acc
+
+
 class FusedGenerateEvaluate:
     """Drive attack + on-device eval + async artifact egress per batch.
 

@@ -172,3 +172,45 @@ def test_threaded_prefetch_abandoned_consumer_stops_worker():
         assert not t.is_alive()
     time.sleep(0.05)
     assert len(produced) < 100  # the worker did NOT drain the whole source
+
+
+def test_merge_shard_reports(tmp_path, tiny_bundle):
+    """Two sharded fused runs (disjoint label ranges) merge into one plain
+    reference-schema report pair; overlap disagreement raises."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from i2v_tpu.cli import report as report_cli
+    from i2v_tpu.eval.fused import FusedGenerateEvaluate, merge_shard_reports
+
+    def attack(clips, labels, names=None):
+        return jnp.asarray(clips)
+
+    rng = np.random.RandomState(7)
+    for shard, labels in ((1, [0, 1]), (2, [2, 3])):
+        fused = FusedGenerateEvaluate(
+            attack, {"tinyvid": tiny_bundle}, run_dir=None, n_classes=5)
+        fused.process_batch({
+            "clips": rng.rand(2, 3, 4, 32, 32).astype(np.float32),
+            "labels": np.asarray(labels)})
+        fused.finalize(report_dir=str(tmp_path), shard=shard)
+    acc = merge_shard_reports(str(tmp_path))
+    df = pd.read_csv(tmp_path / "results_all_models_prediction.csv")
+    preds = df["tinyvid-pre"].to_numpy()
+    assert (preds[:4] != -1).all() and preds[4] == -1  # label 4 unattacked
+    with open(tmp_path / "top1_acc_all_models.json") as f:
+        assert json.load(f) == acc
+    # the CLI front door
+    out = report_cli.main(["--merge_shards", str(tmp_path)])
+    assert "tinyvid" in out
+
+    # overlapping shards that DISAGREE must raise, not silently pick one
+    df2 = pd.read_csv(tmp_path / "results_all_models_prediction_2.csv")
+    df2.loc[0, "tinyvid-pre"] = 3  # claim label 0 with a different pred
+    if df.loc[0, "tinyvid-pre"] == 3:
+        df2.loc[0, "tinyvid-pre"] = 2
+    df2.to_csv(tmp_path / "results_all_models_prediction_2.csv", index=False)
+    with pytest.raises(ValueError, match="disagree"):
+        merge_shard_reports(str(tmp_path))
