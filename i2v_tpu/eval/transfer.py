@@ -93,17 +93,17 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     n_shards = mesh.size if mesh is not None else 1
     warned_fallback = []
 
-    def fwd(clips, labels):
-        # clips/labels arrive as host numpy from the artifact loader — no
-        # np.asarray of device arrays here (a device→host round trip at
-        # relay bandwidth would dwarf the forward)
+    def _upload(clips, labels):
+        """Host batch → device, sharded over the mesh when divisible.
+        Labels stay host-side (the loop extends python lists from them —
+        iterating a device array would fetch element-wise over the relay)."""
         if mesh is not None and clips.shape[0] % n_shards == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             spec = P(tuple(mesh.axis_names))  # batch over every mesh axis
-            clips = jax.device_put(clips, NamedSharding(mesh, spec))
-            labels = jax.device_put(labels, NamedSharding(mesh, spec))
-        elif mesh is not None and not warned_fallback:
+            return (jax.device_put(clips, NamedSharding(mesh, spec)),
+                    jax.device_put(labels, NamedSharding(mesh, spec)))
+        if mesh is not None and not warned_fallback:
             warned_fallback.append(True)
             import warnings
 
@@ -112,19 +112,30 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
                 f"{n_shards}-device mesh; running this batch on a single "
                 "device (pick a batch_size divisible by the device count "
                 "to keep eval data-parallel)")
-        return fwd_jit(bundle.params, jnp.asarray(clips), jnp.asarray(labels))
+        return jax.device_put(clips), jnp.asarray(labels)
 
-    # disk IO overlaps device compute (the reference's DataLoader-worker
-    # role, datasets.py:272-274)
+    # disk IO AND the host→device upload overlap device compute: the upload
+    # starts in the loader thread as soon as a batch is read (the H2D link —
+    # ~10 MB/s on relay-backed hosts — otherwise serializes with the
+    # forward). double-buffered: one batch in flight beyond the consumed one
     from ..data.pipeline import threaded_prefetch
 
-    loaded = threaded_prefetch(
-        lambda: (artifacts.load_adv_batch(run_dir, b) for b in files_batches))
+    def uploaded():
+        buf = []
+        for b in files_batches:
+            clips, labels = artifacts.load_adv_batch(run_dir, b)
+            dev_clips, dev_labels = _upload(clips, labels)
+            buf.append((dev_clips, dev_labels, labels))
+            if len(buf) > 1:
+                yield buf.pop(0)
+        yield from buf
+
+    loaded = threaded_prefetch(uploaded)
 
     end = time.time()
-    for step, (clips, labels) in enumerate(loaded):
+    for step, (clips, jlabels, labels) in enumerate(loaded):
         data_time.update(time.time() - end)
-        acc, preds = fwd(np.asarray(clips), np.asarray(labels))
+        acc, preds = fwd_jit(bundle.params, clips, jlabels)
         preds = np.asarray(preds)
         predictions += list(preds)
         labels_all += list(labels)
