@@ -568,14 +568,15 @@ class TestMultigrid:
         np.testing.assert_allclose(np.asarray(adv), np.asarray(rebuilt),
                                    atol=1e-6)
 
-    def test_multigrid_invariants_and_cost_layout(self):
+    @pytest.mark.parametrize("scale", [2, 4])
+    def test_multigrid_invariants_and_cost_layout(self, scale):
         from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
 
         models = self._models()
         mesh = attack_mesh()
         eps = 16 / 255
         runner = make_multigrid_i2v_runner(models, mesh, steps=6,
-                                           coarse_steps=3, scale=2)
+                                           coarse_steps=3, scale=scale)
         rng = np.random.RandomState(2)
         clean01 = jnp.asarray(rng.rand(2, 3, 8, 32, 32).astype(np.float32))
         adv, costs = runner(shard_clips(clean01, mesh))
