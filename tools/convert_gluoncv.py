@@ -183,7 +183,9 @@ def convert_tpn(sd, stage_sizes):
             if bn_suffix is not None:
                 root = src.rsplit(".", 1)[0]
                 bn = _maybe(sd, root + bn_suffix)
-            p[ours] = _conv3d(sd, src, bn)
+            # bn_suffix None marks ops that are BN-free in the TPN design
+            # (temporal modulation / downsampling are bare convs)
+            p[ours] = _conv3d(sd, src, bn, expect_bn=bn_suffix is not None)
     fc = _maybe(sd, "fc", "cls_head.fc", "head.fc", "cls_head.fc_cls",
                 "cls_head.fc1")
     if fc:
