@@ -322,6 +322,17 @@ def cost_probe() -> None:
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+    known = ("base", "remat", "remat_b32", "b24", "unroll2", "mu_bf16",
+             "cost", "hbm", "exec")
+    if variant not in known:
+        # an unknown arg (incl. --help) must NOT fall through to the full
+        # base measurement — this tool touches the real device
+        print(f"usage: perf_probe.py [{'|'.join(known)}] [case]\n"
+              "  hbm [case|all]  AOT compile + CompiledMemoryStats\n"
+              "  exec CASE       execute the case (ground-truth HBM fit)\n"
+              "  cost            roofline cost analysis -> PERF_PROBE.json\n"
+              "  <variant>       timed 60-step ENS run on the device")
+        return
     if variant == "cost":
         return cost_probe()
     if variant == "hbm":
