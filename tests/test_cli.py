@@ -764,3 +764,28 @@ class TestShardAndReportGuards:
             a01 = np.asarray(pixel.unnormalize(jnp.asarray(adv),
                                                channel_axis=0))
             assert a01.min() >= -1e-6 and a01.max() <= 1 + 1e-6
+
+    def test_fused_sharded_run_writes_suffixed_reports(self, opt_path):
+        """--batch_nums N --fused_eval: each shard's reports are suffixed
+        (no clobbering), and --merge_shards assembles the plain pair."""
+        import json as _json
+
+        from i2v_tpu.cli import image_main, report
+
+        base = ["--attack_method", "ImageGuidedFMDirection_Adam",
+                "--direction_image_model", "resnet", "--depth", "2",
+                "--step", "2", "--step_size", "0.005", "--tiny",
+                "--data", "synthetic", "--n_synthetic", "4",
+                "--batch_size", "2", "--fused_eval", "i3d_resnet50",
+                "--batch_nums", "2", "--file_prefix", "fshard"]
+        run = image_main.main(base + ["--batch_index", "1"])
+        run2 = image_main.main(base + ["--batch_index", "2"])
+        assert run == run2
+        for k in (1, 2):
+            assert os.path.exists(
+                os.path.join(run, f"top1_acc_all_models_{k}.json"))
+        assert not os.path.exists(
+            os.path.join(run, "top1_acc_all_models.json"))
+        report.main(["--merge_shards", run])
+        with open(os.path.join(run, "top1_acc_all_models.json")) as f:
+            assert set(_json.load(f)) == {"i3d_resnet50"}
