@@ -202,7 +202,8 @@ def exec_probe(which: str) -> None:
     from i2v_tpu.parallel import attack_mesh, shard_clips
     from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
 
-    mesh = attack_mesh(jax.devices()[:1])
+    mesh = None  # built lazily, AFTER the case name is validated: device
+    # init through a dead relay hangs, and an arg typo must not pay that
 
     def run_sharded(models, batch, adaptive, frame_chunk, param_dtype=None,
                     steps=STEPS):
@@ -225,24 +226,64 @@ def exec_probe(which: str) -> None:
         return steps * reps / dt * (batch * 32 / 512), final, compile_s
 
     bf16 = jnp.bfloat16
-    if which == "ens16_f32_chunk64":
-        sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 64)
-    elif which == "ens16_f32_chunk128":
-        sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 128)
-    elif which == "ens16_f32_chunk256":
-        sps, final, cs = run_sharded(_ens_models(jnp.float32), 16, False, 256)
-    elif which == "ens16_bf16_chunk256":
-        sps, final, cs = run_sharded(_ens_models(bf16), 16, False, 256,
-                                     param_dtype=bf16)
-    elif which == "aens16_bf16_chunk256":
-        sps, final, cs = run_sharded(_aens_models(bf16), 16, True, 256,
-                                     param_dtype=bf16)
-    elif which == "ens24_bf16_chunk256":
-        sps, final, cs = run_sharded(_ens_models(bf16), 24, False, 256,
-                                     param_dtype=bf16)
-    elif which == "ens32_bf16_chunk256":
-        sps, final, cs = run_sharded(_ens_models(bf16), 32, False, 256,
-                                     param_dtype=bf16)
+    # (models_fn, dtype, batch, adaptive, frame_chunk, param_dtype) — the
+    # bf16 chunk sweep exists because chunk=256 measured FASTER than
+    # unchunked (3.07 vs 2.90 steps/s): smaller fwd↔bwd activation working
+    # sets cut HBM traffic on this HBM-bound step, so the optimum is an
+    # empirical question per dtype
+    sharded_cases = {
+        "ens16_f32_chunk64": (_ens_models, jnp.float32, 16, False, 64, None),
+        "ens16_f32_chunk128": (_ens_models, jnp.float32, 16, False, 128, None),
+        "ens16_f32_chunk256": (_ens_models, jnp.float32, 16, False, 256, None),
+        "ens16_bf16_chunk64": (_ens_models, bf16, 16, False, 64, bf16),
+        "ens16_bf16_chunk128": (_ens_models, bf16, 16, False, 128, bf16),
+        "ens16_bf16_chunk256": (_ens_models, bf16, 16, False, 256, bf16),
+        "aens16_bf16_chunk128": (_aens_models, bf16, 16, True, 128, bf16),
+        "aens16_bf16_chunk256": (_aens_models, bf16, 16, True, 256, bf16),
+        "ens24_bf16_chunk256": (_ens_models, bf16, 24, False, 256, bf16),
+        "ens32_bf16_chunk256": (_ens_models, bf16, 32, False, 256, bf16),
+    }
+    if (which not in sharded_cases and which != "mi16_chunk8"
+            and not (which.startswith("mg16_bf16_cc")
+                     and (which[len("mg16_bf16_cc"):] == "full"
+                          or which[len("mg16_bf16_cc"):].isdigit()))):
+        raise SystemExit(
+            f"unknown exec case {which!r}; known: "
+            f"{', '.join(sorted(sharded_cases))}, mg16_bf16_cc<chunk|full>, "
+            f"mi16_chunk8")
+    mesh = attack_mesh(jax.devices()[:1])
+    if which in sharded_cases:
+        mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
+        sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
+                                     param_dtype=pdt)
+    elif which.startswith("mg16_bf16_cc"):
+        # multigrid coarse_frame_chunk tuning: mg16_bf16_cc<chunk|full>
+        # (30 coarse @112² + 30 fine @224², fine chunk fixed at 256). The
+        # coarse phase's 512 frames at 112² carry 1/4 the activation bytes,
+        # so its chunk optimum need not match the fine phase's.
+        from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
+
+        tag = which[len("mg16_bf16_cc"):]
+        cc = None if tag == "full" else int(tag)
+        models = _ens_models(bf16)
+        runner = make_multigrid_i2v_runner(
+            models, mesh, steps=STEPS, coarse_steps=STEPS // 2, scale=2,
+            step_size=0.005, donate=True, frame_chunk=256,
+            coarse_frame_chunk=cc, param_dtype=bf16)
+        batch = 16
+        mk = lambda: shard_clips(
+            jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+        t0 = time.time()
+        _, costs = runner(mk())
+        final = float(np.asarray(costs)[-1])
+        cs = time.time() - t0
+        reps = 2
+        inputs = [mk() for _ in range(reps)]
+        t0 = time.time()
+        for x in inputs:
+            _, costs = runner(x)
+        final = float(np.asarray(costs)[-1])
+        sps = STEPS * reps / (time.time() - t0) * (batch * 32 / 512)
     elif which == "mi16_chunk8":
         import dataclasses
 
