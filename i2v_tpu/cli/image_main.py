@@ -20,6 +20,17 @@ from ..utils import artifacts, get_paths
 from . import common
 
 
+def _int_or_auto(s: str):
+    """argparse type for --frame_chunk: an int or the literal 'auto'."""
+    if s == "auto":
+        return s
+    try:
+        return int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'auto', got {s!r}")
+
+
 def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
     """``default_step``: 60 for Kinetics (image_main.py:28), 10 for UCF-101
     (image_main_ucf101.py:26) — default runs must land in the same
@@ -54,11 +65,13 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                         "4, gradients (and for AENS the per-tap coefficient "
                         "signals) psum over ICI. Ensemble methods "
                         "(ENS/AENS) only")
-    p.add_argument("--frame_chunk", type=int, default=None,
+    p.add_argument("--frame_chunk", type=_int_or_auto, default=None,
                    help="with --sharded/--model_parallel: gradient-"
                         "accumulate over frame-axis chunks of this size "
                         "(exact — the objective is per-frame separable); "
-                        "enables f32 at B=16 on one 16GB chip")
+                        "enables f32 at B=16 on one 16GB chip. 'auto' picks "
+                        "the measured-optimum chunk for the resolution/dtype "
+                        "(parallel/sharded.resolve_frame_chunk)")
     p.add_argument("--param_dtype", default=None,
                    choices=["bfloat16"],
                    help="with --sharded: store surrogate weights in bf16 "

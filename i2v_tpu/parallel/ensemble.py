@@ -64,7 +64,7 @@ def make_ensemble_parallel_runner(
     adaptive: bool = False,
     aens_momentum: float = 0.0,
     coef_ce: bool = False,
-    frame_chunk: int | None = None,
+    frame_chunk: int | str | None = None,
     donate: bool = False,
 ):
     """jitted runner(clean01 clips) -> (adv01 clips, per-step costs), with the
@@ -141,8 +141,13 @@ def make_ensemble_parallel_runner(
 
         # exact frame-chunked gradient accumulation over the LOCAL slice
         # (per-frame-separable objective — same argument as sharded.py);
-        # snap to a divisor so any local slice length works
-        fchunk = frame_chunk
+        # snap to a divisor so any local slice length works. 'auto' resolves
+        # per DEVICE here (n_devices=1): frame_chunk is local on this path
+        from .sharded import _compute_dtype, resolve_frame_chunk
+
+        fchunk = resolve_frame_chunk(frame_chunk, n_local,
+                                     frames_local.shape[1:3],
+                                     _compute_dtype(models))
         chunked = fchunk is not None and fchunk < n_local
         if chunked and n_local % fchunk:
             fchunk = max(d for d in range(1, fchunk + 1) if n_local % d == 0)
@@ -319,7 +324,7 @@ class EnsembleParallelAttack:
     def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *,
                  steps: int, step_size: float = 0.005,
                  adaptive: bool = False, aens_momentum: float = 0.0,
-                 coef_ce: bool = False, frame_chunk: int | None = None,
+                 coef_ce: bool = False, frame_chunk: int | str | None = None,
                  name: str = "EnsembleParallelENS"):
         from ..attacks.core import Attack
 

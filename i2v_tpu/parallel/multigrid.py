@@ -68,7 +68,7 @@ def make_multigrid_i2v_runner(
     step_size: float = 0.005,
     epsilon: float = 16 / 255,
     donate: bool = False,
-    frame_chunk: int | None = None,
+    frame_chunk: int | str | None = None,
     coarse_frame_chunk: int | None | type(...) = ...,
     param_dtype=None,
 ):

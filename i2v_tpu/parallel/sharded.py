@@ -22,6 +22,44 @@ from ..ops import losses, pixel
 from ..ops import pallas_kernels as pk
 from .mesh import clip_sharding, frame_sharding
 
+# The measured single-chip chunk optimum (PERF_PROBE.json
+# exec_ens16_bf16_chunk256 = 3.07 steps/s vs 2.90 unchunked;
+# exec_ens16_f32_chunk128): ~256 frames of 224² bf16 activations per device
+# per chunk — small enough that a chunk's fwd↔bwd activations stay
+# HBM-resident, large enough to keep the MXU fed. ``frame_chunk="auto"``
+# re-expresses that sweet spot as a constant activation-byte budget so other
+# dtypes and resolutions resolve consistently: f32 @224² → 128, multigrid's
+# 112² bf16 coarse phase → 1024 (≥ the 512-frame batch → unchunked).
+AUTO_CHUNK_BYTES = 256 * 2 * 224 * 224
+
+
+def resolve_frame_chunk(frame_chunk, n_frames: int, hw, compute_dtype,
+                        n_devices: int = 1):
+    """Resolve a ``frame_chunk`` setting against concrete frame-batch shapes.
+
+    ``int``/``None`` pass through untouched; ``"auto"`` picks the
+    measured-optimum chunk for ``(h, w, dtype)`` (see ``AUTO_CHUNK_BYTES``)
+    scaled by ``n_devices`` when the chunk is sharded over a mesh, or
+    ``None`` (unchunked) when the whole batch already fits that budget.
+    The caller's divisor-snapping still applies downstream."""
+    if frame_chunk != "auto":
+        if isinstance(frame_chunk, str):
+            raise ValueError(f"frame_chunk must be an int, None, or 'auto'; "
+                             f"got {frame_chunk!r}")
+        return frame_chunk
+    h, w = int(hw[0]), int(hw[1])
+    dbytes = jnp.dtype(compute_dtype).itemsize
+    per_dev = max(1, AUTO_CHUNK_BYTES // (dbytes * h * w))
+    target = per_dev * n_devices
+    return None if n_frames <= target else target
+
+
+def _compute_dtype(models) -> jnp.dtype:
+    """The ensemble's activation dtype (what the chunk budget is spent on):
+    the widest compute dtype any surrogate was built with."""
+    return jnp.result_type(*[getattr(m.module, "dtype", jnp.float32) or
+                             jnp.float32 for m in models])
+
 
 def make_sharded_i2v_runner(
     models: Sequence[ImageModel],
@@ -37,7 +75,7 @@ def make_sharded_i2v_runner(
     unroll: int = 1,
     mu_dtype=None,
     donate: bool = False,
-    frame_chunk: int | None = None,
+    frame_chunk: int | str | None = None,
     param_dtype=None,
     return_modifier: bool = False,
 ):
@@ -58,13 +96,18 @@ def make_sharded_i2v_runner(
     frame batch into lax.map'd sub-batches computes bit-identical costs and
     gradients while holding only one chunk's surrogate activations — the
     enabler for f32 at B=16 on a single 16 GB chip, where the full 512-frame
-    VGG activations alone need ~24 GB. ``param_dtype=jnp.bfloat16`` stores
+    VGG activations alone need ~24 GB. ``frame_chunk="auto"`` picks the
+    measured-optimum chunk for the batch's resolution/dtype at trace time
+    (``resolve_frame_chunk``). ``param_dtype=jnp.bfloat16`` stores
     surrogate weights in bf16 (XLA casts f32 params to bf16 for the MXU
     anyway when ``dtype=bf16`` — pre-casting drops the dead f32 originals,
     ~300 MB for the 4-surrogate ensemble).
     """
     from ..models.api import rebind_params
 
+    if isinstance(frame_chunk, str) and frame_chunk != "auto":
+        raise ValueError(f"frame_chunk must be an int, None, or 'auto'; "
+                         f"got {frame_chunk!r}")
     fsharding = frame_sharding(mesh)
     n_taps = sum(len(m.tap_keys) for m in models)
     if mu_dtype is not None:
@@ -106,7 +149,11 @@ def make_sharded_i2v_runner(
         frames = pixel.flatten_clip_to_frames(clean01)
         frames = jax.lax.with_sharding_constraint(frames, fsharding)
         n_frames = frames.shape[0]
-        fchunk = frame_chunk
+        # 'auto' resolves against the traced shapes (exact semantics either
+        # way — only the accumulation chunking changes); the global chunk is
+        # sharded over the mesh, so the per-device budget scales by mesh.size
+        fchunk = resolve_frame_chunk(frame_chunk, n_frames, frames.shape[1:3],
+                                     _compute_dtype(models), mesh.size)
         chunked = fchunk is not None and fchunk < n_frames
         if chunked and n_frames % fchunk:
             # trailing partial batch: snap to the largest divisor of the
@@ -278,7 +325,7 @@ class ShardedImageGuidedAttack:
     def __init__(self, models: Sequence[ImageModel], mesh: Mesh, *, steps: int,
                  step_size: float, adaptive: bool = False,
                  aens_momentum: float = 0.0, coef_ce: bool = False,
-                 name: str = "ShardedI2V", frame_chunk: int | None = None,
+                 name: str = "ShardedI2V", frame_chunk: int | str | None = None,
                  param_dtype=None, multigrid: int = 0, multigrid_scale: int = 2):
         from ..attacks.core import Attack
 

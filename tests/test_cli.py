@@ -195,7 +195,9 @@ class TestImageGuidedCLI:
             "--direction_image_model", "resnet", "--depth", "2",
             "--step", "4", "--step_size", "0.005", "--tiny",
             "--data", "synthetic", "--n_synthetic", "2", "--batch_size", "2",
-            "--sharded", "--multigrid", "2", "--file_prefix", "mg"])
+            "--sharded", "--multigrid", "2", "--file_prefix", "mg",
+            "--frame_chunk", "auto"])  # 'auto' parses and flows through
+        # both multigrid phases (resolves to unchunked at tiny shapes)
         import jax.numpy as jnp
 
         for f in ("0-adv.npy", "1-adv.npy"):

@@ -243,6 +243,76 @@ def test_sharded_frame_chunk_trailing_batch_snaps_to_divisor():
     np.testing.assert_allclose(np.asarray(adv_c), np.asarray(adv_f), atol=2e-6)
 
 
+def test_resolve_frame_chunk_table():
+    """'auto' resolves to the measured optima (PERF_PROBE.json exec_ens16_*)
+    and re-expresses them as a constant activation-byte budget for other
+    dtypes/resolutions; ints and None pass through; junk raises."""
+    from i2v_tpu.parallel.sharded import resolve_frame_chunk
+
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    # production resolution: the two measured sweet spots
+    assert resolve_frame_chunk("auto", 512, (224, 224), bf16) == 256
+    assert resolve_frame_chunk("auto", 512, (224, 224), f32) == 128
+    # multigrid's 112² bf16 coarse phase: budget covers the batch → unchunked
+    assert resolve_frame_chunk("auto", 512, (112, 112), bf16) is None
+    # the chunk is global and sharded, so the budget scales with the mesh
+    assert resolve_frame_chunk("auto", 4096, (224, 224), bf16,
+                               n_devices=8) == 2048
+    assert resolve_frame_chunk("auto", 2048, (224, 224), bf16,
+                               n_devices=8) is None
+    assert resolve_frame_chunk(64, 512, (224, 224), bf16) == 64
+    assert resolve_frame_chunk(None, 512, (224, 224), bf16) is None
+    with pytest.raises(ValueError):
+        resolve_frame_chunk("fast", 512, (224, 224), bf16)
+
+
+def test_auto_frame_chunk_runner_matches_explicit(monkeypatch):
+    """frame_chunk='auto' resolves at trace time into the SAME program the
+    equivalent explicit chunk builds (bit-identical outputs). The byte
+    budget is shrunk so 'auto' picks a chunked program at tiny test shapes;
+    a junk string raises at build time."""
+    from i2v_tpu.parallel import sharded as sh
+
+    rng = np.random.RandomState(5)
+    clean01 = jnp.asarray(rng.rand(2, 3, 8, 32, 32).astype(np.float32))
+    mesh = attack_mesh(jax.devices()[:1])
+    models = get_image_models(["resnet"], {"resnet": 2}, tiny=True,
+                              input_hw=32)
+    # budget = 4 frames of 32² f32 → auto resolves to chunk 4 (16 frames)
+    monkeypatch.setattr(sh, "AUTO_CHUNK_BYTES", 4 * 4 * 32 * 32)
+    auto = sh.make_sharded_i2v_runner(models, mesh, steps=2,
+                                      frame_chunk="auto")
+    expl = sh.make_sharded_i2v_runner(models, mesh, steps=2, frame_chunk=4)
+    adv_a, costs_a = auto(shard_clips(clean01, mesh))
+    adv_e, costs_e = expl(shard_clips(clean01, mesh))
+    np.testing.assert_array_equal(np.asarray(costs_a), np.asarray(costs_e))
+    np.testing.assert_array_equal(np.asarray(adv_a), np.asarray(adv_e))
+    with pytest.raises(ValueError):
+        sh.make_sharded_i2v_runner(models, mesh, steps=2, frame_chunk="fast")
+
+
+def test_auto_frame_chunk_model_parallel(monkeypatch):
+    """'auto' on the model-axis runner resolves per DEVICE against the local
+    frame slice and matches the explicit-chunk trajectory."""
+    from i2v_tpu.parallel import sharded as sh
+    from i2v_tpu.parallel.ensemble import (ensemble_mesh,
+                                           make_ensemble_parallel_runner)
+
+    models = get_image_models(
+        ["resnet", "alexnet"], {"resnet": [1, 2], "alexnet": [2, 3]},
+        tiny=True, input_hw=32)
+    clean01 = jnp.asarray(
+        np.random.RandomState(9).rand(2, 3, 8, 32, 32).astype(np.float32))
+    mesh = ensemble_mesh(jax.devices()[:4], model=2)  # local slice = 8 frames
+    monkeypatch.setattr(sh, "AUTO_CHUNK_BYTES", 4 * 4 * 32 * 32)
+    auto = make_ensemble_parallel_runner(models, mesh, steps=2,
+                                         frame_chunk="auto")
+    expl = make_ensemble_parallel_runner(models, mesh, steps=2, frame_chunk=4)
+    _, costs_a = auto(clean01)
+    _, costs_e = expl(clean01)
+    np.testing.assert_array_equal(np.asarray(costs_a), np.asarray(costs_e))
+
+
 def test_shardings():
     mesh = attack_mesh()
     cs, fs = clip_sharding(mesh), frame_sharding(mesh)
