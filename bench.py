@@ -47,6 +47,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import os
+
+PERF_PROBE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "PERF_PROBE.json")
 REF_2080TI_ENS_STEPS_PER_SEC = 0.053  # estimated; see docstring + BASELINE.md
 REF_2080TI_I2V_STEPS_PER_SEC = 0.21   # single-surrogate anchor
 STEPS = 60
@@ -503,9 +507,32 @@ def main():
     bench_decode(rows)
     devs = devices_or_none()
     if devs is None:
+        # Emit the last MEASURED device numbers alongside the fresh host
+        # rows, every one explicitly marked cached — a relay outage at bench
+        # time should degrade the artifact's freshness, not its content.
+        cached_anchor = {"ens": REF_2080TI_ENS_STEPS_PER_SEC,
+                         "aens": REF_2080TI_ENS_STEPS_PER_SEC / 2}
+        if os.path.exists(PERF_PROBE_PATH):
+            with open(PERF_PROBE_PATH) as f:
+                probe = json.load(f)
+            for key, entry in sorted(probe.items()):
+                if not key.startswith("exec_") or not entry.get("executed"):
+                    continue
+                kind = "aens" if key.startswith("exec_aens") else (
+                    "ens" if key.startswith("exec_ens") else None)
+                rows.append(row(
+                    f"[cached] {key[5:]} attack steps/sec/chip "
+                    "(512-frame-normalized; measured on the TPU in an "
+                    "earlier session — device unavailable at bench time)",
+                    entry["steps_per_s_512norm"], "steps/s/chip",
+                    cached_anchor.get(kind),
+                    cached_from="PERF_PROBE.json",
+                    final_cost=entry.get("final_cost")))
         if not rows:
-            raise SystemExit("device unavailable and no host rows measured")
-        out = dict(rows[0])
+            raise SystemExit("device unavailable and no rows available")
+        head = next((r for r in rows
+                     if r["metric"].startswith("[cached] ens16_")), rows[0])
+        out = dict(head)
         out["device_unavailable"] = True
         out["rows"] = rows
         print(json.dumps(out))

@@ -119,6 +119,7 @@ class TestBenchContract:
 
         bench = self._import_bench()
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
+        monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
         monkeypatch.setattr(
             bench, "bench_decode",
             lambda rows: rows.append(bench.row(
@@ -129,14 +130,48 @@ class TestBenchContract:
         assert out["rows"] and out["metric"] == "native decode clips/s (host)"
         assert {"metric", "value", "unit"} <= set(out["rows"][0])
 
+    def test_device_unavailable_replays_cached_device_rows(self, monkeypatch,
+                                                           capsys, tmp_path):
+        """A relay outage at bench time still yields the last MEASURED
+        device numbers — every cached row marked as such, the headline the
+        cached ENS row (not a host decode row)."""
+        import json
+
+        bench = self._import_bench()
+        probe = {
+            "exec_ens16_bf16_chunk256": {
+                "steps_per_s_512norm": 3.069, "final_cost": 1330.1,
+                "executed": True, "platform": "tpu"},
+            "exec_aens16_bf16_chunk256": {
+                "steps_per_s_512norm": 1.518, "final_cost": 44.4,
+                "executed": True, "platform": "tpu"},
+            "hbm_ens16_f32": {"fits_16gb": False},  # non-exec: ignored
+        }
+        p = tmp_path / "probe.json"
+        p.write_text(json.dumps(probe))
+        monkeypatch.setattr(bench, "devices_or_none", lambda: None)
+        monkeypatch.setattr(bench, "PERF_PROBE_PATH", str(p))
+        monkeypatch.setattr(
+            bench, "bench_decode",
+            lambda rows: rows.append(bench.row(
+                "native decode clips/s (host)", 1.0, "clips/s")))
+        bench.main()
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["device_unavailable"] is True
+        assert "ens16_bf16" in out["metric"] and "[cached]" in out["metric"]
+        assert out["value"] == 3.069 and out["vs_baseline"] > 1
+        cached = [r for r in out["rows"] if r.get("cached_from")]
+        assert len(cached) == 2  # the hbm_ entry must not leak in
+
     def test_device_unavailable_and_no_host_rows_is_an_error(self,
                                                              monkeypatch):
         import pytest as _pytest
 
         bench = self._import_bench()
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
+        monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
         monkeypatch.setattr(bench, "bench_decode", lambda rows: rows)
-        with _pytest.raises(SystemExit, match="no host rows"):
+        with _pytest.raises(SystemExit, match="no rows"):
             bench.main()
 
     def test_watchdog_catches_raising_backend(self, monkeypatch):
