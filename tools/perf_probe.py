@@ -206,10 +206,11 @@ def exec_probe(which: str) -> None:
     # init through a dead relay hangs, and an arg typo must not pay that
 
     def run_sharded(models, batch, adaptive, frame_chunk, param_dtype=None,
-                    steps=STEPS):
+                    steps=STEPS, remat=False):
         runner = make_sharded_i2v_runner(
             models, mesh, steps=steps, step_size=0.005, adaptive=adaptive,
-            donate=True, frame_chunk=frame_chunk, param_dtype=param_dtype)
+            donate=True, frame_chunk=frame_chunk, param_dtype=param_dtype,
+            remat=remat)
         mk = lambda: shard_clips(
             jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
         t0 = time.time()
@@ -244,18 +245,28 @@ def exec_probe(which: str) -> None:
         "ens32_bf16_chunk256": (_ens_models, bf16, 32, False, 256, bf16),
     }
     if (which not in sharded_cases and which != "mi16_chunk8"
+            and not (which.endswith("_remat")
+                     and which[:-6] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
                      and (which[len("mg16_bf16_cc"):] == "full"
                           or which[len("mg16_bf16_cc"):].isdigit()))):
         raise SystemExit(
             f"unknown exec case {which!r}; known: "
-            f"{', '.join(sorted(sharded_cases))}, mg16_bf16_cc<chunk|full>, "
-            f"mi16_chunk8")
+            f"{', '.join(sorted(sharded_cases))} (each also with a _remat "
+            f"suffix), mg16_bf16_cc<chunk|full>, mi16_chunk8")
     mesh = attack_mesh(jax.devices()[:1])
     if which in sharded_cases:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
         sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                      param_dtype=pdt)
+    elif which.endswith("_remat") and which[:-6] in sharded_cases:
+        # <case>_remat: save only the taps, replay the forward in the
+        # backward — trades HBM activation traffic (the binding resource:
+        # the step runs at ~78% of the HBM roofline with MXU headroom,
+        # roofline_ens_b16) for ~2x forward FLOPs
+        mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which[:-6]]
+        sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
+                                     param_dtype=pdt, remat=True)
     elif which.startswith("mg16_bf16_cc"):
         # multigrid coarse_frame_chunk tuning: mg16_bf16_cc<chunk|full>
         # (30 coarse @112² + 30 fine @224², fine chunk fixed at 256). The
