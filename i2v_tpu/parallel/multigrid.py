@@ -69,7 +69,7 @@ def make_multigrid_i2v_runner(
     epsilon: float = 16 / 255,
     donate: bool = False,
     frame_chunk: int | str | None = None,
-    coarse_frame_chunk: int | None | type(...) = ...,
+    coarse_frame_chunk: int | str | None | type(...) = ...,
     param_dtype=None,
 ):
     """Two-phase runner with the sharded-runner calling convention:
