@@ -182,9 +182,10 @@ def build_image_guided_attack(args):
         raise SystemExit("--model_parallel and --sharded are alternative "
                          "parallelizations of the ensemble step; pick one")
     multigrid = getattr(args, "multigrid", 0) or 0
-    if multigrid and not sharded:
-        raise SystemExit("--multigrid runs through the sharded runner; "
-                         "add --sharded")
+    if multigrid and not (sharded or model_parallel):
+        raise SystemExit("--multigrid runs through the sharded or "
+                         "model-parallel runners; add --sharded or "
+                         "--model_parallel N")
     if multigrid and method == "AENS_I2V_MF":
         raise SystemExit("--multigrid does not compose with AENS's adaptive "
                          "coefficients (resolution-coupled signal)")
@@ -238,7 +239,8 @@ def build_image_guided_attack(args):
             return EnsembleParallelAttack(
                 models, ensemble_mesh(model=model_parallel),
                 steps=args.step, step_size=0.005, name=method,
-                frame_chunk=getattr(args, "frame_chunk", None))
+                frame_chunk=getattr(args, "frame_chunk", None),
+                multigrid=multigrid, multigrid_scale=mg_scale)
         if sharded:
             return _sharded(models, step_size=0.005)
         return attacks.ImageGuidedFML2_Adam_MultiModels(models, steps=args.step)

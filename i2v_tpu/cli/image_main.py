@@ -77,7 +77,8 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                    help="with --sharded: store surrogate weights in bf16 "
                         "(saves ~300MB HBM for the 4-model ensemble)")
     p.add_argument("--multigrid", type=int, default=0, metavar="K",
-                   help="with --sharded (I2V/ENS only): run the first K of "
+                   help="with --sharded or --model_parallel (I2V/ENS only): "
+                        "run the first K of "
                         "--step Adam steps on 2x-downsampled clips and "
                         "warm-start the full-resolution phase from the "
                         "upsampled modifier (parallel/multigrid.py). "

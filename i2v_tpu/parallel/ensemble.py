@@ -66,10 +66,17 @@ def make_ensemble_parallel_runner(
     coef_ce: bool = False,
     frame_chunk: int | str | None = None,
     donate: bool = False,
+    return_modifier: bool = False,
 ):
     """jitted runner(clean01 clips) -> (adv01 clips, per-step costs), with the
     surrogate ensemble split over the mesh's 'model' axis and the frame batch
     over the 'frames' axis.
+
+    ``runner(..., mod_init=m)`` warm-starts Adam from a caller-built modifier
+    in the flattened (B·T,H,W,3) frame layout; ``return_modifier=True``
+    appends the final (unclipped) modifier to the outputs — together the
+    multigrid handoff contract (same as sharded.py's), so the coarse-to-fine
+    schedule composes with model-axis parallelism.
 
     ``adaptive=True`` runs the AENS objective (TPAMI_attack.py:255-320):
     per-tap coefficients live REPLICATED in the scan carry; each device
@@ -97,7 +104,8 @@ def make_ensemble_parallel_runner(
     tap_off = [sum(tap_cnt[:g]) for g in range(m_size)]
     n_taps = sum(tap_cnt)
 
-    def body(params_list, frames_local, fmask_local, state0_local):
+    def body(params_list, frames_local, fmask_local, state0_local,
+             mod_init_local):
         """Runs per (model-group, frame-shard) device. ``fmask_local``:
         None (common case — nothing traced) or a per-frame validity mask
         zeroing pad frames out of the cost AND (via the chain rule) their
@@ -266,36 +274,46 @@ def make_ensemble_parallel_runner(
             modifier = jax.tree.map(lambda a, b: a + b, modifier, updates)
             return (modifier, opt_state, state), cost
 
-        mod0 = jnp.full_like(frames_local, MODIFIER_INIT)
+        mod0 = (jnp.full_like(frames_local, MODIFIER_INIT)
+                if mod_init_local is None
+                else mod_init_local.astype(frames_local.dtype))
         (modifier, _, final_state), costs = jax.lax.scan(
             step, (mod0, opt.init(mod0), state0_local), None, length=steps)
-        return (pk.rebuild_adv(frames_local, modifier, epsilon), costs,
-                final_state)
+        modifier = jax.lax.stop_gradient(modifier)
+        out = (pk.rebuild_adv(frames_local, modifier, epsilon), costs,
+               final_state)
+        return out + (modifier,) if return_modifier else out
 
+    out_specs = (P("frames"), P(), P())
+    if return_modifier:
+        out_specs = out_specs + (P("frames"),)
     sharded_body = shard_map(
         body, mesh=mesh,
-        # params + AENS state replicated; frames + mask sharded; costs and
-        # final state identical everywhere
-        in_specs=(P(), P("frames"), P("frames"), P()),
-        out_specs=(P("frames"), P(), P()),
+        # params + AENS state replicated; frames + mask + warm-start modifier
+        # sharded; costs and final state identical everywhere
+        in_specs=(P(), P("frames"), P("frames"), P(), P("frames")),
+        out_specs=out_specs,
     )
 
-    def inner(params_list, clean01, fmask, state0):
+    def inner(params_list, clean01, fmask, state0, mod_init):
         b = clean01.shape[0]
         frames = pixel.flatten_clip_to_frames(clean01)
-        adv_frames, costs, final_state = sharded_body(
-            params_list, frames, fmask, state0)
-        return pixel.unflatten_frames_to_clip(adv_frames, b), costs, final_state
+        out = sharded_body(params_list, frames, fmask, state0, mod_init)
+        adv_frames, costs, final_state = out[:3]
+        return (pixel.unflatten_frames_to_clip(adv_frames, b), costs,
+                final_state) + out[3:]
 
     # donate: the clip buffer is dead after the clip→frame transpose (same
-    # rationale as parallel/sharded.py — ~308 MB back at B=16 f32)
-    jitted = jax.jit(inner, donate_argnums=(1,) if donate else ())
+    # rationale as parallel/sharded.py — ~308 MB back at B=16 f32); the
+    # warm-start modifier is dead once the scan's mod0 is built (donating a
+    # None arg is a no-op)
+    jitted = jax.jit(inner, donate_argnums=(1, 4) if donate else ())
     params_list = [m.params for m in models]
     # coeffs persist across runner calls like the reference's instance state
     # (TPAMI_attack.py:165,265); previous_cs_loss resets per call (:257)
     coeffs_box = [jnp.ones((n_taps,), jnp.float32)]
 
-    def runner(clean01, n_real: int | None = None):
+    def runner(clean01, n_real: int | None = None, mod_init=None):
         """``n_real``: number of real clips in a pad-and-slice trailing
         batch; pad clips beyond it are masked to zero cost/gradient."""
         b, _, t = clean01.shape[:3]
@@ -303,10 +321,11 @@ def make_ensemble_parallel_runner(
                  (jnp.arange(b * t) < n_real * t).astype(jnp.float32))
         state0 = ((coeffs_box[0], jnp.ones((n_taps,), jnp.float32))
                   if adaptive else None)
-        adv, costs, final_state = jitted(params_list, clean01, fmask, state0)
+        out = jitted(params_list, clean01, fmask, state0, mod_init)
+        adv, costs, final_state = out[:3]
         if adaptive:
             coeffs_box[0] = final_state[0]
-        return adv, costs
+        return (adv, costs) + out[3:]
 
     return runner
 
@@ -325,7 +344,8 @@ class EnsembleParallelAttack:
                  steps: int, step_size: float = 0.005,
                  adaptive: bool = False, aens_momentum: float = 0.0,
                  coef_ce: bool = False, frame_chunk: int | str | None = None,
-                 name: str = "EnsembleParallelENS"):
+                 name: str = "EnsembleParallelENS", multigrid: int = 0,
+                 multigrid_scale: int = 2):
         from ..attacks.core import Attack
 
         self.attack = name
@@ -333,10 +353,23 @@ class EnsembleParallelAttack:
         self.mesh = mesh
         self.loss_info: dict = {}
         self._record_costs = Attack._record_costs.__get__(self)
-        self._runner = make_ensemble_parallel_runner(
-            models, mesh, steps=steps, step_size=step_size,
-            adaptive=adaptive, aens_momentum=aens_momentum, coef_ce=coef_ce,
-            frame_chunk=frame_chunk, donate=True)
+        if multigrid:
+            if adaptive:
+                raise ValueError("--multigrid does not compose with the "
+                                 "adaptive AENS coefficients (their per-tap "
+                                 "signal is resolution-coupled)")
+            from .multigrid import make_multigrid_i2v_runner
+
+            self._runner = make_multigrid_i2v_runner(
+                models, mesh, steps=steps, coarse_steps=multigrid,
+                scale=multigrid_scale, step_size=step_size, donate=True,
+                frame_chunk=frame_chunk,
+                runner_factory=make_ensemble_parallel_runner)
+        else:
+            self._runner = make_ensemble_parallel_runner(
+                models, mesh, steps=steps, step_size=step_size,
+                adaptive=adaptive, aens_momentum=aens_momentum,
+                coef_ce=coef_ce, frame_chunk=frame_chunk, donate=True)
 
     def __call__(self, videos, labels=None, video_names=None):
         u8 = pixel.is_u8_clips(videos)

@@ -71,13 +71,20 @@ def make_multigrid_i2v_runner(
     frame_chunk: int | str | None = None,
     coarse_frame_chunk: int | str | None | type(...) = ...,
     param_dtype=None,
+    runner_factory=None,
 ):
     """Two-phase runner with the sharded-runner calling convention:
     ``runner(clean01, n_real=None) -> (adv01 clips, per-step costs)`` where
     ``len(costs) == steps`` (coarse ‖ fine). Adaptive AENS is not supported —
     its coefficient state is resolution-coupled (per-tap cosine sums change
     magnitude with the frame area), so a cross-grid handoff would feed the
-    softmax a mixed signal."""
+    softmax a mixed signal.
+
+    ``runner_factory``: the phase-runner builder — default
+    ``make_sharded_i2v_runner`` (dp/sp mesh); pass
+    ``ensemble.make_ensemble_parallel_runner`` to compose the coarse-to-fine
+    schedule with model-axis parallelism (both factories share the
+    ``mod_init``/``return_modifier`` handoff contract)."""
     if not 0 < coarse_steps < steps:
         raise ValueError(f"coarse_steps must be in (0, {steps}), "
                          f"got {coarse_steps}")
@@ -97,15 +104,18 @@ def make_multigrid_i2v_runner(
     if coarse_frame_chunk is ...:
         # the coarse phase's activations are 1/scale² the fine phase's, so
         # the fine chunk size is a safe (if conservative) default there
+        # ('auto' re-resolves per phase against each phase's resolution)
         coarse_frame_chunk = frame_chunk
-    coarse = make_sharded_i2v_runner(
+    factory = runner_factory or make_sharded_i2v_runner
+    # param_dtype was normalized to None by the shared cast above, so both
+    # factories see the same kwargs (the ensemble factory has no param_dtype)
+    coarse = factory(
         models, mesh, steps=coarse_steps, step_size=step_size,
         epsilon=epsilon, donate=donate, frame_chunk=coarse_frame_chunk,
-        param_dtype=param_dtype, return_modifier=True)
-    fine = make_sharded_i2v_runner(
+        return_modifier=True)
+    fine = factory(
         models, mesh, steps=steps - coarse_steps, step_size=step_size,
-        epsilon=epsilon, donate=donate, frame_chunk=frame_chunk,
-        param_dtype=param_dtype)
+        epsilon=epsilon, donate=donate, frame_chunk=frame_chunk)
     up = jax.jit(upsample_modifier, static_argnums=1)
     down = jax.jit(downsample_clips, static_argnums=1)
 

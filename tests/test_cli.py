@@ -82,6 +82,31 @@ class TestImageGuidedCLI:
                 "--attack_method", "ImageGuidedFMDirection_Adam",
                 "--model_parallel", "2", "--tiny", "--data", "synthetic"])
 
+    def test_ens_model_parallel_multigrid_cli(self, opt_path):
+        """--multigrid composes with --model_parallel: the coarse-to-fine
+        schedule runs over the model-axis runner (runner_factory hook) and
+        the artifacts stay protocol-conformant."""
+        from i2v_tpu.cli import image_main
+        from i2v_tpu.ops import pixel
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFML2_Adam_MultiModels",
+            "--step", "4", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "2", "--batch_size", "2",
+            "--model_parallel", "2", "--multigrid", "2",
+            "--file_prefix", "mpmg"])
+        import jax.numpy as jnp
+
+        for f in ("0-adv.npy", "1-adv.npy"):
+            adv = np.load(os.path.join(run_dir, f))
+            assert adv.shape == (3, 8, 32, 32) and adv.dtype == np.float32
+            a01 = np.asarray(pixel.unnormalize(jnp.asarray(adv),
+                                               channel_axis=0))
+            assert a01.min() >= -1e-6 and a01.max() <= 1 + 1e-6
+        with open(os.path.join(run_dir, "loss_info_1.json")) as f:
+            info = json.load(f)
+        assert all(len(v) == 4 for v in info.values())  # coarse ‖ fine
+
     def test_fused_generate_evaluate(self, opt_path):
         """--fused_eval runs attack + on-device eval in one pass: reference-
         schema reports AND async-written artifacts must both appear, and the

@@ -692,6 +692,38 @@ class TestMultigrid:
         assert adv.shape == videos.shape
         assert np.isfinite(np.asarray(adv)).all()
 
+    def test_multigrid_composes_with_model_parallel(self):
+        """The coarse-to-fine schedule runs over the model-axis runner via
+        the runner_factory hook (mod_init/return_modifier handoff contract):
+        cost trajectory matches the sharded multigrid's, invariants hold,
+        and the adaptive guard carries over to EnsembleParallelAttack."""
+        from i2v_tpu.parallel.ensemble import (EnsembleParallelAttack,
+                                               ensemble_mesh,
+                                               make_ensemble_parallel_runner)
+        from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
+
+        models = get_image_models(
+            ["resnet", "alexnet"], {"resnet": [1, 2], "alexnet": [2, 3]},
+            tiny=True, input_hw=32)
+        clean01 = jnp.asarray(
+            np.random.RandomState(11).rand(2, 3, 8, 32, 32).astype(np.float32))
+        smesh = attack_mesh(jax.devices()[:1])
+        ref = make_multigrid_i2v_runner(models, smesh, steps=4, coarse_steps=2)
+        _, costs_r = ref(shard_clips(clean01, smesh))
+        emesh = ensemble_mesh(jax.devices()[:4], model=2)
+        mp = make_multigrid_i2v_runner(
+            models, emesh, steps=4, coarse_steps=2,
+            runner_factory=make_ensemble_parallel_runner)
+        adv_m, costs_m = mp(clean01)
+        np.testing.assert_allclose(np.asarray(costs_m), np.asarray(costs_r),
+                                   rtol=2e-4)
+        a, c = np.asarray(adv_m), np.asarray(clean01)
+        assert (a >= 0).all() and (a <= 1).all()
+        assert (np.abs(a - c) <= 16 / 255 + 1e-6).all()
+        with pytest.raises(ValueError, match="adaptive"):
+            EnsembleParallelAttack(models, emesh, steps=4, adaptive=True,
+                                   multigrid=2)
+
     def test_multigrid_rejects_bad_config(self):
         from i2v_tpu.parallel.multigrid import (downsample_clips,
                                                 make_multigrid_i2v_runner)
