@@ -107,6 +107,34 @@ class TestImageGuidedCLI:
             info = json.load(f)
         assert all(len(v) == 4 for v in info.values())  # coarse ‖ fine
 
+    def test_multigrid_composes_with_fused_eval(self, opt_path):
+        """--multigrid + --fused_eval in one --sharded run (the production
+        drive config: bf16 params, auto chunk, f16 artifacts): coarse-to-fine
+        hands the adv clips straight to the on-device eval, reports and f16
+        artifacts both land."""
+        from i2v_tpu.cli import image_main
+        from i2v_tpu.ops import pixel
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFML2_Adam_MultiModels",
+            "--step", "4", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "2", "--batch_size", "2",
+            "--sharded", "--multigrid", "2", "--frame_chunk", "auto",
+            "--param_dtype", "bfloat16",
+            "--fused_eval", "i3d_resnet50", "--artifact_dtype", "float16",
+            "--file_prefix", "mgfused"])
+        with open(os.path.join(run_dir, "top1_acc_all_models.json")) as f:
+            acc = json.load(f)
+        assert set(acc) == {"i3d_resnet50"}
+        import jax.numpy as jnp
+
+        for f in ("0-adv.npy", "1-adv.npy"):
+            adv = np.load(os.path.join(run_dir, f))
+            assert adv.shape == (3, 8, 32, 32) and adv.dtype == np.float16
+            a01 = np.asarray(pixel.unnormalize(
+                jnp.asarray(adv, jnp.float32), channel_axis=0))
+            assert a01.min() >= -2e-3 and a01.max() <= 1 + 2e-3
+
     def test_fused_generate_evaluate(self, opt_path):
         """--fused_eval runs attack + on-device eval in one pass: reference-
         schema reports AND async-written artifacts must both appear, and the
