@@ -142,6 +142,12 @@ class TestBenchContract:
             "exec_ens16_bf16_chunk256": {
                 "steps_per_s_512norm": 3.069, "final_cost": 1330.1,
                 "executed": True, "platform": "tpu"},
+            "exec_ens16_f32_chunk128": {
+                "steps_per_s_512norm": 2.11, "final_cost": 1331.0,
+                "executed": True, "platform": "tpu"},
+            "exec_ens16_f32_chunk64": {  # slower sweep point: not headline
+                "steps_per_s_512norm": 1.506, "final_cost": 1092.2,
+                "executed": True, "platform": "tpu"},
             "exec_aens16_bf16_chunk256": {
                 "steps_per_s_512norm": 1.518, "final_cost": 44.4,
                 "executed": True, "platform": "tpu"},
@@ -158,10 +164,14 @@ class TestBenchContract:
         bench.main()
         out = json.loads(capsys.readouterr().out.strip())
         assert out["device_unavailable"] is True
-        assert "ens16_bf16" in out["metric"] and "[cached]" in out["metric"]
-        assert out["value"] == 3.069 and out["vs_baseline"] > 1
+        # headline = the FASTEST f32 ENS row (the numerically validated
+        # dtype wins over the faster bf16 row; the slower f32 chunk sweep
+        # point loses to the production chunk within the dtype)
+        assert "ens16_f32_chunk128" in out["metric"]
+        assert "[cached]" in out["metric"]
+        assert out["value"] == 2.11 and out["vs_baseline"] > 1
         cached = [r for r in out["rows"] if r.get("cached_from")]
-        assert len(cached) == 2  # the hbm_ entry must not leak in
+        assert len(cached) == 4  # the hbm_ entry must not leak in
 
     def test_device_unavailable_and_no_host_rows_is_an_error(self,
                                                              monkeypatch):
