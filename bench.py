@@ -511,19 +511,34 @@ def main():
         # rows, every one explicitly marked cached — a relay outage at bench
         # time should degrade the artifact's freshness, not its content.
         cached_anchor = {"ens": REF_2080TI_ENS_STEPS_PER_SEC,
-                         "aens": REF_2080TI_ENS_STEPS_PER_SEC / 2}
+                         "aens": REF_2080TI_ENS_STEPS_PER_SEC / 2,
+                         # multigrid rows are 60-step-equivalent ENS rates —
+                         # same anchor as the live bench_multigrid row
+                         "mg": REF_2080TI_ENS_STEPS_PER_SEC}
         if os.path.exists(PERF_PROBE_PATH):
             with open(PERF_PROBE_PATH) as f:
                 probe = json.load(f)
+            # what each exec_ case actually measured — the cached rows must
+            # not present a white-box or multigrid number as a plain
+            # ensemble-attack rate (they are normalized differently)
+            desc = {"aens": "AENS-I2V-MF 8-tap adaptive attack steps/sec/"
+                            "chip (512-frame-normalized)",
+                    "ens": "ENS-I2V 4-surrogate attack steps/sec/chip "
+                           "(512-frame-normalized)",
+                    "mg": "ENS-I2V multigrid-schedule steps/sec/chip "
+                          "(60-step-equivalent, 512-frame-normalized)",
+                    "mi": "MIFGSM white-box attack steps/sec/chip "
+                          "(I3D-NL R101, B=16)"}
             for key, entry in sorted(probe.items()):
                 if not key.startswith("exec_") or not entry.get("executed"):
                     continue
-                kind = "aens" if key.startswith("exec_aens") else (
-                    "ens" if key.startswith("exec_ens") else None)
+                kind = next((k for k in ("aens", "ens", "mg", "mi")
+                             if key.startswith(f"exec_{k}")), None)
                 rows.append(row(
-                    f"[cached] {key[5:]} attack steps/sec/chip "
-                    "(512-frame-normalized; measured on the TPU in an "
-                    "earlier session — device unavailable at bench time)",
+                    f"[cached] {key[5:]} — "
+                    f"{desc.get(kind, 'attack steps/sec/chip')} "
+                    "(measured on the TPU in an earlier session — device "
+                    "unavailable at bench time)",
                     entry["steps_per_s_512norm"], "steps/s/chip",
                     cached_anchor.get(kind),
                     cached_from="PERF_PROBE.json",

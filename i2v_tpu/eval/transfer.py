@@ -117,20 +117,20 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     # disk IO AND the host→device upload overlap device compute: the upload
     # starts in the loader thread as soon as a batch is read (the H2D link —
     # ~10 MB/s on relay-backed hosts — otherwise serializes with the
-    # forward). double-buffered: one batch in flight beyond the consumed one
+    # forward). device_put is itself async, so yielding right after issuing
+    # it already overlaps the transfer with the consumer's compute; no extra
+    # holding stage. depth=1 caps device-resident batches at ~3 (consumed +
+    # queued + the worker's in-hand one) — eval batches are ~308 MB at B=16
+    # f32, so each extra in-flight batch is real HBM on a 16 GB chip.
     from ..data.pipeline import threaded_prefetch
 
     def uploaded():
-        buf = []
         for b in files_batches:
             clips, labels = artifacts.load_adv_batch(run_dir, b)
             dev_clips, dev_labels = _upload(clips, labels)
-            buf.append((dev_clips, dev_labels, labels))
-            if len(buf) > 1:
-                yield buf.pop(0)
-        yield from buf
+            yield dev_clips, dev_labels, labels
 
-    loaded = threaded_prefetch(uploaded)
+    loaded = threaded_prefetch(uploaded, depth=1)
 
     end = time.time()
     for step, (clips, jlabels, labels) in enumerate(loaded):

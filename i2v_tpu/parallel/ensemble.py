@@ -91,6 +91,11 @@ def make_ensemble_parallel_runner(
     frame_chunk) — required at reference scale when the model axis is wide
     and the frame axis narrow (e.g. 4 surrogates over 4 chips: the VGG
     device would otherwise hold the full 512-frame activations alone)."""
+    if isinstance(frame_chunk, str) and frame_chunk != "auto":
+        # fail at factory time like make_sharded_i2v_runner — a junk value
+        # must not surface as a ValueError buried in the first shard_map trace
+        raise ValueError(f"frame_chunk must be an int, None, or 'auto'; "
+                         f"got {frame_chunk!r}")
     m_size = mesh.shape["model"]
     k = len(models)
     if k % m_size:

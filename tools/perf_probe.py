@@ -249,7 +249,8 @@ def exec_probe(which: str) -> None:
                      and which[:-6] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
                      and (which[len("mg16_bf16_cc"):] == "full"
-                          or which[len("mg16_bf16_cc"):].isdigit()))):
+                          or (which[len("mg16_bf16_cc"):].isdigit()
+                              and int(which[len("mg16_bf16_cc"):]) > 0)))):
         raise SystemExit(
             f"unknown exec case {which!r}; known: "
             f"{', '.join(sorted(sharded_cases))} (each also with a _remat "
@@ -390,6 +391,12 @@ def main():
     if variant == "hbm":
         return hbm_probe(sys.argv[2] if len(sys.argv) > 2 else "all")
     if variant == "exec":
+        if len(sys.argv) < 3:
+            # missing case must print usage, not an IndexError traceback —
+            # and must not touch the device
+            print("usage: perf_probe.py exec CASE  (run with a bogus CASE "
+                  "to list the known ones)")
+            return
         return exec_probe(sys.argv[2])
 
     import numpy as np

@@ -89,10 +89,19 @@ run exec_mg16_bf16_cc256 2700 python tools/perf_probe.py exec mg16_bf16_cc256
 # remat-vs-chunk interaction on the bf16 headline config
 run exec_ens16_bf16_chunk256_remat 2400 python tools/perf_probe.py exec ens16_bf16_chunk256_remat
 
-# full bench (fresh rows for every config; f32 compiles are the long pole)
+# full bench (fresh rows for every config; f32 compiles are the long pole).
+# Same failed-step discipline as run(): a timed-out bench is a killed
+# client that can wedge the device for the CLI drive that follows.
 note "START bench"
 timeout 10800 python bench.py > /tmp/agenda_bench.json 2>> "$LOG"
-note "DONE  bench rc=$? ($(wc -c < /tmp/agenda_bench.json 2>/dev/null) bytes)"
+rc=$?
+note "DONE  bench rc=$rc ($(wc -c < /tmp/agenda_bench.json 2>/dev/null) bytes)"
+if [ $rc -ne 0 ]; then
+  note "letting device settle 240s, then health-probing"
+  sleep 240
+  if ! health; then note "relay DEAD after bench; aborting"; exit 2; fi
+  note "relay alive; continuing"
+fi
 sleep 60
 
 # multigrid CLI end-to-end on the real chip: full-size surrogates,
