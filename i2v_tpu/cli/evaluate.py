@@ -30,6 +30,12 @@ def arg_parse(argv=None, n_classes: int = 400):
     p.add_argument("--data_parallel", action="store_true",
                    help="shard eval batches over all local devices (dp eval; "
                         "partial batches fall back to replicated)")
+    p.add_argument("--single_pass", action="store_true",
+                   help="keep all models resident and evaluate each uploaded "
+                        "batch through every model — one artifact read + "
+                        "host→device upload total instead of one per model "
+                        "(the reference re-uploads everything per model, "
+                        "reference.py:108-125); identical reports")
     p.add_argument("--n_classes", type=int, default=None,
                    help=f"report rows (default: {n_classes}, or 101 with "
                         "--ucf101 — the reference_ucf101.py:137 schema)")
@@ -49,7 +55,7 @@ def main(argv=None) -> dict:
         args.adv_path, model_names=args.models, batch_size=args.batch_size,
         n_classes=args.n_classes, ucf101=args.ucf101, tiny=args.tiny,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        data_parallel=args.data_parallel)
+        data_parallel=args.data_parallel, single_pass=args.single_pass)
     print(acc)
     return acc
 

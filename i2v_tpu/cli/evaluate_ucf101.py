@@ -16,7 +16,7 @@ def main(argv=None) -> dict:
         args.adv_path, model_names=args.models, batch_size=args.batch_size,
         n_classes=args.n_classes, ucf101=True, tiny=args.tiny,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        data_parallel=args.data_parallel)
+        data_parallel=args.data_parallel, single_pass=args.single_pass)
     print(acc)
     return acc
 

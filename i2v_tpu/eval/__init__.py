@@ -1,3 +1,3 @@
 """Transfer-evaluation harness with reference-compatible reports."""
 
-from .transfer import evaluate_run, reference_eval  # noqa: F401
+from .transfer import evaluate_run, reference_eval, single_pass_eval  # noqa: F401

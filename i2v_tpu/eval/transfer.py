@@ -67,6 +67,58 @@ def order_predictions_by_label(labels, preds, n_classes: int) -> np.ndarray:
     return ordered
 
 
+def _make_uploader(mesh):
+    """Host batch → device, sharded over the mesh when divisible.
+    Labels stay host-side (the eval loops extend python lists from them —
+    iterating a device array would fetch element-wise over the relay)."""
+    n_shards = mesh.size if mesh is not None else 1
+    warned_fallback = []
+
+    def _upload(clips, labels):
+        if mesh is not None and clips.shape[0] % n_shards == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(tuple(mesh.axis_names))  # batch over every mesh axis
+            return (jax.device_put(clips, NamedSharding(mesh, spec)),
+                    jax.device_put(labels, NamedSharding(mesh, spec)))
+        if mesh is not None and not warned_fallback:
+            warned_fallback.append(True)
+            import warnings
+
+            warnings.warn(
+                f"dp eval: batch of {clips.shape[0]} does not divide the "
+                f"{n_shards}-device mesh; running this batch on a single "
+                "device (pick a batch_size divisible by the device count "
+                "to keep eval data-parallel)")
+        return jax.device_put(clips), jnp.asarray(labels)
+
+    return _upload
+
+
+def _prefetched_uploads(files_batches: Sequence[Sequence[str]], run_dir: str,
+                        mesh):
+    """Iterator of (dev_clips, dev_labels, host_labels) with disk IO AND the
+    host→device upload overlapping device compute: the upload starts in the
+    loader thread as soon as a batch is read (the H2D link — ~10 MB/s on
+    relay-backed hosts — otherwise serializes with the forward). device_put
+    is itself async, so yielding right after issuing it already overlaps the
+    transfer with the consumer's compute; no extra holding stage. depth=1
+    caps device-resident batches at ~3 (consumed + queued + the worker's
+    in-hand one) — eval batches are ~308 MB at B=16 f32, so each extra
+    in-flight batch is real HBM on a 16 GB chip."""
+    from ..data.pipeline import threaded_prefetch
+
+    _upload = _make_uploader(mesh)
+
+    def uploaded():
+        for b in files_batches:
+            clips, labels = artifacts.load_adv_batch(run_dir, b)
+            dev_clips, dev_labels = _upload(clips, labels)
+            yield dev_clips, dev_labels, labels
+
+    return threaded_prefetch(uploaded, depth=1)
+
+
 def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
                    *, mesh=None, log=print):
     """Evaluate one model over artifact batches → (preds, labels, top1_avg).
@@ -90,47 +142,7 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
                                   labels)
 
     fwd_jit = jax.jit(_fwd)
-    n_shards = mesh.size if mesh is not None else 1
-    warned_fallback = []
-
-    def _upload(clips, labels):
-        """Host batch → device, sharded over the mesh when divisible.
-        Labels stay host-side (the loop extends python lists from them —
-        iterating a device array would fetch element-wise over the relay)."""
-        if mesh is not None and clips.shape[0] % n_shards == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            spec = P(tuple(mesh.axis_names))  # batch over every mesh axis
-            return (jax.device_put(clips, NamedSharding(mesh, spec)),
-                    jax.device_put(labels, NamedSharding(mesh, spec)))
-        if mesh is not None and not warned_fallback:
-            warned_fallback.append(True)
-            import warnings
-
-            warnings.warn(
-                f"dp eval: batch of {clips.shape[0]} does not divide the "
-                f"{n_shards}-device mesh; running this batch on a single "
-                "device (pick a batch_size divisible by the device count "
-                "to keep eval data-parallel)")
-        return jax.device_put(clips), jnp.asarray(labels)
-
-    # disk IO AND the host→device upload overlap device compute: the upload
-    # starts in the loader thread as soon as a batch is read (the H2D link —
-    # ~10 MB/s on relay-backed hosts — otherwise serializes with the
-    # forward). device_put is itself async, so yielding right after issuing
-    # it already overlaps the transfer with the consumer's compute; no extra
-    # holding stage. depth=1 caps device-resident batches at ~3 (consumed +
-    # queued + the worker's in-hand one) — eval batches are ~308 MB at B=16
-    # f32, so each extra in-flight batch is real HBM on a 16 GB chip.
-    from ..data.pipeline import threaded_prefetch
-
-    def uploaded():
-        for b in files_batches:
-            clips, labels = artifacts.load_adv_batch(run_dir, b)
-            dev_clips, dev_labels = _upload(clips, labels)
-            yield dev_clips, dev_labels, labels
-
-    loaded = threaded_prefetch(uploaded, depth=1)
+    loaded = _prefetched_uploads(files_batches, run_dir, mesh)
 
     end = time.time()
     for step, (clips, jlabels, labels) in enumerate(loaded):
@@ -150,6 +162,58 @@ def reference_eval(bundle, files_batches: Sequence[Sequence[str]], run_dir: str,
     return predictions, labels_all, top1.avg
 
 
+def single_pass_eval(bundles: dict, files_batches: Sequence[Sequence[str]],
+                     run_dir: str, *, mesh=None, log=print):
+    """Evaluate EVERY model over each uploaded batch → ({model: preds},
+    labels, {model: top1_avg}).
+
+    The reference's eval (reference.py:108-125) loads the six video models
+    serially, re-reading and re-uploading every artifact for each — 6× the
+    ingress. On a relay-backed host (~10 MB/s host→device) that upload, not
+    the forwards, is the eval bottleneck, so this mode keeps all requested
+    models resident in HBM (~1.5 GB f32 for all six — far below chip
+    capacity) and runs each batch through all of them after a single
+    upload. All forwards are dispatched before any result is fetched, so
+    the device queues the programs back-to-back while only tiny (acc,
+    preds) outputs cross the relay. Reports are identical to the serial
+    path's (same jitted per-model forward, same inputs).
+    """
+    from ..models.api import rebind_params
+
+    data_time, batch_time = AverageMeter(), AverageMeter()
+    top1 = {name: AverageMeter() for name in bundles}
+    predictions: dict = {name: [] for name in bundles}
+    labels_all: list[int] = []
+
+    fwd_jit = {}
+    for name, bundle in bundles.items():
+        def _fwd(params, clips, labels, _b=bundle):
+            return accuracy_and_preds(
+                rebind_params(_b, params).apply_norm(clips), labels)
+
+        fwd_jit[name] = jax.jit(_fwd)
+
+    loaded = _prefetched_uploads(files_batches, run_dir, mesh)
+    end = time.time()
+    for step, (clips, jlabels, labels) in enumerate(loaded):
+        data_time.update(time.time() - end)
+        pending = {name: fwd_jit[name](bundles[name].params, clips, jlabels)
+                   for name in bundles}
+        labels_all += list(labels)
+        for name, (acc, preds) in pending.items():
+            predictions[name] += list(np.asarray(preds))
+            top1[name].update(float(acc), len(labels))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if step % 5 == 0:
+            log("----validation (single pass, all models)----")
+            log(f"Process: [{step + 1}/{len(files_batches)}]")
+            log(f"data_time: {data_time.val:.3f}, batch time: {batch_time.val:.3f}")
+            for name in bundles:
+                log(f"top-1 accuracy [{name}]: {top1[name].avg:.2f}%")
+    return predictions, labels_all, {n: m.avg for n, m in top1.items()}
+
+
 def evaluate_run(
     run_dir: str,
     *,
@@ -162,10 +226,16 @@ def evaluate_run(
     get_bundle: Optional[Callable] = None,
     mesh=None,
     data_parallel: bool = False,
+    single_pass: bool = False,
     log=print,
 ) -> dict:
     """Evaluate a run directory against the six video models and write the
-    reference-compatible CSV + JSON reports. Returns {model: top1}."""
+    reference-compatible CSV + JSON reports. Returns {model: top1}.
+
+    ``single_pass=True`` keeps all models resident and evaluates each
+    uploaded batch through every model (one artifact read + upload total
+    instead of one per model — the win on slow host→device links); default
+    stays the reference's serial model swap (reference.py:108-125)."""
     import pandas as pd
 
     if data_parallel and mesh is None:
@@ -184,22 +254,32 @@ def evaluate_run(
     if model_names is None:
         model_names = list(VIDEO_BUILDERS)
 
+    def _build(name):
+        if get_bundle is not None:
+            return get_bundle(name)
+        return get_video_model(name, ucf101=ucf101, tiny=tiny, dtype=dtype)
+
     model_val_acc: dict = {}
     info = pd.DataFrame()
     info["gt_label"] = list(range(n_classes))
-    for name in model_names:
-        log(f"Model-{name}:")
-        if get_bundle is not None:
-            bundle = get_bundle(name)
-        else:
-            bundle = get_video_model(name, ucf101=ucf101, tiny=tiny,
-                                     dtype=dtype)
-        preds, labels, top1 = reference_eval(bundle, batches, run_dir,
-                                             mesh=mesh, log=log)
-        info[f"{name}-pre"] = order_predictions_by_label(labels, preds,
-                                                         n_classes)
-        model_val_acc[name] = top1
-        del bundle  # device buffers freed on GC (the model-swap pattern)
+    if single_pass:
+        bundles = {name: _build(name) for name in model_names}
+        log(f"Models (single pass): {', '.join(model_names)}")
+        preds_by_model, labels, model_val_acc = single_pass_eval(
+            bundles, batches, run_dir, mesh=mesh, log=log)
+        for name in model_names:
+            info[f"{name}-pre"] = order_predictions_by_label(
+                labels, preds_by_model[name], n_classes)
+    else:
+        for name in model_names:
+            log(f"Model-{name}:")
+            bundle = _build(name)
+            preds, labels, top1 = reference_eval(bundle, batches, run_dir,
+                                                 mesh=mesh, log=log)
+            info[f"{name}-pre"] = order_predictions_by_label(labels, preds,
+                                                             n_classes)
+            model_val_acc[name] = top1
+            del bundle  # device buffers freed on GC (the model-swap pattern)
 
     info.to_csv(os.path.join(run_dir, "results_all_models_prediction.csv"),
                 index=False)

@@ -392,6 +392,41 @@ class TestImageGuidedCLI:
         assert acc_mixed["i3d_resnet50"] == pytest.approx(
             acc_single["i3d_resnet50"], abs=1e-4)
 
+    def test_single_pass_eval_matches_serial(self, opt_path):
+        """--single_pass uploads each artifact batch once and runs every
+        model on it; reports must be identical to the serial per-model swap
+        (same jitted forwards, same inputs), alone and composed with
+        --data_parallel."""
+        import pandas as pd
+
+        from i2v_tpu.cli import evaluate, image_main
+
+        run_dir = image_main.main([
+            "--attack_method", "ImageGuidedFMDirection_Adam",
+            "--direction_image_model", "resnet", "--depth", "2",
+            "--step", "1", "--step_size", "0.005", "--tiny",
+            "--data", "synthetic", "--n_synthetic", "8", "--batch_size", "8",
+            "--file_prefix", "sp",
+        ])
+        common = ["--adv_path", run_dir, "--tiny", "--n_classes", "8",
+                  "--batch_size", "8",
+                  "--models", "i3d_resnet50", "slowfast_resnet50"]
+        acc_serial = evaluate.main(common)
+        df_serial = pd.read_csv(os.path.join(
+            run_dir, "results_all_models_prediction.csv"))
+        acc_sp = evaluate.main(common + ["--single_pass"])
+        df_sp = pd.read_csv(os.path.join(
+            run_dir, "results_all_models_prediction.csv"))
+        assert acc_sp == acc_serial
+        assert df_sp.equals(df_serial)
+
+        acc_sp_dp = evaluate.main(
+            common + ["--single_pass", "--data_parallel"])
+        df_sp_dp = pd.read_csv(os.path.join(
+            run_dir, "results_all_models_prediction.csv"))
+        assert acc_sp_dp == acc_serial
+        assert df_sp_dp.equals(df_serial)
+
     def test_shard_contract(self, opt_path):
         from i2v_tpu.cli import image_main
 
