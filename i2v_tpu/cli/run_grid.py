@@ -23,6 +23,10 @@ BEST_DEPTH = {"resnet": 2, "squeezenet": 2, "vgg": 3, "alexnet": 3}
 # --fused: route every config through the fused generate+evaluate path
 # (eval/fused.py) instead of generate → artifact round trip → evaluate
 _FUSED = None
+# --eval_single_pass: offline evals upload each artifact batch once and run
+# every video model on it (eval/transfer.single_pass_eval) — the artifact
+# ingress is the two-stage grid's repeated cost, once per model per config
+_EVAL_SINGLE_PASS = False
 
 
 def _gen_and_eval(gen_main, eval_main, gen_args, run_name, extra_eval=()):
@@ -101,7 +105,10 @@ GRIDS = {
 
 
 def _eval_extra(passthrough):
-    return ["--tiny"] if "--tiny" in passthrough else []
+    extra = ["--tiny"] if "--tiny" in passthrough else []
+    if _EVAL_SINGLE_PASS:
+        extra.append("--single_pass")
+    return extra
 
 
 def main(argv=None):
@@ -115,9 +122,14 @@ def main(argv=None):
                         "generate+evaluate path (--fused_eval) instead of "
                         "the two-stage artifact round trip; optional "
                         "comma-separated eval-model subset (default all)")
+    p.add_argument("--eval_single_pass", action="store_true",
+                   help="offline evals read + upload each artifact batch "
+                        "once for all six models (evaluate --single_pass); "
+                        "no effect under --fused (already single-ingress)")
     args, passthrough = p.parse_known_args(argv)
-    global _FUSED
+    global _FUSED, _EVAL_SINGLE_PASS
     _FUSED = args.fused
+    _EVAL_SINGLE_PASS = args.eval_single_pass
     if args.limit is not None:
         _install_limit(args.limit)
     else:

@@ -689,6 +689,21 @@ class TestGridDriver:
             assert os.path.exists(
                 os.path.join(opt_path, r, "top1_acc_all_models.json"))
 
+    def test_grid_eval_single_pass_smoke(self, opt_path):
+        """--eval_single_pass routes the grid's offline evals through the
+        single-upload all-models path; reports still written per config."""
+        from i2v_tpu.cli import run_grid
+
+        run_grid.main(["layer_ablation", "--limit", "1",
+                       "--eval_single_pass", "--tiny",
+                       "--data", "synthetic", "--n_synthetic", "2",
+                       "--batch_size", "2"])
+        runs = [r for r in os.listdir(opt_path) if "layers_resnet_1" in r]
+        assert len(runs) == 1
+        with open(os.path.join(opt_path, runs[0],
+                               "top1_acc_all_models.json")) as f:
+            assert len(json.load(f)) == 6  # all six video models
+
     def test_grid_fused_smoke(self, opt_path):
         """--fused routes a grid config through the fused generate+evaluate
         path — one process, reports written, no separate eval stage."""
