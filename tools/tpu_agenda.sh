@@ -119,7 +119,7 @@ run mg_cli_e2e 3600 env I2V_TPU_OPT_PATH=/tmp/agenda_mg_out \
 # --single_pass at full scale on the real chip; 8 f16 clips, so cheap)
 mg_run_dir=$(ls -d /tmp/agenda_mg_out/*/ 2>/dev/null | head -1)
 if [ -n "$mg_run_dir" ]; then
-  run eval_single_pass 2400 python -m i2v_tpu.cli.evaluate \
+  run eval_single_pass 3600 python -m i2v_tpu.cli.evaluate \
     --adv_path "$mg_run_dir" --single_pass --batch_size 8
 else
   note "SKIP eval_single_pass (no run dir under /tmp/agenda_mg_out)"
