@@ -407,6 +407,61 @@ def bench_e2e(rows):
         log(f"  e2e failed: {type(e).__name__}: {str(e)[:300]}")
 
 
+def bench_offline_eval(rows):
+    """Offline (artifact-dir) eval transport: the reference re-reads and
+    re-uploads every artifact once PER MODEL (reference.py:108-125); the
+    --single_pass mode uploads once and runs every resident model on the
+    batch. Measured over the same 8-clip f32 artifact dir with two video
+    models (bf16 compute — this row times transport, not report parity);
+    each path gets one warmup pass so jit tracing and compile-cache misses
+    stay out of the timed region."""
+    import tempfile
+
+    try:
+        from i2v_tpu.eval.transfer import reference_eval, single_pass_eval
+        from i2v_tpu.models import get_video_model
+        from i2v_tpu.utils import artifacts
+
+        batch = 8
+        names = ["i3d_resnet50", "tpn_resnet50"]
+        bundles = {n: get_video_model(n, dtype=jnp.bfloat16) for n in names}
+        rng = np.random.RandomState(0)
+        clips = rng.randn(batch, 3, 32, 224, 224).astype(np.float32)
+        with tempfile.TemporaryDirectory() as d:
+            artifacts.save_batch(d, np.arange(batch), clips)
+            files = artifacts.list_adv_files(d)
+            batches = artifacts.batch_files(files, batch)
+            silent = lambda *a, **k: None
+
+            def serial():
+                for n in names:
+                    reference_eval(bundles[n], batches, d, log=silent)
+
+            def single():
+                single_pass_eval(bundles, batches, d, log=silent)
+
+            log("offline eval, serial per-model (2 uploads)...")
+            serial()  # warmup: compiles + trace
+            t0 = time.time()
+            serial()
+            serial_dt = time.time() - t0
+            log(f"  serial: {serial_dt:.1f}s for {batch} clips x 2 models")
+            log("offline eval, --single_pass (1 upload)...")
+            single()  # warmup
+            t0 = time.time()
+            single()
+            single_dt = time.time() - t0
+            log(f"  single_pass: {single_dt:.1f}s")
+        rows.append(row(
+            "offline transfer-eval throughput, --single_pass (one artifact "
+            "upload for all models; f32 artifacts B=8, 2 video models bf16)",
+            batch / single_dt, "clips/s offline eval",
+            serial_clips_per_s=round(batch / serial_dt, 3),
+            single_pass_speedup_vs_serial=round(serial_dt / single_dt, 2)))
+    except Exception as e:
+        log(f"  offline eval failed: {type(e).__name__}: {str(e)[:300]}")
+
+
 def bench_decode(rows):
     """Host-side ingest stage: native C++ (FFmpeg/libjpeg) batch decode
     throughput — the decord/PIL stage of the reference pipeline
@@ -568,6 +623,7 @@ def main():
     bench_multigrid(rows)
     bench_i2v(rows)
     bench_eval(rows)
+    bench_offline_eval(rows)
     bench_e2e(rows)
     bench_whitebox(rows)
     if not rows:
