@@ -51,6 +51,10 @@ import os
 
 PERF_PROBE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "PERF_PROBE.json")
+# every live (device-up) run persists its full row set here so a later
+# dead-relay run can replay real measurements instead of a thinner cache
+BENCH_LIVE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LIVE.json")
 REF_2080TI_ENS_STEPS_PER_SEC = 0.053  # estimated; see docstring + BASELINE.md
 REF_2080TI_I2V_STEPS_PER_SEC = 0.21   # single-surrogate anchor
 STEPS = 60
@@ -565,6 +569,32 @@ def main():
         # Emit the last MEASURED device numbers alongside the fresh host
         # rows, every one explicitly marked cached — a relay outage at bench
         # time should degrade the artifact's freshness, not its content.
+        # Preferred source: BENCH_LIVE.json, the full row set persisted by
+        # the last live run of this script on the real chip (richer than
+        # PERF_PROBE's exec sweep: e2e, eval, white-box rows with their
+        # anchors). Fallback: PERF_PROBE.json exec entries.
+        if os.path.exists(BENCH_LIVE_PATH):
+            with open(BENCH_LIVE_PATH) as f:
+                live = json.load(f)
+            for r in live["rows"]:
+                r = dict(r)
+                r["metric"] = f"[cached] {r['metric']}"
+                r["cached_from"] = (f"BENCH_LIVE.json (live bench at rev "
+                                    f"{live.get('git_rev', '?')[:9]} — device "
+                                    "unavailable at bench time)")
+                log(f"[row] {json.dumps(r)}")
+                rows.append(r)
+            f32 = [r for r in rows if "(f32" in r["metric"]
+                   and r["metric"].startswith("[cached] ENS-I2V")]
+            ens = [r for r in rows
+                   if r["metric"].startswith("[cached] ENS-I2V")]
+            pool = f32 or ens
+            head = max(pool, key=lambda r: r["value"]) if pool else rows[0]
+            out = dict(head)
+            out["device_unavailable"] = True
+            out["rows"] = rows
+            print(json.dumps(out))
+            return
         cached_anchor = {"ens": REF_2080TI_ENS_STEPS_PER_SEC,
                          "aens": REF_2080TI_ENS_STEPS_PER_SEC / 2,
                          # multigrid rows are 60-step-equivalent ENS rates —
@@ -631,6 +661,17 @@ def main():
     head = next((r for r in rows if r["metric"].startswith("ENS-I2V")), rows[0])
     out = dict(head)
     out["rows"] = rows
+    try:
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True).stdout.strip()
+        with open(BENCH_LIVE_PATH, "w") as f:
+            json.dump({"git_rev": rev, "rows": rows}, f, indent=1)
+    except Exception as e:  # persisting is best-effort; the JSON line is the contract
+        log(f"  BENCH_LIVE persist failed: {type(e).__name__}: {e}")
     print(json.dumps(out))
 
 
