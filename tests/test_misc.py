@@ -120,6 +120,7 @@ class TestBenchContract:
         bench = self._import_bench()
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", "/nonexistent2.json")
         monkeypatch.setattr(
             bench, "bench_decode",
             lambda rows: rows.append(bench.row(
@@ -157,6 +158,7 @@ class TestBenchContract:
         p.write_text(json.dumps(probe))
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", str(p))
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", "/nonexistent2.json")
         monkeypatch.setattr(
             bench, "bench_decode",
             lambda rows: rows.append(bench.row(
@@ -173,6 +175,48 @@ class TestBenchContract:
         cached = [r for r in out["rows"] if r.get("cached_from")]
         assert len(cached) == 4  # the hbm_ entry must not leak in
 
+    def test_device_unavailable_prefers_bench_live_rows(self, monkeypatch,
+                                                        capsys, tmp_path):
+        """When a previous live run persisted BENCH_LIVE.json, the dead-relay
+        path replays its full row set (provenance-marked) instead of the
+        thinner PERF_PROBE sweep; headline = fastest cached f32 ENS row."""
+        import json
+
+        bench = self._import_bench()
+        live = {"git_rev": "abc123def456", "rows": [
+            {"metric": "ENS-I2V attack steps/sec/chip (f32, 4-surrogate "
+                       "ensemble, B=16, 512-frame-normalized)",
+             "value": 2.11, "unit": "steps/s/chip", "vs_baseline": 39.81},
+            {"metric": "ENS-I2V attack steps/sec/chip (bf16, 4-surrogate "
+                       "ensemble, B=16, 512-frame-normalized)",
+             "value": 3.07, "unit": "steps/s/chip", "vs_baseline": 57.92},
+            {"metric": "transfer-eval throughput (bf16, I3D-NL R50, B=16)",
+             "value": 33.0, "unit": "clips/s/chip"},
+        ]}
+        p = tmp_path / "live.json"
+        p.write_text(json.dumps(live))
+        probe = tmp_path / "probe.json"  # present but must NOT be used
+        probe.write_text(json.dumps({"exec_ens16_f32_chunk64": {
+            "steps_per_s_512norm": 1.506, "executed": True}}))
+        monkeypatch.setattr(bench, "devices_or_none", lambda: None)
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", str(p))
+        monkeypatch.setattr(bench, "PERF_PROBE_PATH", str(probe))
+        monkeypatch.setattr(
+            bench, "bench_decode",
+            lambda rows: rows.append(bench.row(
+                "native decode clips/s (host)", 1.0, "clips/s")))
+        bench.main()
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["device_unavailable"] is True
+        assert out["metric"].startswith("[cached] ENS-I2V") \
+            and "(f32" in out["metric"]
+        assert out["value"] == 2.11 and out["vs_baseline"] == 39.81
+        cached = [r for r in out["rows"] if r.get("cached_from")]
+        assert len(cached) == 3
+        assert all(r["cached_from"].startswith("BENCH_LIVE.json")
+                   and "abc123def" in r["cached_from"] for r in cached)
+        assert not any("chunk64" in r["metric"] for r in out["rows"])
+
     def test_device_unavailable_and_no_host_rows_is_an_error(self,
                                                              monkeypatch):
         import pytest as _pytest
@@ -180,6 +224,7 @@ class TestBenchContract:
         bench = self._import_bench()
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", "/nonexistent2.json")
         monkeypatch.setattr(bench, "bench_decode", lambda rows: rows)
         with _pytest.raises(SystemExit, match="no rows"):
             bench.main()
