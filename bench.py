@@ -613,11 +613,13 @@ def main():
                     "mg": "ENS-I2V multigrid-schedule steps/sec/chip "
                           "(60-step-equivalent, 512-frame-normalized)",
                     "mi": "MIFGSM white-box attack steps/sec/chip "
-                          "(I3D-NL R101, B=16)"}
+                          "(I3D-NL R101, B=16)",
+                    "tt": "TemporalTranslation white-box attack steps/sec/"
+                          "chip (I3D-NL R50, B=1, 15-variant fan-out)"}
             for key, entry in sorted(probe.items()):
                 if not key.startswith("exec_") or not entry.get("executed"):
                     continue
-                kind = next((k for k in ("aens", "ens", "mg", "mi")
+                kind = next((k for k in ("aens", "ens", "mg", "mi", "tt")
                              if key.startswith(f"exec_{k}")), None)
                 rows.append(row(
                     f"[cached] {key[5:]} — "

@@ -244,7 +244,8 @@ def exec_probe(which: str) -> None:
         "ens24_bf16_chunk256": (_ens_models, bf16, 24, False, 256, bf16),
         "ens32_bf16_chunk256": (_ens_models, bf16, 32, False, 256, bf16),
     }
-    if (which not in sharded_cases and which != "mi16_chunk8"
+    if (which not in sharded_cases
+            and which not in ("mi16_chunk8", "tt1_chunk15")
             and not (which.endswith("_remat")
                      and which[:-6] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
@@ -254,7 +255,7 @@ def exec_probe(which: str) -> None:
         raise SystemExit(
             f"unknown exec case {which!r}; known: "
             f"{', '.join(sorted(sharded_cases))} (each also with a _remat "
-            f"suffix), mg16_bf16_cc<chunk|full>, mi16_chunk8")
+            f"suffix), mg16_bf16_cc<chunk|full>, mi16_chunk8, tt1_chunk15")
     mesh = attack_mesh(jax.devices()[:1])
     if which in sharded_cases:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
@@ -319,6 +320,33 @@ def exec_probe(which: str) -> None:
                               jax.random.PRNGKey(i))
         final = float(np.asarray(costs)[-1])
         sps = 10 * reps / (time.time() - t0)
+    elif which == "tt1_chunk15":
+        # TemporalTranslation, the heaviest white-box path (15 gradient
+        # queries per step, video_attacks.py:189-214): all 15 cycle-shift
+        # variants in ONE vmapped query (--tt_chunk 15 — the measured-fastest
+        # config, README "0.27 s/step"). Raw steps/s at B=1 (the 15-variant
+        # fan-out makes 512-frame normalization meaningless here).
+        from i2v_tpu.attacks.temporal import TemporalTranslation
+        from i2v_tpu.models import get_video_model
+
+        model = get_video_model("i3d_resnet50")
+        atk = TemporalTranslation(model, {"kernlen": 15, "chunk": 15},
+                                  steps=3)
+        shape = (1, 3, 32, 224, 224)
+        runner = jax.jit(atk._build_runner(shape))
+        clean = jnp.full(shape, 0.5, jnp.float32)
+        labels = jnp.zeros((1,), jnp.int32)
+        t0 = time.time()
+        _, costs = runner(model.params, clean, labels, jax.random.PRNGKey(0))
+        final = float(np.asarray(costs)[-1])
+        cs = time.time() - t0
+        reps = 2
+        t0 = time.time()
+        for i in range(reps):
+            _, costs = runner(model.params, clean, labels,
+                              jax.random.PRNGKey(i))
+        final = float(np.asarray(costs)[-1])
+        sps = 3 * reps / (time.time() - t0)
     else:
         raise SystemExit(f"unknown exec case {which!r}")
     print(f"[exec:{which}] {sps:.3f} steps/s (512-frame-normalized), "

@@ -125,5 +125,9 @@ else
   note "SKIP eval_single_pass (no run dir under /tmp/agenda_mg_out)"
 fi
 
+# TemporalTranslation ground-truth row (README has 0.27 s/step prose;
+# this records it machine-readably in PERF_PROBE.json)
+run exec_tt1_chunk15 2700 python tools/perf_probe.py exec tt1_chunk15
+
 note "AGENDA COMPLETE"
 touch /tmp/agenda_done
