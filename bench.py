@@ -7,7 +7,7 @@ image_attacks.py:372-376): 60-step ENS-I2V over the 4-surrogate ensemble
 batch per attack step. The headline row is **f32** — the numerically
 validated configuration every parity test runs in (VERDICT r1 weak #1);
 the bf16 row is published alongside with the measured final-cost deviation
-between the two (`bf16_final_cost_rel_err`).
+between the two (`bf16_cost_rel_err_first3_steps`).
 
 vs_baseline anchors to the PyTorch reference on its published hardware
 (RTX 2080Ti, README.md:48-52): the single-model ResNet-101 f32 proxy is
@@ -15,7 +15,9 @@ vs_baseline anchors to the PyTorch reference on its published hardware
 frames/step); the 4-model ensemble step adds VGG-16 (the dominant
 surrogate) + two light models ≈ 4× → ≈0.053 steps/s. The reference repo
 records no absolute numbers (BASELINE.md); BASELINE.md documents the
-measured same-host torch-vs-JAX cross-check behind this anchor.
+measured same-host torch-vs-JAX cross-check behind this anchor, and the
+AENS anchor is measured the same way (BASELINE_ANCHOR.json aens section)
+rather than guessed from a tap ratio.
 
 Timing methodology: reps are dispatched back-to-back with NO intermediate
 sync and the clock stops on a fetch of the LAST rep's per-step cost vector —
@@ -26,16 +28,23 @@ device→host transfers run at ~10 MB/s, so syncing on the 240-byte cost
 vector is the only honest clock; fetching the 308 MB adv batch would time
 the tunnel.) Donated-input configs pre-stage one input copy per rep.
 
-End-to-end row: fused generate→evaluate (eval/fused.py) — synthetic decode
-→ 60-step ENS attack → async f16 artifact egress → on-device eval on
-I3D-NL R50 — vs the reference's artifact round trip (sync f32 save, then
-reload + re-upload + eval; run_image_guided.py:48-52, reference.py:89-129).
+Driver-budget discipline (VERDICT r2 weak #1: the r02 run was killed at
+rc=124 with nothing persisted): sections run most-important-first under a
+wall-clock budget (`I2V_BENCH_BUDGET_S`, default 900 s). Every measured row
+is flushed into BENCH_LIVE.json IMMEDIATELY; a section that would blow the
+budget is skipped with an explicit ``"skipped": "budget"`` row that replays
+the last live measurement of that config when one exists. SIGTERM prints
+the summary-so-far before exiting, so even an external kill yields a
+parseable artifact.
 
 Prints ONE JSON line: the headline {"metric", "value", "unit",
 "vs_baseline"} plus a "rows" array with every measured config.
 """
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -47,23 +56,151 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import os
-
-PERF_PROBE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "PERF_PROBE.json")
-# every live (device-up) run persists its full row set here so a later
-# dead-relay run can replay real measurements instead of a thinner cache
-BENCH_LIVE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LIVE.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+PERF_PROBE_PATH = os.path.join(_HERE, "PERF_PROBE.json")
+# every live (device-up) run persists its row set here — incrementally, row
+# by row — so a later dead-relay or out-of-budget run can replay real
+# measurements instead of a thinner cache
+BENCH_LIVE_PATH = os.path.join(_HERE, "BENCH_LIVE.json")
 REF_2080TI_ENS_STEPS_PER_SEC = 0.053  # estimated; see docstring + BASELINE.md
 REF_2080TI_I2V_STEPS_PER_SEC = 0.21   # single-surrogate anchor
 STEPS = 60
 ENS_NAMES = ["resnet", "vgg", "squeezenet", "alexnet"]
 ENS_DEPTHS = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
+VIDEO_MODELS = ["i3d_resnet50", "i3d_resnet101", "slowfast_resnet50",
+                "slowfast_resnet101", "tpn_resnet50", "tpn_resnet101"]
+
+BUDGET_S = float(os.environ.get("I2V_BENCH_BUDGET_S", "900"))
+T_START = time.time()
+
+
+def budget_left() -> float:
+    return BUDGET_S - (time.time() - T_START)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _git_rev() -> str:
+    try:
+        return subprocess.run(["git", "rev-parse", "HEAD"], cwd=_HERE,
+                              capture_output=True, text=True).stdout.strip()
+    except Exception:
+        return "?"
+
+
+def _measured_aens_anchor() -> float:
+    """AENS 2080Ti anchor: prefer the measured same-host torch AENS/ENS step
+    ratio (tools/baseline_anchor.py aens mode → BASELINE_ANCHOR.json) over
+    the round-2 guessed ÷2 tap-ratio scaling (VERDICT r2 weak #3)."""
+    try:
+        with open(os.path.join(_HERE, "BASELINE_ANCHOR.json")) as f:
+            anchor = json.load(f)
+        ratio = anchor["aens"]["torch_aens_over_ens_step_ratio"]
+        return REF_2080TI_ENS_STEPS_PER_SEC / ratio
+    except Exception:
+        return REF_2080TI_ENS_STEPS_PER_SEC / 2
+
+
+class Bench:
+    """Row accumulator with immediate BENCH_LIVE persistence and cached
+    fallbacks for budget-skipped sections."""
+
+    def __init__(self):
+        self.rows: list = []
+        self.rev = _git_rev()
+        # persistence is armed only once the device is confirmed up: a
+        # dead-relay run must never overwrite a good BENCH_LIVE.json with
+        # host-only rows
+        self.device_up = False
+        # previous live rows, by exact metric string, for skip fallbacks
+        self.prev: dict = {}
+        if os.path.exists(BENCH_LIVE_PATH):
+            try:
+                with open(BENCH_LIVE_PATH) as f:
+                    live = json.load(f)
+                self.prev_rev = live.get("git_rev", "?")
+                for r in live.get("rows", []):
+                    if "cached_from" not in r and "skipped" not in r:
+                        self.prev[r["metric"]] = r
+            except Exception as e:
+                log(f"  BENCH_LIVE load failed: {type(e).__name__}: {e}")
+
+    def persist(self, complete: bool = False) -> None:
+        # only fresh measurements belong in BENCH_LIVE (replayed/cached rows
+        # must not launder into "live" on the next run)
+        fresh = [r for r in self.rows
+                 if "cached_from" not in r and "skipped" not in r]
+        if not fresh or not self.device_up:
+            return
+        try:
+            with open(BENCH_LIVE_PATH, "w") as f:
+                json.dump({"git_rev": self.rev, "complete": complete,
+                           "budget_s": BUDGET_S, "rows": fresh}, f, indent=1)
+        except Exception as e:
+            log(f"  BENCH_LIVE persist failed: {type(e).__name__}: {e}")
+
+    def row(self, metric, value, unit, anchor=None, **extra):
+        r = {"metric": metric, "value": round(value, 3), "unit": unit}
+        if anchor:
+            r["vs_baseline"] = round(value / anchor, 2)
+        r.update(extra)
+        log(f"[row] {json.dumps(r)}")
+        self.rows.append(r)
+        self.persist()
+        return r
+
+    def skip_section(self, name: str, prefixes) -> None:
+        """Emit explicit budget-skip rows; replay the last live measurement
+        of each matching config when one exists."""
+        replayed = 0
+        for metric, r in self.prev.items():
+            if any(metric.startswith(p) for p in prefixes):
+                rr = dict(r)
+                rr["skipped"] = "budget"
+                rr["cached_from"] = (
+                    f"BENCH_LIVE.json (live bench at rev "
+                    f"{getattr(self, 'prev_rev', '?')[:9]} — budget exhausted "
+                    "this run)")
+                log(f"[row] {json.dumps(rr)}")
+                self.rows.append(rr)
+                replayed += 1
+        if not replayed:
+            self.rows.append({"metric": f"{name} (not measured)",
+                              "skipped": "budget"})
+        log(f"  [skip:{name}] budget_left={budget_left():.0f}s "
+            f"(replayed {replayed} cached row(s))")
+
+    def summary(self, device_unavailable: bool = False) -> dict:
+        rows = self.rows
+        if not rows:
+            raise SystemExit("no bench rows available")
+        # headline preference: the fastest FRESH f32 ENS row (the numerically
+        # validated config), then fresh bf16 ENS, then cached f32 ENS, then
+        # any ENS, then anything with a value
+        def pool(pred):
+            return [r for r in rows if "value" in r and pred(r)]
+
+        def fresh(r):
+            return "skipped" not in r and "cached_from" not in r
+
+        def is_ens(r):
+            return "ENS-I2V attack" in r["metric"]
+
+        cand = (pool(lambda r: is_ens(r) and "(f32" in r["metric"]
+                     and fresh(r))
+                or pool(lambda r: is_ens(r) and fresh(r))
+                or pool(lambda r: is_ens(r) and "(f32" in r["metric"])
+                or pool(is_ens)
+                or pool(lambda r: True))
+        head = max(cand, key=lambda r: r["value"])
+        out = dict(head)
+        if device_unavailable:
+            out["device_unavailable"] = True
+        out["wall_s"] = round(time.time() - T_START, 1)
+        out["rows"] = rows
+        return out
 
 
 def build_runner(names, depths, batch, dtype, donate, frame_chunk=None,
@@ -85,129 +222,148 @@ def build_runner(names, depths, batch, dtype, donate, frame_chunk=None,
 
 
 def time_attack(runner, make_input, batch, donate, reps=2):
-    """→ (steps_per_sec_512norm, final_cost, warmup_cost_traj). Compile
-    excluded (first call); reps dispatched without intermediate syncs (see
-    docstring)."""
+    """→ (steps_per_sec_512norm, final_cost, warmup_traj, compile_s).
+    Compile excluded (first call); reps dispatched without intermediate
+    syncs (see docstring)."""
     x0 = make_input()
     t0 = time.time()
     _, costs = runner(x0)
     traj = np.asarray(costs)  # 60 scalars — true sync through the relay
     final0 = float(traj[-1])
-    log(f"  compile+first: {time.time() - t0:.1f}s cost[-1]={final0:.2f}")
+    compile_s = time.time() - t0
+    log(f"  compile+first: {compile_s:.1f}s cost[-1]={final0:.2f}")
     inputs = [make_input() for _ in range(reps)] if donate else [x0] * reps
     t0 = time.time()
     for x in inputs:
         _, costs = runner(x)
     final = float(np.asarray(costs)[-1])  # sync once, on the last rep
     dt = time.time() - t0
-    return STEPS * reps / dt * (batch * 32 / 512), final, traj
+    return STEPS * reps / dt * (batch * 32 / 512), final, traj, compile_s
 
 
-def row(metric, value, unit, anchor=None, **extra):
-    r = {"metric": metric, "value": round(value, 3), "unit": unit}
-    if anchor:
-        r["vs_baseline"] = round(value / anchor, 2)
-    r.update(extra)
-    log(f"[row] {json.dumps(r)}")
-    return r
+# ---------------------------------------------------------------- sections
+
+def bench_ens_f32(b: Bench):
+    """The headline config: f32 ENS at the reference's B=16. frame_chunk
+    gradient accumulation is EXACT (test_parallel.py parity); chunk=128 is
+    the measured-fastest f32 fit (PERF_PROBE.json)."""
+    for batch, chunk in [(16, 128), (16, 64), (8, None)]:
+        try:
+            log(f"ENS f32 batch={batch} chunk={chunk}...")
+            runner, make_input = build_runner(
+                ENS_NAMES, ENS_DEPTHS, batch, jnp.float32, True,
+                frame_chunk=chunk)
+            sps, final, traj, cs = time_attack(runner, make_input, batch, True)
+            b.f32_traj = (traj, batch)
+            extra = {} if chunk is None else {"frame_chunk": chunk}
+            b.row(f"ENS-I2V attack steps/sec/chip (f32, 4-surrogate "
+                  f"ensemble, B={batch}, 512-frame-normalized)",
+                  sps / len(jax.devices()), "steps/s/chip",
+                  REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
+                  compile_s=round(cs, 1), **extra)
+            del runner
+            return
+        except Exception as e:
+            log(f"  ENS f32 B={batch} failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
 
 
-def bench_ens(rows):
-    finals = {}
-    # f32 at B=16 needs frame-chunked gradient accumulation (exact; the
-    # full-batch f32 activations need ~24 GB, PERF_PROBE.json hbm_ens16_f32)
+def bench_ens_bf16(b: Bench):
+    """bf16 ENS at B=16 — chunk=256 is a measured throughput WIN over
+    unchunked (3.07 vs 2.90 steps/s, PERF_PROBE.json exec_ens16_bf16_
+    chunk256): per-chunk activations stay HBM-resident between fwd and bwd.
+    Publishes the early-trajectory deviation vs the f32 run (by step ~60
+    last-ulp reduction-order differences amplify chaotically through Adam,
+    so late-step deltas measure chaos, not bf16 fidelity; the dedicated
+    AENS fidelity pair lives in PERF_PROBE.json fidelity_aens8_*)."""
     bf16 = jnp.bfloat16
-    # variants: (batch, frame_chunk, param_dtype) in preference order.
-    # frame_chunk=256 is a measured throughput WIN, not just a memory fit:
-    # per-chunk activations stay HBM-resident between fwd and bwd, cutting
-    # the VGG early-layer traffic (3.07 vs 2.90 steps/s at bf16 B=16,
-    # PERF_PROBE.json exec_ens16_bf16_chunk256)
-    plans = {
-        "f32": (jnp.float32, True,
-                [(16, 128, None), (16, 64, None), (8, None, None)]),
-        "bf16": (bf16, True,
-                 [(16, 256, bf16), (16, None, None), (8, None, None)]),
-        # the largest single-chip config (round-1: over by 4 GB)
-        "bf16-B24": (bf16, True, [(24, 256, bf16)]),
-    }
-    for tag, (dtype, donate, variants) in plans.items():
-        for batch, chunk, pdtype in variants:
-            try:
-                log(f"ENS {tag} batch={batch} chunk={chunk} donate={donate}...")
-                runner, make_input = build_runner(
-                    ENS_NAMES, ENS_DEPTHS, batch, dtype, donate,
-                    frame_chunk=chunk, param_dtype=pdtype)
-                sps, final, traj = time_attack(runner, make_input, batch,
-                                               donate)
-                finals[tag] = (traj, batch)
-                extra = {} if chunk is None else {"frame_chunk": chunk}
-                if tag == "bf16" and "f32" in finals:
-                    f32_traj, f32_batch = finals["f32"]
-                    # numerics check on the EARLY trajectory only: by step
-                    # ~60 last-ulp reduction-order differences (even between
-                    # f32 chunk sizes) amplify chaotically through Adam, so
-                    # final-cost deltas measure chaos, not bf16 fidelity.
-                    # The cost also sums over B·32 frames, so only compare
-                    # at matching batch sizes.
-                    if f32_batch == batch:
-                        k = min(3, len(traj), len(f32_traj))
-                        extra["bf16_cost_rel_err_first3_steps"] = round(
-                            float(np.max(np.abs(traj[:k] - f32_traj[:k])
-                                         / np.abs(f32_traj[:k]))), 4)
-                rows.append(row(
-                    f"ENS-I2V attack steps/sec/chip ({tag}, 4-surrogate "
-                    f"ensemble, B={batch}, 512-frame-normalized)",
-                    sps / len(jax.devices()), "steps/s/chip",
-                    REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
-                    **extra))
-                del runner
-                break
-            except Exception as e:
-                log(f"  ENS {tag} B={batch} failed: {type(e).__name__}: "
-                    f"{str(e)[:200]}")
-    return rows
+    for batch, chunk, pdtype in [(16, 256, bf16), (16, None, None),
+                                 (8, None, None)]:
+        try:
+            log(f"ENS bf16 batch={batch} chunk={chunk}...")
+            runner, make_input = build_runner(
+                ENS_NAMES, ENS_DEPTHS, batch, bf16, True,
+                frame_chunk=chunk, param_dtype=pdtype)
+            sps, final, traj, cs = time_attack(runner, make_input, batch, True)
+            extra = {} if chunk is None else {"frame_chunk": chunk}
+            f32 = getattr(b, "f32_traj", None)
+            if f32 is not None and f32[1] == batch:
+                k = min(3, len(traj), len(f32[0]))
+                extra["bf16_cost_rel_err_first3_steps"] = round(
+                    float(np.max(np.abs(traj[:k] - f32[0][:k])
+                                 / np.abs(f32[0][:k]))), 4)
+            b.row(f"ENS-I2V attack steps/sec/chip (bf16, 4-surrogate "
+                  f"ensemble, B={batch}, 512-frame-normalized)",
+                  sps / len(jax.devices()), "steps/s/chip",
+                  REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
+                  compile_s=round(cs, 1), **extra)
+            del runner
+            return
+        except Exception as e:
+            log(f"  ENS bf16 B={batch} failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
 
 
-def bench_aens(rows):
+def bench_ens_b24(b: Bench):
+    """The largest single-chip ENS config (round-1: over by 4 GB)."""
+    try:
+        log("ENS bf16 batch=24 chunk=256...")
+        runner, make_input = build_runner(
+            ENS_NAMES, ENS_DEPTHS, 24, jnp.bfloat16, True,
+            frame_chunk=256, param_dtype=jnp.bfloat16)
+        sps, final, _, cs = time_attack(runner, make_input, 24, True)
+        b.row("ENS-I2V attack steps/sec/chip (bf16, 4-surrogate ensemble, "
+              "B=24, 512-frame-normalized)",
+              sps / len(jax.devices()), "steps/s/chip",
+              REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
+              compile_s=round(cs, 1), frame_chunk=256)
+        del runner
+    except Exception as e:
+        log(f"  ENS B=24 failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_aens(b: Bench):
     """AENS-I2V-MF, the TPAMI flagship (TPAMI_attack.py:141-320): the
     8-tap adaptive ensemble (2 taps per surrogate) at the reference's B=16.
     Round 1 could not fit this on a single chip; frame-chunked accumulation
     + bf16 param storage close it (PERF_PROBE.json exec_aens16_bf16_chunk256).
-    The 2080Ti anchor scales the ENS anchor by the tap ratio (8/4 surrogate
-    forward+backward passes dominate the step)."""
+    The anchor is the measured same-host torch AENS/ENS step ratio
+    (BASELINE_ANCHOR.json) — not a guessed tap-ratio scaling. bf16-vs-f32
+    fidelity for AENS is recorded in PERF_PROBE.json fidelity_aens8_*."""
     bf16 = jnp.bfloat16
     names = ["resnet", "vgg", "squeezenet", "alexnet"]
     # the TPAMI docstring's example tap set (TPAMI_attack.py:146), the same
     # config the AENS_I2V_MF CLI path builds (cli/common.py:229) — the bench
     # must measure the shipped configuration
     depths = {n: [2, 3] for n in names}
+    anchor = _measured_aens_anchor()
     for batch, chunk in [(16, 256), (8, 256)]:
         try:
             log(f"AENS bf16 batch={batch} chunk={chunk}...")
             runner, make_input = build_runner(
                 names, depths, batch, bf16, True, frame_chunk=chunk,
                 param_dtype=bf16, adaptive=True)
-            sps, final, _ = time_attack(runner, make_input, batch, True)
-            rows.append(row(
-                f"AENS-I2V-MF attack steps/sec/chip (bf16, 8-tap adaptive "
-                f"ensemble, B={batch}, 512-frame-normalized)",
-                sps / len(jax.devices()), "steps/s/chip",
-                REF_2080TI_ENS_STEPS_PER_SEC / 2, final_cost=round(final, 2),
-                frame_chunk=chunk))
+            sps, final, _, cs = time_attack(runner, make_input, batch, True)
+            b.row(f"AENS-I2V-MF attack steps/sec/chip (bf16, 8-tap adaptive "
+                  f"ensemble, B={batch}, 512-frame-normalized)",
+                  sps / len(jax.devices()), "steps/s/chip", anchor,
+                  final_cost=round(final, 2), frame_chunk=chunk,
+                  compile_s=round(cs, 1),
+                  anchor_steps_per_s=round(anchor, 4))
             del runner
-            break
+            return
         except Exception as e:
             log(f"  AENS B={batch} failed: {type(e).__name__}: {str(e)[:200]}")
-    return rows
 
 
-def bench_multigrid(rows):
+def bench_multigrid(b: Bench):
     """Opt-in coarse-to-fine schedule (parallel/multigrid.py): 30 of the 60
     ENS steps run at 112² (~1/4 the surrogate work), then the upsampled
     modifier warm-starts 30 full-resolution steps. The row reports
     60-step-equivalent throughput (60 / attack wall-clock) so it compares
-    directly against the plain ENS rows; ``final_cost`` shows the quality
-    proxy vs the full-resolution trajectory's."""
+    directly against the plain ENS rows. This is an APPROXIMATION lever —
+    its quality gate is the measured fooling-rate comparison in
+    ASR_PROXY.json (tools/asr_proxy.py), not the final-cost field."""
     try:
         from i2v_tpu.models import get_image_models
         from i2v_tpu.parallel import attack_mesh, shard_clips
@@ -224,32 +380,33 @@ def bench_multigrid(rows):
             step_size=0.005, donate=True, frame_chunk=256, param_dtype=bf16)
         make_input = lambda: shard_clips(
             jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
-        sps, final, _ = time_attack(runner, make_input, batch, True)
-        rows.append(row(
-            f"ENS-I2V multigrid attack steps/sec/chip (bf16, 30@112+30@224, "
-            f"B={batch}, 60-step-equivalent, 512-frame-normalized)",
-            sps / len(jax.devices()), "steps/s/chip",
-            REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2)))
+        sps, final, _, cs = time_attack(runner, make_input, batch, True)
+        b.row(f"ENS-I2V multigrid attack steps/sec/chip (bf16, 30@112+30@224, "
+              f"B={batch}, 60-step-equivalent, 512-frame-normalized)",
+              sps / len(jax.devices()), "steps/s/chip",
+              REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
+              compile_s=round(cs, 1),
+              quality_gate="ASR_PROXY.json (approximation lever)")
         del runner
     except Exception as e:
         log(f"  multigrid failed: {type(e).__name__}: {str(e)[:200]}")
 
 
-def bench_i2v(rows):
+def bench_i2v(b: Bench):
     try:
         log("I2V resnet101-d2 f32 B=16...")
         runner, make_input = build_runner(
             ["resnet"], {"resnet": 2}, 16, jnp.float32, True)
-        sps, final, _ = time_attack(runner, make_input, 16, True)
-        rows.append(row(
-            "I2V attack steps/sec/chip (f32, ResNet-101 d2, B=16, "
-            "512-frame-normalized)", sps / len(jax.devices()), "steps/s/chip",
-            REF_2080TI_I2V_STEPS_PER_SEC, final_cost=round(final, 2)))
+        sps, final, _, cs = time_attack(runner, make_input, 16, True)
+        b.row("I2V attack steps/sec/chip (f32, ResNet-101 d2, B=16, "
+              "512-frame-normalized)", sps / len(jax.devices()),
+              "steps/s/chip", REF_2080TI_I2V_STEPS_PER_SEC,
+              final_cost=round(final, 2), compile_s=round(cs, 1))
     except Exception as e:
         log(f"  I2V failed: {type(e).__name__}: {str(e)[:200]}")
 
 
-def bench_whitebox(rows):
+def bench_whitebox(b: Bench):
     """BIM on full-size I3D-NL ResNet-101, the reference's white-box default
     scale (attack.py:13-61: B=16, steps=10)."""
     try:
@@ -270,7 +427,8 @@ def bench_whitebox(rows):
         t0 = time.time()
         _, costs = jitted(model.params, clean, labels, jax.random.PRNGKey(0))
         float(np.asarray(costs)[-1])
-        log(f"  compile+first: {time.time() - t0:.1f}s")
+        cs = time.time() - t0
+        log(f"  compile+first: {cs:.1f}s")
         reps = 3
         t0 = time.time()
         for i in range(reps):
@@ -280,15 +438,55 @@ def bench_whitebox(rows):
                               jax.random.PRNGKey(i))
             float(np.asarray(costs)[-1])
         dt = time.time() - t0
-        rows.append(row(
-            "BIM white-box attack steps/sec/chip (f32, I3D-NL R101, B=16, "
-            "batch_chunk=8)",
-            10 * reps / dt / len(jax.devices()), "steps/s/chip"))
+        b.row("BIM white-box attack steps/sec/chip (f32, I3D-NL R101, B=16, "
+              "batch_chunk=8)",
+              10 * reps / dt / len(jax.devices()), "steps/s/chip",
+              compile_s=round(cs, 1))
     except Exception as e:
         log(f"  BIM failed: {type(e).__name__}: {str(e)[:200]}")
 
 
-def bench_eval(rows):
+def bench_tt(b: Bench):
+    """TemporalTranslation (video_attacks.py:93-148,189-229) — the
+    reference's most expensive white-box loop: 15 cycle-shift gradient
+    queries per step, here fused into ONE vmapped query (--tt_chunk 15, the
+    measured-fastest config). Raw steps/s at B=1 (the 15-variant fan-out
+    makes 512-frame normalization meaningless). The reference runs this
+    serially per variant on the GPU (15 separate backward passes)."""
+    try:
+        log("TT i3d_resnet50 f32 B=1 kernlen=15 chunk=15 steps=3...")
+        from i2v_tpu.attacks.temporal import TemporalTranslation
+        from i2v_tpu.models import get_video_model
+
+        model = get_video_model("i3d_resnet50")
+        steps = 3
+        atk = TemporalTranslation(model, {"kernlen": 15, "chunk": 15},
+                                  steps=steps)
+        shape = (1, 3, 32, 224, 224)
+        runner = jax.jit(atk._build_runner(shape))
+        clean = jnp.full(shape, 0.5, jnp.float32)
+        labels = jnp.zeros((1,), jnp.int32)
+        t0 = time.time()
+        _, costs = runner(model.params, clean, labels, jax.random.PRNGKey(0))
+        float(np.asarray(costs)[-1])
+        cs = time.time() - t0
+        log(f"  compile+first: {cs:.1f}s")
+        reps = 2
+        t0 = time.time()
+        for i in range(reps):
+            _, costs = runner(model.params, clean, labels,
+                              jax.random.PRNGKey(i))
+        float(np.asarray(costs)[-1])
+        dt = time.time() - t0
+        b.row("TemporalTranslation attack steps/sec/chip (f32, I3D-NL R50, "
+              "B=1, 15-variant fused fan-out)",
+              steps * reps / dt / len(jax.devices()), "steps/s/chip",
+              compile_s=round(cs, 1))
+    except Exception as e:
+        log(f"  TT failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+def bench_eval(b: Bench):
     try:
         log("eval i3d_resnet50 bf16 B=16...")
         from i2v_tpu.eval.transfer import accuracy_and_preds
@@ -312,113 +510,37 @@ def bench_eval(rows):
             acc, preds = fwd(bundle.params, clips, labels)
         int(np.asarray(preds)[-1])
         dt = time.time() - t0
-        rows.append(row(
-            "transfer-eval throughput (bf16, I3D-NL R50, B=16)",
-            16 * reps / dt / len(jax.devices()), "clips/s/chip"))
+        b.row("transfer-eval throughput (bf16, I3D-NL R50, B=16)",
+              16 * reps / dt / len(jax.devices()), "clips/s/chip")
     except Exception as e:
         log(f"  eval failed: {type(e).__name__}: {str(e)[:200]}")
 
 
-def bench_e2e(rows):
-    """Fused generate→evaluate vs the artifact round trip, one B=8 batch
-    each, both starting from DECODED uint8 frames (the datasets' raw form).
-    Fused side = this framework's best pipeline: uint8 ingress (4× less
-    host→device traffic, bit-identical normalize — ops/pixel.ingest_u8_clips)
-    + 60-step ENS bf16 + async f16 egress + on-device eval on I3D-NL R50.
-    Round-trip side = the reference's pipeline shape: host ToTensor+Normalize
-    → f32 upload → attack → sync f32 save → reload + re-upload → eval
-    (run_image_guided.py:48-52, reference.py:89-129)."""
-    import os
-    import tempfile
-
-    try:
-        from i2v_tpu.data.transforms import u8_clip_to_normalized
-        from i2v_tpu.eval.fused import FusedGenerateEvaluate
-        from i2v_tpu.models import get_image_models, get_video_model
-        from i2v_tpu.parallel import attack_mesh
-        from i2v_tpu.parallel.sharded import ShardedImageGuidedAttack
-        from i2v_tpu.utils import artifacts
-
-        batch = 8
-        mesh = attack_mesh()
-        surrogates = get_image_models(ENS_NAMES, ENS_DEPTHS, input_hw=224,
-                                      dtype=jnp.bfloat16)
-        attack = ShardedImageGuidedAttack(surrogates, mesh, steps=STEPS,
-                                          step_size=0.005, frame_chunk=256,
-                                          param_dtype=jnp.bfloat16)
-        bundle = get_video_model("i3d_resnet50", dtype=jnp.bfloat16)
-        rng = np.random.RandomState(0)
-        clips_u8 = rng.randint(0, 256, (batch, 32, 224, 224, 3),
-                               dtype=np.uint8)
-
-        def make_batch(base):
-            labels = np.arange(base, base + batch)
-            return {"clips": clips_u8, "labels": labels,
-                    "names": [f"clip{i}" for i in labels]}
-
-        log("e2e fused (u8 ingress + gen + async f16 save + on-device eval)...")
-        with tempfile.TemporaryDirectory() as d:
-            fused = FusedGenerateEvaluate(
-                attack, {"i3d_resnet50": bundle}, run_dir=d,
-                artifact_dtype=np.float16)
-            fused.process_batch(make_batch(0))  # compile (attack + eval)
-            t0 = time.time()
-            fused.process_batch(make_batch(batch))
-            fused.finalize(report_dir=d)  # drains the async artifact egress
-            fused_dt = time.time() - t0
-        log(f"  fused: {fused_dt:.1f}s for {batch} clips")
-
-        log("e2e artifact round trip (host normalize + gen + sync f32 save "
-            "+ reload + eval)...")
-        from i2v_tpu.eval.transfer import accuracy_and_preds
-        from i2v_tpu.models.api import rebind_params
-
-        @jax.jit
-        def fwd(params, c, l):
-            return accuracy_and_preds(
-                rebind_params(bundle, params).apply_norm(c), l)
-
-        labels = np.arange(batch)
-        # warm the eval forward: the fused path is pre-warmed by its compile
-        # call above, so the round-trip side must not pay jit compilation
-        # inside its timed region either (the comparison is pipeline
-        # transport vs fused, not compile time)
-        warm = np.stack([u8_clip_to_normalized(c) for c in clips_u8])
-        acc, preds = fwd(bundle.params, jnp.asarray(warm), jnp.asarray(labels))
-        int(np.asarray(preds)[-1])
-        del warm
-        with tempfile.TemporaryDirectory() as d:
-            t0 = time.time()
-            # the reference's host half of ToTensor+Normalize is part of its
-            # per-clip pipeline cost, so it belongs inside the timed region
-            clips = np.stack([u8_clip_to_normalized(c) for c in clips_u8])
-            adv = attack(clips, labels, [f"clip{i}" for i in range(batch)])
-            artifacts.save_batch(d, labels, np.asarray(adv))  # sync egress
-            files = artifacts.list_adv_files(d)
-            loaded, lab = artifacts.load_adv_batch(d, files)
-            acc, preds = fwd(bundle.params, jnp.asarray(loaded),
-                             jnp.asarray(lab))
-            int(np.asarray(preds)[-1])
-            rt_dt = time.time() - t0
-        log(f"  round trip: {rt_dt:.1f}s for {batch} clips")
-        rows.append(row(
-            "end-to-end adv throughput, fused gen+eval (u8 ingress, bf16 ENS "
-            "60 steps, async f16 artifacts, eval I3D-NL R50, B=8)",
-            batch / fused_dt, "clips/s end-to-end (gen+eval)",
-            roundtrip_clips_per_s=round(batch / rt_dt, 3),
-            fused_speedup_vs_roundtrip=round(rt_dt / fused_dt, 2)))
-    except Exception as e:
-        log(f"  e2e failed: {type(e).__name__}: {str(e)[:300]}")
+def _eval_model_list() -> list:
+    """All six reference eval models (reference.py:108-125), trimmed under
+    budget pressure: each cold SlowFast/TPN compile can run minutes, so we
+    add models while the remaining budget allows (never fewer than two)."""
+    names = list(VIDEO_MODELS)
+    # rough cold-compile cost per family on the relay (measured: slowfast
+    # full-size ≈ the long pole)
+    est = {"i3d": 30.0, "slowfast": 90.0, "tpn": 60.0}
+    out, spent = [], 0.0
+    for n in names:
+        spent += est[n.split("_")[0]]
+        if len(out) >= 2 and spent > max(0.0, budget_left() - 120.0):
+            break
+        out.append(n)
+    return out
 
 
-def bench_offline_eval(rows):
-    """Offline (artifact-dir) eval transport: the reference re-reads and
-    re-uploads every artifact once PER MODEL (reference.py:108-125); the
-    --single_pass mode uploads once and runs every resident model on the
-    batch. Measured over the same 8-clip f32 artifact dir with two video
-    models (bf16 compute — this row times transport, not report parity);
-    each path gets one warmup pass so jit tracing and compile-cache misses
-    stay out of the timed region."""
+def bench_offline_eval(b: Bench):
+    """Offline (artifact-dir) eval transport at the reference's real eval
+    workload: SIX video models (reference.py:108-125). The reference
+    re-reads and re-uploads every artifact once PER MODEL; --single_pass
+    uploads once and runs every resident model on the batch. bf16 compute —
+    this row times transport, not report parity; each path gets one warmup
+    pass so jit tracing and compile-cache misses stay out of the timed
+    region. Also projects the reference's full 400-clip eval wall-clock."""
     import tempfile
 
     try:
@@ -427,7 +549,8 @@ def bench_offline_eval(rows):
         from i2v_tpu.utils import artifacts
 
         batch = 8
-        names = ["i3d_resnet50", "tpn_resnet50"]
+        names = _eval_model_list()
+        log(f"offline eval over {len(names)} models: {names}")
         bundles = {n: get_video_model(n, dtype=jnp.bfloat16) for n in names}
         rng = np.random.RandomState(0)
         clips = rng.randn(batch, 3, 32, 224, 224).astype(np.float32)
@@ -444,35 +567,152 @@ def bench_offline_eval(rows):
             def single():
                 single_pass_eval(bundles, batches, d, log=silent)
 
-            log("offline eval, serial per-model (2 uploads)...")
+            log(f"offline eval, serial per-model ({len(names)} uploads)...")
             serial()  # warmup: compiles + trace
             t0 = time.time()
             serial()
             serial_dt = time.time() - t0
-            log(f"  serial: {serial_dt:.1f}s for {batch} clips x 2 models")
+            log(f"  serial: {serial_dt:.1f}s for {batch} clips x "
+                f"{len(names)} models")
             log("offline eval, --single_pass (1 upload)...")
             single()  # warmup
             t0 = time.time()
             single()
             single_dt = time.time() - t0
             log(f"  single_pass: {single_dt:.1f}s")
-        rows.append(row(
-            "offline transfer-eval throughput, --single_pass (one artifact "
-            "upload for all models; f32 artifacts B=8, 2 video models bf16)",
-            batch / single_dt, "clips/s offline eval",
-            serial_clips_per_s=round(batch / serial_dt, 3),
-            single_pass_speedup_vs_serial=round(serial_dt / single_dt, 2)))
+        b.row(f"offline transfer-eval throughput, --single_pass (one "
+              f"artifact upload for all models; f32 artifacts B=8, "
+              f"{len(names)} video models bf16)",
+              batch / single_dt, "clips/s offline eval",
+              eval_models=len(names),
+              serial_clips_per_s=round(batch / serial_dt, 3),
+              single_pass_speedup_vs_serial=round(serial_dt / single_dt, 2),
+              projected_400clip_eval_wall_s=round(400 * single_dt / batch, 1))
     except Exception as e:
         log(f"  offline eval failed: {type(e).__name__}: {str(e)[:300]}")
 
 
-def bench_decode(rows):
+def bench_e2e(b: Bench):
+    """Fused generate→evaluate vs the artifact round trip, both starting
+    from DECODED uint8 frames (the datasets' raw form), at the reference's
+    eval workload (six video models when budget allows). Fused side = this
+    framework's best pipeline: uint8 ingress (4× less host→device traffic,
+    bit-identical normalize — ops/pixel.ingest_u8_clips) + 60-step ENS bf16
+    + async f16 egress + on-device eval. THREE timed batches so batch N+1's
+    attack provably overlaps batch N's artifact egress (VERDICT r2 weak #6);
+    finalize() drains the writer once at the end, as in production.
+    Round-trip side = the reference's pipeline shape: host ToTensor+Normalize
+    → f32 upload → attack → sync f32 save → reload + re-upload → eval every
+    model serially (run_image_guided.py:48-52, reference.py:89-129)."""
+    import tempfile
+
+    try:
+        from i2v_tpu.data.transforms import u8_clip_to_normalized
+        from i2v_tpu.eval.fused import FusedGenerateEvaluate
+        from i2v_tpu.models import get_image_models, get_video_model
+        from i2v_tpu.parallel import attack_mesh
+        from i2v_tpu.parallel.sharded import ShardedImageGuidedAttack
+        from i2v_tpu.utils import artifacts
+
+        batch = 8
+        n_batches = 3
+        mesh = attack_mesh()
+        surrogates = get_image_models(ENS_NAMES, ENS_DEPTHS, input_hw=224,
+                                      dtype=jnp.bfloat16)
+        attack = ShardedImageGuidedAttack(surrogates, mesh, steps=STEPS,
+                                          step_size=0.005, frame_chunk=256,
+                                          param_dtype=jnp.bfloat16)
+        eval_names = _eval_model_list()
+        log(f"e2e eval models ({len(eval_names)}): {eval_names}")
+        bundles = {n: get_video_model(n, dtype=jnp.bfloat16)
+                   for n in eval_names}
+        rng = np.random.RandomState(0)
+        clips_u8 = rng.randint(0, 256, (batch, 32, 224, 224, 3),
+                               dtype=np.uint8)
+
+        def make_batch(base):
+            labels = np.arange(base, base + batch)
+            return {"clips": clips_u8, "labels": labels,
+                    "names": [f"clip{i}" for i in labels]}
+
+        log(f"e2e fused (u8 ingress + gen + async f16 save + on-device eval "
+            f"x{len(eval_names)} models), {n_batches} timed batches...")
+        with tempfile.TemporaryDirectory() as d:
+            fused = FusedGenerateEvaluate(
+                attack, bundles, run_dir=d, artifact_dtype=np.float16)
+            fused.process_batch(make_batch(0))  # compile (attack + evals)
+            batch_ts = []
+            t0 = time.time()
+            for i in range(1, n_batches + 1):
+                fused.process_batch(make_batch(i * batch))
+                batch_ts.append(round(time.time() - t0, 2))
+            fused.finalize(report_dir=d)  # drains the async artifact egress
+            fused_dt = time.time() - t0
+        log(f"  fused: {fused_dt:.1f}s for {n_batches * batch} clips "
+            f"(cumulative batch marks {batch_ts})")
+
+        log("e2e artifact round trip (host normalize + gen + sync f32 save "
+            "+ reload + per-model eval)...")
+        from i2v_tpu.eval.transfer import accuracy_and_preds
+        from i2v_tpu.models.api import rebind_params
+
+        fwds = {}
+        for n, bundle in bundles.items():
+            def fwd(params, c, l, _b=bundle):
+                return accuracy_and_preds(
+                    rebind_params(_b, params).apply_norm(c), l)
+
+            fwds[n] = jax.jit(fwd)
+        labels = np.arange(batch)
+        # warm the eval forwards: the fused path is pre-warmed by its compile
+        # call above, so the round-trip side must not pay jit compilation
+        # inside its timed region either (the comparison is pipeline
+        # transport vs fused, not compile time)
+        warm = np.stack([u8_clip_to_normalized(c) for c in clips_u8])
+        for n, bundle in bundles.items():
+            _, preds = fwds[n](bundle.params, jnp.asarray(warm),
+                               jnp.asarray(labels))
+            int(np.asarray(preds)[-1])
+        del warm
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.time()
+            # the reference's host half of ToTensor+Normalize is part of its
+            # per-clip pipeline cost, so it belongs inside the timed region
+            clips = np.stack([u8_clip_to_normalized(c) for c in clips_u8])
+            adv = attack(clips, labels, [f"clip{i}" for i in range(batch)])
+            artifacts.save_batch(d, labels, np.asarray(adv))  # sync egress
+            files = artifacts.list_adv_files(d)
+            # the reference reloads + re-uploads once PER MODEL
+            # (reference.py:108-125)
+            for n, bundle in bundles.items():
+                loaded, lab = artifacts.load_adv_batch(d, files)
+                _, preds = fwds[n](bundle.params, jnp.asarray(loaded),
+                                   jnp.asarray(lab))
+                int(np.asarray(preds)[-1])
+            rt_dt = time.time() - t0
+        log(f"  round trip: {rt_dt:.1f}s for {batch} clips")
+        fused_cps = n_batches * batch / fused_dt
+        b.row(f"end-to-end adv throughput, fused gen+eval (u8 ingress, bf16 "
+              f"ENS 60 steps, async f16 artifacts, eval {len(eval_names)} "
+              f"video models, B=8, {n_batches} batches)",
+              fused_cps, "clips/s end-to-end (gen+eval)",
+              eval_models=len(eval_names),
+              cumulative_batch_marks_s=batch_ts,
+              roundtrip_clips_per_s=round(batch / rt_dt, 3),
+              fused_speedup_vs_roundtrip=round(fused_cps * rt_dt / batch, 2),
+              projected_400clip_gen_eval_wall_s=round(400 / fused_cps, 1),
+              projected_400clip_roundtrip_wall_s=round(400 * rt_dt / batch,
+                                                       1))
+    except Exception as e:
+        log(f"  e2e failed: {type(e).__name__}: {str(e)[:300]}")
+
+
+def bench_decode(b: Bench):
     """Host-side ingest stage: native C++ (FFmpeg/libjpeg) batch decode
     throughput — the decord/PIL stage of the reference pipeline
     (datasets.py:188-244, dataset_ucf101.py:13-50). Pure host work (no
     device); sized to the reference's decode dims (340×256,
     datasets.py:47)."""
-    import os
     import tempfile
 
     try:
@@ -501,9 +741,8 @@ def bench_decode(rows):
             t0 = time.time()
             native.decode_videos(paths)
             dt = time.time() - t0
-            rows.append(row(
-                "native MJPEG-AVI batch decode (340x256, C++ FFmpeg thread "
-                "pool)", n_vids * n_frames / dt, "frames/s"))
+            b.row("native MJPEG-AVI batch decode (340x256, C++ FFmpeg thread "
+                  "pool)", n_vids * n_frames / dt, "frames/s")
         with tempfile.TemporaryDirectory() as d:
             n_imgs = 128
             paths = []
@@ -523,10 +762,9 @@ def bench_decode(rows):
             for p in paths:  # the reference's PIL loader, for comparison
                 np.asarray(Image.open(p).convert("RGB"))
             pil_dt = time.time() - t0
-            rows.append(row(
-                "native JPEG batch decode (340x256, C++ libjpeg thread pool)",
-                n_imgs / dt, "images/s",
-                pil_loader_images_per_s=round(n_imgs / pil_dt, 1)))
+            b.row("native JPEG batch decode (340x256, C++ libjpeg thread "
+                  "pool)", n_imgs / dt, "images/s",
+                  pil_loader_images_per_s=round(n_imgs / pil_dt, 1))
     except Exception as e:
         log(f"  decode failed: {type(e).__name__}: {str(e)[:200]}")
 
@@ -556,125 +794,139 @@ def devices_or_none(timeout_s: float = 180.0):
     return None
 
 
+def _dead_relay_rows(b: Bench) -> dict:
+    """Device unavailable: emit the last MEASURED numbers alongside the
+    fresh host rows, every one explicitly marked cached — a relay outage at
+    bench time should degrade the artifact's freshness, not its content.
+    Preferred source: BENCH_LIVE.json (the full row set persisted by the
+    last live run on the real chip); fallback: PERF_PROBE.json exec/
+    fidelity entries."""
+    if b.prev:
+        for metric, r in b.prev.items():
+            rr = dict(r)
+            rr["metric"] = f"[cached] {metric}"
+            rr["cached_from"] = (
+                f"BENCH_LIVE.json (live bench at rev "
+                f"{getattr(b, 'prev_rev', '?')[:9]} — device unavailable at "
+                "bench time)")
+            log(f"[row] {json.dumps(rr)}")
+            b.rows.append(rr)
+        return b.summary(device_unavailable=True)
+    cached_anchor = {"ens": REF_2080TI_ENS_STEPS_PER_SEC,
+                     "aens": _measured_aens_anchor(),
+                     # multigrid rows are 60-step-equivalent ENS rates —
+                     # same anchor as the live bench_multigrid row
+                     "mg": REF_2080TI_ENS_STEPS_PER_SEC}
+    if os.path.exists(PERF_PROBE_PATH):
+        with open(PERF_PROBE_PATH) as f:
+            probe = json.load(f)
+        # what each exec_ case actually measured — the cached rows must
+        # not present a white-box or multigrid number as a plain
+        # ensemble-attack rate (they are normalized differently)
+        desc = {"aens": "AENS-I2V-MF 8-tap adaptive attack steps/sec/"
+                        "chip (512-frame-normalized)",
+                "ens": "ENS-I2V 4-surrogate attack steps/sec/chip "
+                       "(512-frame-normalized)",
+                "mg": "ENS-I2V multigrid-schedule steps/sec/chip "
+                      "(60-step-equivalent, 512-frame-normalized)",
+                "mi": "MIFGSM white-box attack steps/sec/chip "
+                      "(I3D-NL R101, B=16)",
+                "bim": "BIM white-box attack steps/sec/chip "
+                       "(I3D-NL R101, B=16)",
+                "tt": "TemporalTranslation white-box attack steps/sec/"
+                      "chip (I3D-NL R50, B=1, 15-variant fan-out)"}
+        for key, entry in sorted(probe.items()):
+            if not key.startswith("exec_") or not entry.get("executed"):
+                continue
+            kind = next((k for k in ("aens", "ens", "mg", "mi", "bim", "tt")
+                         if key.startswith(f"exec_{k}")), None)
+            b.row(f"[cached] {key[5:]} — "
+                  f"{desc.get(kind, 'attack steps/sec/chip')} "
+                  "(measured on the TPU in an earlier session — device "
+                  "unavailable at bench time)",
+                  entry["steps_per_s_512norm"], "steps/s/chip",
+                  cached_anchor.get(kind),
+                  cached_from="PERF_PROBE.json",
+                  final_cost=entry.get("final_cost"))
+    if not b.rows:
+        raise SystemExit("device unavailable and no rows available")
+    # headline preference mirrors the live path: the f32 ENS config is
+    # the numerically validated one, bf16 second; within a dtype the
+    # fastest measured chunk variant is the headline
+    f32 = [r for r in b.rows
+           if r["metric"].startswith("[cached] ens16_f32") and "value" in r]
+    ens = [r for r in b.rows
+           if r["metric"].startswith("[cached] ens16_") and "value" in r]
+    pool = f32 or ens or [r for r in b.rows if "value" in r]
+    head = max(pool, key=lambda r: r["value"]) if pool else b.rows[0]
+    out = dict(head)
+    out["device_unavailable"] = True
+    out["rows"] = b.rows
+    return out
+
+
 def main():
     import warnings
 
     warnings.filterwarnings("ignore")
-    rows: list = []
+    b = Bench()
+
+    def flush_and_exit(signum, frame):
+        # external kill (driver timeout sends SIGTERM first): flush the
+        # summary-so-far so the artifact parses even when over-budget
+        log(f"  SIGTERM at {time.time() - T_START:.0f}s — flushing summary")
+        b.persist(complete=False)
+        try:
+            print(json.dumps(b.summary()), flush=True)
+        except SystemExit:
+            pass
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, flush_and_exit)
+
     # the decode rows are pure host work — they come first so even a dead
     # device relay yields a non-empty BENCH artifact
-    bench_decode(rows)
+    bench_decode(b)
     devs = devices_or_none()
     if devs is None:
-        # Emit the last MEASURED device numbers alongside the fresh host
-        # rows, every one explicitly marked cached — a relay outage at bench
-        # time should degrade the artifact's freshness, not its content.
-        # Preferred source: BENCH_LIVE.json, the full row set persisted by
-        # the last live run of this script on the real chip (richer than
-        # PERF_PROBE's exec sweep: e2e, eval, white-box rows with their
-        # anchors). Fallback: PERF_PROBE.json exec entries.
-        if os.path.exists(BENCH_LIVE_PATH):
-            with open(BENCH_LIVE_PATH) as f:
-                live = json.load(f)
-            for r in live["rows"]:
-                r = dict(r)
-                r["metric"] = f"[cached] {r['metric']}"
-                r["cached_from"] = (f"BENCH_LIVE.json (live bench at rev "
-                                    f"{live.get('git_rev', '?')[:9]} — device "
-                                    "unavailable at bench time)")
-                log(f"[row] {json.dumps(r)}")
-                rows.append(r)
-            f32 = [r for r in rows if "(f32" in r["metric"]
-                   and r["metric"].startswith("[cached] ENS-I2V")]
-            ens = [r for r in rows
-                   if r["metric"].startswith("[cached] ENS-I2V")]
-            pool = f32 or ens
-            head = max(pool, key=lambda r: r["value"]) if pool else rows[0]
-            out = dict(head)
-            out["device_unavailable"] = True
-            out["rows"] = rows
-            print(json.dumps(out))
-            return
-        cached_anchor = {"ens": REF_2080TI_ENS_STEPS_PER_SEC,
-                         "aens": REF_2080TI_ENS_STEPS_PER_SEC / 2,
-                         # multigrid rows are 60-step-equivalent ENS rates —
-                         # same anchor as the live bench_multigrid row
-                         "mg": REF_2080TI_ENS_STEPS_PER_SEC}
-        if os.path.exists(PERF_PROBE_PATH):
-            with open(PERF_PROBE_PATH) as f:
-                probe = json.load(f)
-            # what each exec_ case actually measured — the cached rows must
-            # not present a white-box or multigrid number as a plain
-            # ensemble-attack rate (they are normalized differently)
-            desc = {"aens": "AENS-I2V-MF 8-tap adaptive attack steps/sec/"
-                            "chip (512-frame-normalized)",
-                    "ens": "ENS-I2V 4-surrogate attack steps/sec/chip "
-                           "(512-frame-normalized)",
-                    "mg": "ENS-I2V multigrid-schedule steps/sec/chip "
-                          "(60-step-equivalent, 512-frame-normalized)",
-                    "mi": "MIFGSM white-box attack steps/sec/chip "
-                          "(I3D-NL R101, B=16)",
-                    "tt": "TemporalTranslation white-box attack steps/sec/"
-                          "chip (I3D-NL R50, B=1, 15-variant fan-out)"}
-            for key, entry in sorted(probe.items()):
-                if not key.startswith("exec_") or not entry.get("executed"):
-                    continue
-                kind = next((k for k in ("aens", "ens", "mg", "mi", "tt")
-                             if key.startswith(f"exec_{k}")), None)
-                rows.append(row(
-                    f"[cached] {key[5:]} — "
-                    f"{desc.get(kind, 'attack steps/sec/chip')} "
-                    "(measured on the TPU in an earlier session — device "
-                    "unavailable at bench time)",
-                    entry["steps_per_s_512norm"], "steps/s/chip",
-                    cached_anchor.get(kind),
-                    cached_from="PERF_PROBE.json",
-                    final_cost=entry.get("final_cost")))
-        if not rows:
-            raise SystemExit("device unavailable and no rows available")
-        # headline preference mirrors the live path: the f32 ENS config is
-        # the numerically validated one (VERDICT r1 weak #1), bf16 second;
-        # within a dtype the fastest measured chunk variant is the headline
-        # (the slower entries are sweep points, not the production config)
-        f32 = [r for r in rows
-               if r["metric"].startswith("[cached] ens16_f32")]
-        ens = [r for r in rows if r["metric"].startswith("[cached] ens16_")]
-        pool = f32 or ens
-        head = max(pool, key=lambda r: r["value"]) if pool else rows[0]
-        out = dict(head)
-        out["device_unavailable"] = True
-        out["rows"] = rows
-        print(json.dumps(out))
+        print(json.dumps(_dead_relay_rows(b)))
         return
-    log(f"devices: {devs}")
-    # a RESOURCE_EXHAUSTED failure can poison later allocations in the same
-    # process (verify-skill gotcha), so the rows closest to the HBM limit
-    # (white-box video model) run LAST
-    bench_ens(rows)
-    bench_aens(rows)
-    bench_multigrid(rows)
-    bench_i2v(rows)
-    bench_eval(rows)
-    bench_offline_eval(rows)
-    bench_e2e(rows)
-    bench_whitebox(rows)
-    if not rows:
-        raise SystemExit("all bench configs failed")
-    head = next((r for r in rows if r["metric"].startswith("ENS-I2V")), rows[0])
-    out = dict(head)
-    out["rows"] = rows
-    try:
-        import subprocess
-
-        rev = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True).stdout.strip()
-        with open(BENCH_LIVE_PATH, "w") as f:
-            json.dump({"git_rev": rev, "rows": rows}, f, indent=1)
-    except Exception as e:  # persisting is best-effort; the JSON line is the contract
-        log(f"  BENCH_LIVE persist failed: {type(e).__name__}: {e}")
-    print(json.dumps(out))
+    b.device_up = True
+    log(f"devices: {devs}  budget: {BUDGET_S:.0f}s")
+    # (section, est cold-cache cost s, metric prefixes for cached fallback).
+    # Most-important-first; HBM-near-limit rows (BIM) sit after the
+    # headline configs but before the eval-transport sections so a
+    # RESOURCE_EXHAUSTED there can't poison the headline.
+    sections = [
+        ("ens_f32", bench_ens_f32, 220,
+         ["ENS-I2V attack steps/sec/chip (f32"]),
+        ("ens_bf16", bench_ens_bf16, 170,
+         ["ENS-I2V attack steps/sec/chip (bf16, 4-surrogate ensemble, B=16"]),
+        ("aens", bench_aens, 200, ["AENS-I2V-MF"]),
+        ("i2v", bench_i2v, 80, ["I2V attack"]),
+        ("whitebox_bim", bench_whitebox, 200, ["BIM white-box"]),
+        ("tt", bench_tt, 280, ["TemporalTranslation"]),
+        ("eval", bench_eval, 90, ["transfer-eval throughput"]),
+        ("offline_eval", bench_offline_eval, 320,
+         ["offline transfer-eval"]),
+        ("e2e", bench_e2e, 420, ["end-to-end adv throughput"]),
+        ("multigrid", bench_multigrid, 180, ["ENS-I2V multigrid"]),
+        ("ens_b24", bench_ens_b24, 150,
+         ["ENS-I2V attack steps/sec/chip (bf16, 4-surrogate ensemble, B=24"]),
+    ]
+    for name, fn, est, prefixes in sections:
+        # est assumes a warm persistent compile cache (the normal driver
+        # case: PERF_PROBE/agenda runs pre-warm /tmp/i2v_tpu_jax_cache); a
+        # cold-cache overrun is backstopped by the SIGTERM summary flush
+        if budget_left() < est:
+            b.skip_section(name, prefixes)
+            continue
+        t0 = time.time()
+        fn(b)
+        log(f"  [section:{name}] {time.time() - t0:.1f}s "
+            f"(budget_left {budget_left():.0f}s)")
+    b.persist(complete=True)
+    print(json.dumps(b.summary()))
 
 
 if __name__ == "__main__":

@@ -114,22 +114,25 @@ class TestBenchContract:
             sys.path.remove(root)
 
     def test_device_unavailable_emits_host_rows_json(self, monkeypatch,
-                                                     capsys):
+                                                     capsys, tmp_path):
         import json
 
         bench = self._import_bench()
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
-        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", "/nonexistent2.json")
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH",
+                            str(tmp_path / "live.json"))
         monkeypatch.setattr(
             bench, "bench_decode",
-            lambda rows: rows.append(bench.row(
-                "native decode clips/s (host)", 1.0, "clips/s")))
+            lambda b: b.row("native decode clips/s (host)", 1.0, "clips/s"))
         bench.main()
         out = json.loads(capsys.readouterr().out.strip())
         assert out["device_unavailable"] is True
         assert out["rows"] and out["metric"] == "native decode clips/s (host)"
         assert {"metric", "value", "unit"} <= set(out["rows"][0])
+        # a dead-relay run must never write BENCH_LIVE (it would overwrite a
+        # good live row set with host-only rows)
+        assert not (tmp_path / "live.json").exists()
 
     def test_device_unavailable_replays_cached_device_rows(self, monkeypatch,
                                                            capsys, tmp_path):
@@ -158,11 +161,11 @@ class TestBenchContract:
         p.write_text(json.dumps(probe))
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", str(p))
-        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", "/nonexistent2.json")
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH",
+                            str(tmp_path / "live.json"))
         monkeypatch.setattr(
             bench, "bench_decode",
-            lambda rows: rows.append(bench.row(
-                "native decode clips/s (host)", 1.0, "clips/s")))
+            lambda b: b.row("native decode clips/s (host)", 1.0, "clips/s"))
         bench.main()
         out = json.loads(capsys.readouterr().out.strip())
         assert out["device_unavailable"] is True
@@ -203,8 +206,7 @@ class TestBenchContract:
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", str(probe))
         monkeypatch.setattr(
             bench, "bench_decode",
-            lambda rows: rows.append(bench.row(
-                "native decode clips/s (host)", 1.0, "clips/s")))
+            lambda b: b.row("native decode clips/s (host)", 1.0, "clips/s"))
         bench.main()
         out = json.loads(capsys.readouterr().out.strip())
         assert out["device_unavailable"] is True
@@ -225,9 +227,98 @@ class TestBenchContract:
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
         monkeypatch.setattr(bench, "BENCH_LIVE_PATH", "/nonexistent2.json")
-        monkeypatch.setattr(bench, "bench_decode", lambda rows: rows)
+        monkeypatch.setattr(bench, "bench_decode", lambda b: None)
         with _pytest.raises(SystemExit, match="no rows"):
             bench.main()
+
+    def test_rows_persist_incrementally_and_budget_skips_replay(
+            self, monkeypatch, capsys, tmp_path):
+        """VERDICT r2 weak #1: (a) every measured row lands in BENCH_LIVE
+        the moment it is measured — a mid-run kill must not lose earlier
+        rows; (b) a section skipped for budget emits an explicit
+        ``skipped: budget`` row replaying the last live measurement; (c)
+        the final summary still prints with the skip rows included."""
+        import json
+
+        bench = self._import_bench()
+        live_path = tmp_path / "live.json"
+        prev = {"git_rev": "prevrev123", "rows": [
+            {"metric": "TemporalTranslation attack steps/sec/chip (f32, "
+                       "I3D-NL R50, B=1, 15-variant fused fan-out)",
+             "value": 9.9, "unit": "steps/s/chip"},
+        ]}
+        live_path.write_text(json.dumps(prev))
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", str(live_path))
+        monkeypatch.setattr(bench, "devices_or_none", lambda: ["fake-dev"])
+        monkeypatch.setattr(bench, "bench_decode", lambda b: None)
+
+        mid_run_live = {}
+
+        def fake_ens_f32(b):
+            b.row("ENS-I2V attack steps/sec/chip (f32, 4-surrogate "
+                  "ensemble, B=16, 512-frame-normalized)", 2.2,
+                  "steps/s/chip", 0.053)
+            # capture what a kill right after this row would leave on disk
+            mid_run_live.update(json.loads(live_path.read_text()))
+
+        monkeypatch.setattr(bench, "bench_ens_f32", fake_ens_f32)
+        # every other section: exhaust the budget so they all skip
+        for name in ["bench_ens_bf16", "bench_aens", "bench_i2v",
+                     "bench_whitebox", "bench_tt", "bench_eval",
+                     "bench_offline_eval", "bench_e2e", "bench_multigrid",
+                     "bench_ens_b24"]:
+            monkeypatch.setattr(bench, name, lambda b: None)
+        monkeypatch.setattr(bench, "BUDGET_S", 10 ** 9)
+        bench.main()
+        # (a) the row was on disk before main() returned the summary
+        assert mid_run_live["rows"][0]["value"] == 2.2
+        assert mid_run_live["complete"] is False
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["metric"].startswith("ENS-I2V attack") \
+            and out["value"] == 2.2
+        final = json.loads(live_path.read_text())
+        assert final["complete"] is True
+        # cached/skip rows never launder into the live row set
+        assert all("cached_from" not in r and "skipped" not in r
+                   for r in final["rows"])
+
+    def test_budget_skip_replays_previous_live_rows(self, monkeypatch,
+                                                    capsys, tmp_path):
+        import json
+
+        bench = self._import_bench()
+        live_path = tmp_path / "live.json"
+        prev = {"git_rev": "prevrev123", "rows": [
+            {"metric": "ENS-I2V attack steps/sec/chip (f32, 4-surrogate "
+                       "ensemble, B=16, 512-frame-normalized)",
+             "value": 2.11, "unit": "steps/s/chip", "vs_baseline": 39.8},
+            {"metric": "TemporalTranslation attack steps/sec/chip (f32, "
+                       "I3D-NL R50, B=1, 15-variant fused fan-out)",
+             "value": 9.9, "unit": "steps/s/chip"},
+        ]}
+        live_path.write_text(json.dumps(prev))
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", str(live_path))
+        monkeypatch.setattr(bench, "devices_or_none", lambda: ["fake-dev"])
+        monkeypatch.setattr(bench, "bench_decode", lambda b: None)
+        for name in ["bench_ens_f32", "bench_ens_bf16", "bench_aens",
+                     "bench_i2v", "bench_whitebox", "bench_tt", "bench_eval",
+                     "bench_offline_eval", "bench_e2e", "bench_multigrid",
+                     "bench_ens_b24"]:
+            monkeypatch.setattr(bench, name, lambda b: None)
+        monkeypatch.setattr(bench, "BUDGET_S", -1.0)  # already exhausted
+        bench.main()
+        out = json.loads(capsys.readouterr().out.strip())
+        skipped = [r for r in out["rows"] if r.get("skipped") == "budget"]
+        assert skipped, "budget-exhausted sections must emit skip rows"
+        replayed = [r for r in skipped if "value" in r]
+        # both prev rows replay (under their sections), marked cached
+        assert {r["metric"] for r in replayed} == {r["metric"]
+                                                   for r in prev["rows"]}
+        assert all("budget exhausted" in r["cached_from"] for r in replayed)
+        # the summary headline falls back to the cached f32 ENS row
+        assert out["value"] == 2.11
+        # nothing fresh was measured → BENCH_LIVE must keep the previous set
+        assert json.loads(live_path.read_text())["git_rev"] == "prevrev123"
 
     def test_watchdog_catches_raising_backend(self, monkeypatch):
         bench = self._import_bench()

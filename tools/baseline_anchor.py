@@ -113,6 +113,125 @@ def time_torch_ens(frames: int, hw: int, steps: int, warmup: int = 1):
     return (time.time() - t0) / steps
 
 
+def _torch_aens_models_and_taps():
+    """The TPAMI 8-tap config (TPAMI_attack.py:146 / cli/common.py:229):
+    depths [2,3] per surrogate. Tap modules per the reference's list branch
+    of _find_target_layer (TPAMI_attack.py:176-200) — note the squeezenet
+    list branch hooks the WHOLE Fire module, unlike the scalar branch's
+    expand3x3_activation."""
+    from tools import torch_surrogates as tvm
+
+    mdls = {
+        "resnet": tvm.resnet101(),
+        "vgg": tvm.vgg16(),
+        "squeezenet": tvm.squeezenet1_1(),
+        "alexnet": tvm.alexnet(),
+    }
+    taps = {
+        "resnet": lambda m: [m.layer2[-1], m.layer3[-1]],
+        "vgg": lambda m: [m.features[11], m.features[20]],
+        "squeezenet": lambda m: [m.features[6], m.features[9]],
+        "alexnet": lambda m: [m.features[4], m.features[7]],
+    }
+    for m in mdls.values():
+        m.eval()
+        for p in m.parameters():
+            p.requires_grad_(False)
+    return mdls, {k: taps[k](mdls[k]) for k in ENS_NAMES}
+
+
+def time_torch_aens(frames: int, hw: int, steps: int, warmup: int = 1):
+    """Reference AENS-I2V-MF step re-stated in torch (TPAMI_attack.py:
+    225-313): 8 hook-captured taps, per-tap per-frame cosine vs frozen clean
+    taps, adaptive double-softmax coefficients (momentum=0, coef_CE=False),
+    Adam on the modifier. Measures the SAME work shape as the reference's
+    flagship step so the AENS/ENS step-time ratio is a measurement, not a
+    tap-count guess (VERDICT r2 weak #3)."""
+    import torch
+    import torch.nn.functional as F
+
+    mdls, tap_modules = _torch_aens_models_and_taps()
+    acts: list = []
+    for name in ENS_NAMES:
+        for mod in tap_modules[name]:
+            mod.register_forward_hook(lambda m, i, o: acts.append(o))
+
+    x = torch.rand(frames, 3, hw, hw)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    unnorm = (x * std + mean).detach()
+    modifier = torch.nn.Parameter(torch.full_like(x, 0.01 / 255))
+    opt = torch.optim.Adam([modifier], lr=STEP_SIZE)
+
+    acts.clear()
+    with torch.no_grad():
+        for name in ENS_NAMES:
+            mdls[name](x)
+    init_feats = [a.detach().reshape(frames, -1) for a in acts]
+    n_taps = len(init_feats)
+    coeffs = torch.ones(n_taps)
+    prev_loss = torch.ones(n_taps)
+
+    def step():
+        nonlocal coeffs, prev_loss
+        # adaptive coefficient update (TPAMI_attack.py:264): momentum=0
+        coeffs = torch.softmax(torch.softmax(prev_loss, dim=0), dim=0)
+        acts.clear()
+        true_image = torch.clamp(
+            unnorm + torch.clamp(modifier, -EPS, EPS), 0, 1)
+        xn = (true_image - mean) / std
+        for name in ENS_NAMES:
+            mdls[name](xn)
+        cos = torch.stack([
+            F.cosine_similarity(a.reshape(frames, -1), init)
+            for a, init in zip(acts, init_feats)])  # (8, frames)
+        each = torch.sum(coeffs.unsqueeze(1) * cos, dim=1)  # (8,)
+        cost = torch.mean(each)
+        # coef_CE=False branch: unweighted per-tap frame sums drive coeffs
+        prev_loss = torch.sum(cos.detach(), dim=1)
+        opt.zero_grad()
+        cost.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.time()
+    for _ in range(steps):
+        step()
+    return (time.time() - t0) / steps
+
+
+def aens_main(frames: int, hw: int, steps: int):
+    """Measure the torch AENS/ENS step-time ratio on this host and merge it
+    into BASELINE_ANCHOR.json; bench.py divides the measured 2080Ti ENS
+    anchor by this ratio for the AENS vs_baseline."""
+    print(f"config: {frames} frames @ {hw}x{hw}, {steps} timed steps "
+          f"(torch ENS vs torch 8-tap AENS, CPU)", flush=True)
+    t_ens = time_torch_ens(frames, hw, steps)
+    print(f"torch ENS  step: {t_ens:.2f} s/step", flush=True)
+    t_aens = time_torch_aens(frames, hw, steps)
+    print(f"torch AENS step: {t_aens:.2f} s/step", flush=True)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BASELINE_ANCHOR.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data["aens"] = {
+        "config": {"frames": frames, "hw": hw, "steps": steps,
+                   "taps_per_model": 2, "backend": "cpu, same host"},
+        "torch_ens_step_s": round(t_ens, 3),
+        "torch_aens_step_s": round(t_aens, 3),
+        "torch_aens_over_ens_step_ratio": round(t_aens / t_ens, 3),
+        "note": "measured same-host torch AENS/ENS step ratio; replaces the "
+                "round-2 guessed ÷2 tap-ratio scaling in bench.py's AENS "
+                "anchor (VERDICT r2 weak #3)",
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    print(json.dumps(data["aens"]))
+
+
 def time_jax_ens(frames: int, hw: int, steps: int):
     from i2v_tpu.attacks.i2v import ImageGuidedFML2_Adam_MultiModels
     from i2v_tpu.models import get_image_models
@@ -142,9 +261,15 @@ def time_jax_ens(frames: int, hw: int, steps: int):
 
 
 def main():
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    hw = int(sys.argv[2]) if len(sys.argv) > 2 else 224
-    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    args = list(sys.argv[1:])
+    aens = bool(args) and args[0] == "aens"
+    if aens:
+        args = args[1:]
+    frames = int(args[0]) if len(args) > 0 else 32
+    hw = int(args[1]) if len(args) > 1 else 224
+    steps = int(args[2]) if len(args) > 2 else 3
+    if aens:
+        return aens_main(frames, hw, steps)
 
     print(f"config: {frames} frames @ {hw}x{hw}, {steps} timed steps "
           f"(full-size 4-surrogate ENS, CPU)", flush=True)
