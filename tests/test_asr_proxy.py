@@ -1,0 +1,83 @@
+"""ASR-proxy harness (tools/asr_proxy.py): the quality gate behind the
+bf16/multigrid bench rows (VERDICT r2 missing #2). The full 60-step run is
+a tool artifact (ASR_PROXY.json); these tests cover the harness pieces at
+unit scale so the gate logic itself is CI-checked."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def proxy():
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    try:
+        import tools.asr_proxy as mod
+        return mod
+    finally:
+        sys.path.remove(root)
+
+
+class TestSmoothClips:
+    def test_bounds_and_determinism(self, proxy):
+        a = proxy.smooth_clips(3, 4, 16, seed=5)
+        b = proxy.smooth_clips(3, 4, 16, seed=5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        arr = np.asarray(a)
+        assert arr.shape == (3, 3, 4, 16, 16)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+        # low-frequency structure, not white noise: neighbouring pixels
+        # correlate (the proxy's victims are conv nets)
+        dx = np.abs(np.diff(arr, axis=-1)).mean()
+        assert dx < 0.1
+
+    def test_distinct_seeds_differ(self, proxy):
+        a = np.asarray(proxy.smooth_clips(2, 4, 16, seed=0))
+        b = np.asarray(proxy.smooth_clips(2, 4, 16, seed=1))
+        assert np.abs(a - b).max() > 0.01
+
+
+class TestFoolingRates:
+    def test_flip_counting(self, proxy, monkeypatch):
+        # two fake victims: one flips every prediction under adv, one none
+        clean = {"v_all": np.array([1, 2, 3, 4]),
+                 "v_none": np.array([5, 6, 7, 8])}
+        adv_preds = {"v_all": np.array([0, 0, 0, 0]),
+                     "v_none": np.array([5, 6, 7, 8])}
+        monkeypatch.setattr(proxy, "victim_preds",
+                            lambda victims, clips: adv_preds)
+        rates = proxy.fooling_rates({"v_all": None, "v_none": None},
+                                    clean, adv01=None)
+        assert rates["v_all"] == 1.0
+        assert rates["v_none"] == 0.0
+        assert rates["mean"] == 0.5
+
+
+class TestEndToEndMicro:
+    def test_attack_invariants_and_gate_schema(self, proxy):
+        """One micro f32 config through run_config: ε-ball + [0,1] asserted
+        inside, fooling rates well-formed against real tiny victims."""
+        from i2v_tpu.models import get_image_models
+        from i2v_tpu.parallel import attack_mesh
+
+        import jax
+
+        mesh = attack_mesh(jax.devices()[:1])
+        clips01 = proxy.smooth_clips(2, 4, 32)
+        surr = get_image_models(proxy.ENS_NAMES, proxy.ENS_DEPTHS, tiny=True,
+                                input_hw=32)
+        adv01, final_cost = proxy.run_config(
+            "f32", surr, mesh, clips01, steps=2)
+        assert np.isfinite(final_cost)
+        victims = {"tiny": __import__("i2v_tpu.models", fromlist=["x"]
+                                      ).get_video_model(
+            "i3d_resnet50", tiny=True, example_shape=(1, 3, 4, 32, 32))}
+        clean = proxy.victim_preds(victims, clips01)
+        rates = proxy.fooling_rates(victims, clean, adv01)
+        assert set(rates) == {"tiny", "mean"}
+        assert 0.0 <= rates["mean"] <= 1.0

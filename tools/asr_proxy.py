@@ -1,0 +1,241 @@
+"""ASR-proxy harness: gate the approximation levers on fooling rate.
+
+The reference's product metric is attack success rate on held-out video
+models (reference.py:105-129), not steps/s and not final cost. Real
+pretrained checkpoints are not available in this environment, so this
+harness runs the FULL generate→transfer-evaluate pipeline end-to-end at
+tiny scale and compares fooling rates across numerics configurations:
+
+    f32          the numerically validated exact attack (the baseline)
+    f32_chunk    f32 + frame-chunked gradient accumulation (exact by
+                 construction — its ASR must match f32 up to prediction
+                 flips caused by last-ulp reduction-order differences)
+    bf16         bf16 compute + bf16 param storage (the headline speed
+                 lever)
+    multigrid    bf16 + coarse-to-fine schedule (half the steps at half
+                 resolution) — the strongest approximation lever
+    noise        ±ε uniform-sign noise control (the floor an attack must
+                 clearly beat for the proxy to be meaningful)
+
+Setup: 4 tiny surrogate image models (same architectures/taps as the
+production ensemble, width-reduced — models/registry.py tiny=True), six
+held-out tiny VIDEO victims (i3d/slowfast/tpn × 2 seeds — the attack never
+sees them, mirroring the reference's cross-modal transfer protocol), N
+smooth synthetic clips. Fooling rate = fraction of (clip, victim) pairs
+whose prediction flips from the clean clip's prediction — the right ASR
+analogue for random-init victims, whose clean accuracy is chance.
+
+Runs on CPU (forced before jax init) so it is deterministic and does not
+contend for the TPU relay. Writes ASR_PROXY.json at the repo root with
+within-tolerance verdicts for every lever vs f32.
+
+Usage: python tools/asr_proxy.py [--clips 32] [--steps 60] [--tol 0.08]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+ENS_NAMES = ["resnet", "vgg", "squeezenet", "alexnet"]
+ENS_DEPTHS = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
+VICTIM_FAMILIES = ["i3d_resnet50", "slowfast_resnet50", "tpn_resnet50"]
+EPS = 16 / 255
+ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ASR_PROXY.json")
+
+
+def smooth_clips(n: int, t: int = 8, hw: int = 32, seed: int = 0):
+    """[0,1] clips with low-frequency spatial structure (conv features
+    respond to structure; pure white noise would under-drive every tap)."""
+    rng = np.random.RandomState(seed)
+    base = rng.rand(n, 3, t, 4, 4).astype(np.float32)
+    clips = jax.image.resize(jnp.asarray(base), (n, 3, t, hw, hw),
+                             method="cubic")
+    clips = clips + 0.08 * rng.rand(n, 3, t, hw, hw).astype(np.float32)
+    return jnp.clip(clips, 0.0, 1.0)
+
+
+def build_victims(t: int, hw: int):
+    from i2v_tpu.models import get_video_model
+
+    victims = {}
+    for fam in VICTIM_FAMILIES:
+        for seed in (0, 1):
+            victims[f"{fam}_tiny_s{seed}"] = get_video_model(
+                fam, tiny=True, seed=seed, example_shape=(1, 3, t, hw, hw))
+    return victims
+
+
+def victim_preds(victims: dict, clips01) -> dict:
+    """argmax predictions per victim on [0,1] clips (normalized on the way
+    in, as the eval pipeline does — eval/transfer.py)."""
+    from i2v_tpu.ops import pixel
+
+    clips_n = pixel.normalize(clips01, channel_axis=1)
+    out = {}
+    for name, bundle in victims.items():
+        logits = bundle.apply_norm(clips_n)
+        out[name] = np.asarray(jnp.argmax(logits, axis=-1))
+    return out
+
+
+def run_config(tag: str, surrogates, mesh, clips01, *, steps: int,
+               frame_chunk=None, param_dtype=None, multigrid: int = 0):
+    from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
+    from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
+
+    t0 = time.time()
+    if multigrid:
+        runner = make_multigrid_i2v_runner(
+            surrogates, mesh, steps=steps, coarse_steps=multigrid, scale=2,
+            step_size=0.005, frame_chunk=frame_chunk, param_dtype=param_dtype)
+    else:
+        runner = make_sharded_i2v_runner(
+            surrogates, mesh, steps=steps, step_size=0.005,
+            frame_chunk=frame_chunk, param_dtype=param_dtype)
+    adv01, costs = runner(clips01)
+    adv01 = np.asarray(adv01)
+    costs = np.asarray(costs)
+    dt = time.time() - t0
+    print(f"[{tag}] {dt:.1f}s  cost[0]={costs[0]:.3f} "
+          f"cost[-1]={costs[-1]:.3f}", flush=True)
+    # pipeline invariants: ε-ball + [0,1] (attacks/core contract)
+    clean = np.asarray(clips01)
+    assert (adv01 >= -1e-6).all() and (adv01 <= 1 + 1e-6).all()
+    assert (np.abs(adv01 - clean) <= EPS + 1e-5).all()
+    return jnp.asarray(adv01), float(costs[-1])
+
+
+def fooling_rates(victims: dict, clean_preds: dict, adv01) -> dict:
+    adv_preds = victim_preds(victims, adv01)
+    per_victim = {
+        name: round(float(np.mean(adv_preds[name] != clean_preds[name])), 4)
+        for name in victims
+    }
+    per_victim["mean"] = round(float(np.mean(
+        [v for k, v in per_victim.items() if k != "mean"])), 4)
+    return per_victim
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--hw", type=int, default=32)
+    ap.add_argument("--tol", type=float, default=0.08,
+                    help="max |mean fooling rate - f32's| for a lever to "
+                         "pass its quality gate")
+    ap.add_argument("--out", default=ARTIFACT)
+    args = ap.parse_args()
+
+    from i2v_tpu.models import get_image_models
+    from i2v_tpu.parallel import attack_mesh
+
+    import warnings
+
+    warnings.filterwarnings("ignore")  # tiny models are random-init by design
+
+    mesh = attack_mesh(jax.devices()[:1])
+    clips01 = smooth_clips(args.clips, args.frames, args.hw)
+    victims = build_victims(args.frames, args.hw)
+    clean_preds = victim_preds(victims, clips01)
+    # sanity: clean predictions must not be degenerate (all-one-class
+    # victims would make fooling rates meaningless)
+    for name, preds in clean_preds.items():
+        if len(np.unique(preds)) == 1 and args.clips >= 8:
+            print(f"  note: victim {name} predicts a single class on all "
+                  "clean clips; its fooling rate is still well-defined "
+                  "(any flip counts) but carries less signal", flush=True)
+
+    bf16 = jnp.bfloat16
+    chunk = max(1, args.frames // 2)
+    configs = {
+        "f32": dict(frame_chunk=None, param_dtype=None),
+        "f32_chunk": dict(frame_chunk=chunk, param_dtype=None),
+        "bf16": dict(frame_chunk=None, param_dtype=bf16),
+        "multigrid": dict(frame_chunk=None, param_dtype=bf16,
+                          multigrid=args.steps // 2),
+    }
+    results = {}
+    for tag, kw in configs.items():
+        dtype = jnp.float32 if tag.startswith("f32") else bf16
+        surrogates = get_image_models(ENS_NAMES, ENS_DEPTHS, tiny=True,
+                                      input_hw=args.hw, dtype=dtype)
+        adv01, final_cost = run_config(tag, surrogates, mesh, clips01,
+                                       steps=args.steps, **kw)
+        results[tag] = {"fooling_rate": fooling_rates(victims, clean_preds,
+                                                      adv01),
+                        "final_cost": round(final_cost, 3)}
+        print(f"[{tag}] fooling mean={results[tag]['fooling_rate']['mean']}",
+              flush=True)
+
+    # ±ε sign-noise control: the floor every attack config must clearly beat
+    rng = np.random.RandomState(7)
+    noise = EPS * np.sign(rng.randn(*np.asarray(clips01).shape)
+                          ).astype(np.float32)
+    noisy = jnp.clip(clips01 + noise, 0.0, 1.0)
+    results["noise_control"] = {
+        "fooling_rate": fooling_rates(victims, clean_preds, noisy)}
+    print(f"[noise_control] fooling mean="
+          f"{results['noise_control']['fooling_rate']['mean']}", flush=True)
+
+    f32_rate = results["f32"]["fooling_rate"]["mean"]
+    gates = {}
+    for lever in ("f32_chunk", "bf16", "multigrid"):
+        delta = results[lever]["fooling_rate"]["mean"] - f32_rate
+        gates[lever] = {"delta_vs_f32": round(delta, 4),
+                        "within_tolerance": bool(abs(delta) <= args.tol)}
+    noise_floor = results["noise_control"]["fooling_rate"]["mean"]
+    gates["attack_beats_noise_floor"] = {
+        "f32_minus_noise": round(f32_rate - noise_floor, 4),
+        "ok": bool(f32_rate > noise_floor + 0.05),
+    }
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(ARTIFACT), capture_output=True,
+            text=True).stdout.strip()
+    except Exception:
+        rev = "?"
+    out = {
+        "git_rev": rev,
+        "protocol": {
+            "clips": args.clips, "steps": args.steps,
+            "frames": args.frames, "hw": args.hw,
+            "epsilon": "16/255", "tolerance": args.tol,
+            "surrogates": ENS_DEPTHS,
+            "victims": sorted(victims),
+            "metric": "fooling rate: fraction of (clip, victim) pairs whose "
+                      "argmax prediction flips vs the clean clip "
+                      "(reference.py:105-129 ASR analogue for random-init "
+                      "victims)",
+            "backend": "cpu (forced), deterministic",
+        },
+        "results": results,
+        "gates": gates,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"gates": gates}, indent=1))
+    print(f"→ {args.out}")
+
+
+if __name__ == "__main__":
+    main()
