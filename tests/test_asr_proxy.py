@@ -58,6 +58,20 @@ class TestFoolingRates:
         assert rates["mean"] == 0.5
 
 
+class TestPredAgreement:
+    def test_identical_and_disjoint(self, proxy):
+        a = {"v1": np.array([1, 2, 3, 4]), "v2": np.array([5, 6, 7, 8])}
+        assert proxy.pred_agreement(a, a) == 1.0
+        b = {"v1": np.array([0, 0, 0, 0]), "v2": np.array([9, 9, 9, 9])}
+        assert proxy.pred_agreement(a, b) == 0.0
+
+    def test_partial_mean_over_victims(self, proxy):
+        # v1 agrees on 2/4, v2 on 4/4 → mean 0.75
+        a = {"v1": np.array([1, 2, 3, 4]), "v2": np.array([5, 6, 7, 8])}
+        b = {"v1": np.array([1, 2, 0, 0]), "v2": np.array([5, 6, 7, 8])}
+        assert proxy.pred_agreement(a, b) == 0.75
+
+
 class TestEndToEndMicro:
     def test_attack_invariants_and_gate_schema(self, proxy):
         """One micro f32 config through run_config: ε-ball + [0,1] asserted
