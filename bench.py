@@ -55,6 +55,25 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# log WHY a compile missed the persistent cache (observed on the relay
+# host: the big attack programs miss while small programs hit — the
+# explanation lands in stderr for the driver artifact)
+jax.config.update("jax_explain_cache_misses", True)
+
+# Persistent-cache hit/miss accounting (VERDICT r2 next #7): JAX emits
+# monitoring events per compile request — count them so the summary can
+# prove the cache actually hits across sections/runs on the relay host.
+CACHE_STATS = {"requests": 0, "hits": 0}
+
+
+def _cache_event(event: str, **kw) -> None:
+    if event == "/jax/compilation_cache/compile_requests_use_cache":
+        CACHE_STATS["requests"] += 1
+    elif event == "/jax/compilation_cache/cache_hits":
+        CACHE_STATS["hits"] += 1
+
+
+jax.monitoring.register_event_listener(_cache_event)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 PERF_PROBE_PATH = os.path.join(_HERE, "PERF_PROBE.json")
@@ -123,21 +142,31 @@ class Bench:
                 self.prev_rev = live.get("git_rev", "?")
                 for r in live.get("rows", []):
                     if "cached_from" not in r and "skipped" not in r:
+                        # per-row provenance: rows carried forward across
+                        # runs keep the rev they were measured at
+                        r.setdefault("rev", self.prev_rev)
                         self.prev[r["metric"]] = r
             except Exception as e:
                 log(f"  BENCH_LIVE load failed: {type(e).__name__}: {e}")
 
     def persist(self, complete: bool = False) -> None:
         # only fresh measurements belong in BENCH_LIVE (replayed/cached rows
-        # must not launder into "live" on the next run)
+        # must not launder into "live" on the next run) — but previous LIVE
+        # rows whose section didn't run this time are carried forward, so a
+        # short-budget run can never overwrite a complete BENCH_LIVE with a
+        # partial one. Freshness is tracked per row via "rev".
         fresh = [r for r in self.rows
                  if "cached_from" not in r and "skipped" not in r]
         if not fresh or not self.device_up:
             return
+        merged = dict(self.prev)
+        for r in fresh:
+            merged[r["metric"]] = {**r, "rev": self.rev}
         try:
             with open(BENCH_LIVE_PATH, "w") as f:
                 json.dump({"git_rev": self.rev, "complete": complete,
-                           "budget_s": BUDGET_S, "rows": fresh}, f, indent=1)
+                           "budget_s": BUDGET_S,
+                           "rows": list(merged.values())}, f, indent=1)
         except Exception as e:
             log(f"  BENCH_LIVE persist failed: {type(e).__name__}: {e}")
 
@@ -199,6 +228,7 @@ class Bench:
         if device_unavailable:
             out["device_unavailable"] = True
         out["wall_s"] = round(time.time() - T_START, 1)
+        out["compile_cache"] = dict(CACHE_STATS)
         out["rows"] = rows
         return out
 
@@ -922,9 +952,12 @@ def main():
             b.skip_section(name, prefixes)
             continue
         t0 = time.time()
+        c0 = dict(CACHE_STATS)
         fn(b)
         log(f"  [section:{name}] {time.time() - t0:.1f}s "
-            f"(budget_left {budget_left():.0f}s)")
+            f"(budget_left {budget_left():.0f}s) compile-cache "
+            f"hits {CACHE_STATS['hits'] - c0['hits']}/"
+            f"{CACHE_STATS['requests'] - c0['requests']}")
     b.persist(complete=True)
     print(json.dumps(b.summary()))
 

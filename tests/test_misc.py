@@ -270,8 +270,13 @@ class TestBenchContract:
             monkeypatch.setattr(bench, name, lambda b: None)
         monkeypatch.setattr(bench, "BUDGET_S", 10 ** 9)
         bench.main()
+
+        def by_metric(doc, prefix):
+            return next(r for r in doc["rows"]
+                        if r["metric"].startswith(prefix))
+
         # (a) the row was on disk before main() returned the summary
-        assert mid_run_live["rows"][0]["value"] == 2.2
+        assert by_metric(mid_run_live, "ENS-I2V attack")["value"] == 2.2
         assert mid_run_live["complete"] is False
         out = json.loads(capsys.readouterr().out.strip())
         assert out["metric"].startswith("ENS-I2V attack") \
@@ -281,6 +286,12 @@ class TestBenchContract:
         # cached/skip rows never launder into the live row set
         assert all("cached_from" not in r and "skipped" not in r
                    for r in final["rows"])
+        # (d) previous live rows whose section didn't run are carried
+        # forward (a short-budget run must not overwrite a complete
+        # BENCH_LIVE with a partial one) — with per-row rev provenance
+        carried = by_metric(final, "TemporalTranslation")
+        assert carried["value"] == 9.9 and carried["rev"] == "prevrev123"
+        assert by_metric(final, "ENS-I2V attack")["rev"] == final["git_rev"]
 
     def test_budget_skip_replays_previous_live_rows(self, monkeypatch,
                                                     capsys, tmp_path):
