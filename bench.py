@@ -55,10 +55,6 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-# log WHY a compile missed the persistent cache (observed on the relay
-# host: the big attack programs miss while small programs hit — the
-# explanation lands in stderr for the driver artifact)
-jax.config.update("jax_explain_cache_misses", True)
 
 # Persistent-cache hit/miss accounting (VERDICT r2 next #7): JAX emits
 # monitoring events per compile request — count them so the summary can
@@ -180,25 +176,29 @@ class Bench:
         self.persist()
         return r
 
-    def skip_section(self, name: str, prefixes) -> None:
-        """Emit explicit budget-skip rows; replay the last live measurement
-        of each matching config when one exists."""
+    def skip_section(self, name: str, prefixes, reason: str = "budget") -> None:
+        """Emit explicit skip rows; replay the last live measurement of each
+        matching config when one exists (and was not already measured fresh
+        this run — a SIGTERM mid-section must not duplicate its row)."""
+        measured = {r["metric"] for r in self.rows}
         replayed = 0
         for metric, r in self.prev.items():
-            if any(metric.startswith(p) for p in prefixes):
+            if metric not in measured and any(metric.startswith(p)
+                                              for p in prefixes):
                 rr = dict(r)
-                rr["skipped"] = "budget"
+                rr["skipped"] = reason
                 rr["cached_from"] = (
                     f"BENCH_LIVE.json (live bench at rev "
-                    f"{getattr(self, 'prev_rev', '?')[:9]} — budget exhausted "
-                    "this run)")
+                    f"{rr.pop('rev', getattr(self, 'prev_rev', '?'))[:9]} — "
+                    f"{reason} exhausted this run)")
                 log(f"[row] {json.dumps(rr)}")
                 self.rows.append(rr)
                 replayed += 1
-        if not replayed:
+        if not replayed and not any(any(m.startswith(p) for p in prefixes)
+                                    for m in measured):
             self.rows.append({"metric": f"{name} (not measured)",
-                              "skipped": "budget"})
-        log(f"  [skip:{name}] budget_left={budget_left():.0f}s "
+                              "skipped": reason})
+        log(f"  [skip:{name}:{reason}] budget_left={budget_left():.0f}s "
             f"(replayed {replayed} cached row(s))")
 
     def summary(self, device_unavailable: bool = False) -> dict:
@@ -901,10 +901,16 @@ def main():
     warnings.filterwarnings("ignore")
     b = Bench()
 
+    pending: list = []  # (name, prefixes) sections not yet completed
+
     def flush_and_exit(signum, frame):
-        # external kill (driver timeout sends SIGTERM first): flush the
-        # summary-so-far so the artifact parses even when over-budget
+        # external kill (driver timeout sends SIGTERM first): replay the
+        # last live measurement for every section not reached, then flush
+        # the summary so the artifact parses — and stays complete — even
+        # when killed mid-first-section
         log(f"  SIGTERM at {time.time() - T_START:.0f}s — flushing summary")
+        for name, prefixes in list(pending):
+            b.skip_section(name, prefixes, reason="sigterm")
         b.persist(complete=False)
         try:
             print(json.dumps(b.summary()), flush=True)
@@ -944,16 +950,19 @@ def main():
         ("ens_b24", bench_ens_b24, 150,
          ["ENS-I2V attack steps/sec/chip (bf16, 4-surrogate ensemble, B=24"]),
     ]
+    pending.extend((name, prefixes) for name, fn, est, prefixes in sections)
     for name, fn, est, prefixes in sections:
         # est assumes a warm persistent compile cache (the normal driver
         # case: PERF_PROBE/agenda runs pre-warm /tmp/i2v_tpu_jax_cache); a
         # cold-cache overrun is backstopped by the SIGTERM summary flush
         if budget_left() < est:
             b.skip_section(name, prefixes)
+            pending.remove((name, prefixes))
             continue
         t0 = time.time()
         c0 = dict(CACHE_STATS)
         fn(b)
+        pending.remove((name, prefixes))
         log(f"  [section:{name}] {time.time() - t0:.1f}s "
             f"(budget_left {budget_left():.0f}s) compile-cache "
             f"hits {CACHE_STATS['hits'] - c0['hits']}/"

@@ -72,6 +72,39 @@ class TestPredAgreement:
         assert proxy.pred_agreement(a, b) == 0.75
 
 
+class TestFlipOverlap:
+    def test_identical_flip_sets(self, proxy):
+        clean = {"v": np.array([0, 0, 0, 0])}
+        ref = {"v": np.array([1, 0, 2, 0])}  # flips pairs 0 and 2
+        out = proxy.flip_overlap(clean, ref, ref)
+        assert out == {"flip_jaccard": 1.0, "lever_hits_ref_flips": 1.0,
+                       "same_adv_class_given_both_flip": 1.0}
+
+    def test_disjoint_and_divergent_targets(self, proxy):
+        clean = {"v": np.array([0, 0, 0, 0])}
+        ref = {"v": np.array([1, 0, 2, 0])}    # flips {0, 2}
+        lever = {"v": np.array([0, 3, 2, 0])}  # flips {1, 2}
+        out = proxy.flip_overlap(clean, ref, lever)
+        # intersection {2}, union {0,1,2}; pair 2 steered to the same class
+        assert out["flip_jaccard"] == round(1 / 3, 4)
+        assert out["lever_hits_ref_flips"] == 0.5
+        assert out["same_adv_class_given_both_flip"] == 1.0
+
+    def test_same_pairs_different_classes(self, proxy):
+        clean = {"v": np.array([0, 0])}
+        ref = {"v": np.array([1, 2])}
+        lever = {"v": np.array([3, 4])}  # same flip set, other classes
+        out = proxy.flip_overlap(clean, ref, lever)
+        assert out["flip_jaccard"] == 1.0
+        assert out["same_adv_class_given_both_flip"] == 0.0
+
+    def test_no_flips_is_vacuously_perfect(self, proxy):
+        clean = {"v": np.array([0, 0])}
+        out = proxy.flip_overlap(clean, clean, clean)
+        assert out == {"flip_jaccard": 1.0, "lever_hits_ref_flips": 1.0,
+                       "same_adv_class_given_both_flip": 1.0}
+
+
 class TestEndToEndMicro:
     def test_attack_invariants_and_gate_schema(self, proxy):
         """One micro f32 config through run_config: ε-ball + [0,1] asserted

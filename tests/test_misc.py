@@ -331,6 +331,40 @@ class TestBenchContract:
         # nothing fresh was measured → BENCH_LIVE must keep the previous set
         assert json.loads(live_path.read_text())["git_rev"] == "prevrev123"
 
+    def test_skip_section_dedups_fresh_rows_and_marks_reason(
+            self, monkeypatch, tmp_path):
+        """SIGTERM mid-section: the flush replays BENCH_LIVE rows for every
+        unreached section, but must not duplicate a metric the in-flight
+        section already measured fresh this run."""
+        import json
+
+        bench = self._import_bench()
+        live_path = tmp_path / "live.json"
+        live_path.write_text(json.dumps({"git_rev": "prevrev123", "rows": [
+            {"metric": "ENS-I2V attack steps/sec/chip (f32, 4-surrogate "
+                       "ensemble, B=16, 512-frame-normalized)",
+             "value": 2.11, "unit": "steps/s/chip"},
+            {"metric": "TemporalTranslation attack steps/sec/chip (f32, "
+                       "I3D-NL R50, B=1, 15-variant fused fan-out)",
+             "value": 9.9, "unit": "steps/s/chip"},
+        ]}))
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH", str(live_path))
+        b = bench.Bench()
+        b.device_up = True
+        # the in-flight section already measured this metric fresh
+        b.rows.append({"metric": "ENS-I2V attack steps/sec/chip (f32, "
+                                 "4-surrogate ensemble, B=16, "
+                                 "512-frame-normalized)",
+                       "value": 2.2, "unit": "steps/s/chip"})
+        b.skip_section("ens_f32", ["ENS-I2V attack steps/sec/chip (f32"],
+                       reason="sigterm")
+        b.skip_section("tt", ["TemporalTranslation"], reason="sigterm")
+        ens_rows = [r for r in b.rows if r["metric"].startswith("ENS-I2V")]
+        assert len(ens_rows) == 1 and ens_rows[0]["value"] == 2.2
+        tt = [r for r in b.rows if r["metric"].startswith("Temporal")]
+        assert len(tt) == 1 and tt[0]["skipped"] == "sigterm"
+        assert "prevrev12" in tt[0]["cached_from"]
+
     def test_watchdog_catches_raising_backend(self, monkeypatch):
         bench = self._import_bench()
 

@@ -260,12 +260,15 @@ def exec_probe(which: str) -> None:
             and not (which.startswith("mg16_bf16_cc")
                      and (which[len("mg16_bf16_cc"):] == "full"
                           or (which[len("mg16_bf16_cc"):].isdigit()
-                              and int(which[len("mg16_bf16_cc"):]) > 0)))):
+                              and int(which[len("mg16_bf16_cc"):]) > 0)))
+            and not (which.startswith("mg16_bf16_cs")
+                     and which[len("mg16_bf16_cs"):].isdigit()
+                     and 0 < int(which[len("mg16_bf16_cs"):]) < STEPS)):
         raise SystemExit(
             f"unknown exec case {which!r}; known: "
             f"{', '.join(sorted(sharded_cases))} (each also with a _remat "
-            f"suffix), mg16_bf16_cc<chunk|full>, mi16_chunk8, bim16_chunk8, "
-            f"tt1_chunk15")
+            f"suffix), mg16_bf16_cc<chunk|full>, mg16_bf16_cs<coarse_steps>, "
+            f"mi16_chunk8, bim16_chunk8, tt1_chunk15")
     mesh = attack_mesh(jax.devices()[:1])
     if which in sharded_cases:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
@@ -279,18 +282,26 @@ def exec_probe(which: str) -> None:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which[:-6]]
         sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                      param_dtype=pdt, remat=True)
-    elif which.startswith("mg16_bf16_cc"):
-        # multigrid coarse_frame_chunk tuning: mg16_bf16_cc<chunk|full>
-        # (30 coarse @112² + 30 fine @224², fine chunk fixed at 256). The
-        # coarse phase's 512 frames at 112² carry 1/4 the activation bytes,
-        # so its chunk optimum need not match the fine phase's.
+    elif which.startswith("mg16_bf16_cc") or which.startswith("mg16_bf16_cs"):
+        # multigrid tuning, two axes:
+        #   mg16_bf16_cc<chunk|full> — coarse_frame_chunk (30 coarse @112² +
+        #     30 fine @224², fine chunk fixed at 256): the coarse phase's 512
+        #     frames at 112² carry 1/4 the activation bytes, so its chunk
+        #     optimum need not match the fine phase's
+        #   mg16_bf16_cs<K> — coarse_steps: K coarse + (60-K) fine steps.
+        #     Fewer coarse steps buys final-cost parity with plain bf16 at a
+        #     smaller speedup (the Pareto knob behind the 93.7x headline's
+        #     8.7%-worse final cost)
         from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
 
-        tag = which[len("mg16_bf16_cc"):]
-        cc = None if tag == "full" else int(tag)
+        if which.startswith("mg16_bf16_cc"):
+            tag = which[len("mg16_bf16_cc"):]
+            cc, cs_steps = (None if tag == "full" else int(tag)), STEPS // 2
+        else:
+            cc, cs_steps = None, int(which[len("mg16_bf16_cs"):])
         models = _ens_models(bf16)
         runner = make_multigrid_i2v_runner(
-            models, mesh, steps=STEPS, coarse_steps=STEPS // 2, scale=2,
+            models, mesh, steps=STEPS, coarse_steps=cs_steps, scale=2,
             step_size=0.005, donate=True, frame_chunk=256,
             coarse_frame_chunk=cc, param_dtype=bf16)
         batch = 16
