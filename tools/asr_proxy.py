@@ -234,6 +234,11 @@ def main():
         "bf16": dict(frame_chunk=None, param_dtype=bf16),
         "multigrid": dict(frame_chunk=None, param_dtype=bf16,
                           multigrid=args.steps // 2),
+        # the cost-parity point of the measured coarse-steps Pareto
+        # (PERF_PROBE.json exec_mg16_bf16_cs12: beats plain bf16 on both
+        # final cost and steps/s) — gate that exact schedule too
+        "multigrid_cs12": dict(frame_chunk=None, param_dtype=bf16,
+                               multigrid=max(1, args.steps // 5)),
     }
     results = {}
     adv_pred_sets = {}
@@ -265,7 +270,8 @@ def main():
 
     f32_rate = results["f32"]["fooling_rate"]["mean"]
     gates = {}
-    for lever in ("f32_chunk", "f32_ulp", "bf16", "multigrid"):
+    for lever in ("f32_chunk", "f32_ulp", "bf16", "multigrid",
+                  "multigrid_cs12"):
         delta = results[lever]["fooling_rate"]["mean"] - f32_rate
         gates[lever] = {
             "delta_vs_f32": round(delta, 4),
