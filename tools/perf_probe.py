@@ -235,6 +235,10 @@ def exec_probe(which: str) -> None:
     sharded_cases = {
         "ens16_f32_chunk64": (_ens_models, jnp.float32, 16, False, 64, None),
         "ens16_f32_chunk128": (_ens_models, jnp.float32, 16, False, 128, None),
+        # no chunk between 128 and 256 exists for 512 frames: chunks snap to
+        # divisors of the frame batch, and 512 = 2^9 has only power-of-two
+        # divisors — 128 is the f32 frontier (256 exceeds HBM, hbm_ens16_
+        # f32_chunk256)
         "ens16_f32_chunk256": (_ens_models, jnp.float32, 16, False, 256, None),
         "ens16_bf16_chunk64": (_ens_models, bf16, 16, False, 64, bf16),
         "ens16_bf16_chunk128": (_ens_models, bf16, 16, False, 128, bf16),
