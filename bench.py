@@ -416,7 +416,9 @@ def bench_multigrid(b: Bench):
               sps / len(jax.devices()), "steps/s/chip",
               REF_2080TI_ENS_STEPS_PER_SEC, final_cost=round(final, 2),
               compile_s=round(cs, 1),
-              quality_gate="ASR_PROXY.json (approximation lever)")
+              quality_gate="ASR_PROXY.json (approximation lever)",
+              coarse_steps_pareto="PERF_PROBE.json exec_mg16_bf16_cs* "
+                                  "(cs12 beats plain bf16 on cost AND speed)")
         del runner
     except Exception as e:
         log(f"  multigrid failed: {type(e).__name__}: {str(e)[:200]}")

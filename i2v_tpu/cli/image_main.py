@@ -84,7 +84,11 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                         "upsampled modifier (parallel/multigrid.py). "
                         "~1/4 the surrogate work for the K coarse steps; "
                         "opt-in — the trajectory differs from the "
-                        "reference's")
+                        "reference's. Measured Pareto at 60 steps (PERF_"
+                        "PROBE.json exec_mg16_bf16_cs*, ASR-gated in "
+                        "ASR_PROXY.json): K=12 beats plain bf16 on both "
+                        "final cost and steps/s; K=30 is fastest (1.6x) at "
+                        "8.7%-worse final cost")
     p.add_argument("--multigrid_scale", type=int, default=2,
                    help="multigrid downsampling factor (must divide the "
                         "spatial size)")
