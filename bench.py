@@ -931,6 +931,15 @@ def main():
         return
     b.device_up = True
     log(f"devices: {devs}  budget: {BUDGET_S:.0f}s")
+    try:
+        # absorb the relay cold-start (a first trivial matmul has been
+        # observed to take 70+ s through the tunnel) OUTSIDE the first
+        # section's timings and budget estimate
+        t0 = time.time()
+        float(np.asarray(jnp.sum(jnp.ones((256, 256)) @ jnp.ones((256, 256)))))
+        log(f"  device warm-up: {time.time() - t0:.1f}s")
+    except Exception as e:
+        log(f"  device warm-up failed: {type(e).__name__}: {str(e)[:120]}")
     # (section, est cold-cache cost s, metric prefixes for cached fallback).
     # Most-important-first; HBM-near-limit rows (BIM) sit after the
     # headline configs but before the eval-transport sections so a
