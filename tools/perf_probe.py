@@ -258,7 +258,8 @@ def exec_probe(which: str) -> None:
         "ens32_bf16_chunk256": (_ens_models, bf16, 32, False, 256, bf16),
     }
     if (which not in sharded_cases
-            and which not in ("mi16_chunk8", "bim16_chunk8", "tt1_chunk15")
+            and which not in ("mi16_chunk8", "bim16_chunk8", "tt1_chunk15",
+                              "gradcam32")
             and not (which.endswith("_remat")
                      and which[:-6] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
@@ -272,7 +273,7 @@ def exec_probe(which: str) -> None:
             f"unknown exec case {which!r}; known: "
             f"{', '.join(sorted(sharded_cases))} (each also with a _remat "
             f"suffix), mg16_bf16_cc<chunk|full>, mg16_bf16_cs<coarse_steps>, "
-            f"mi16_chunk8, bim16_chunk8, tt1_chunk15")
+            f"mi16_chunk8, bim16_chunk8, tt1_chunk15, gradcam32")
     mesh = attack_mesh(jax.devices()[:1])
     if which in sharded_cases:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
@@ -348,6 +349,56 @@ def exec_probe(which: str) -> None:
                               jax.random.PRNGKey(i))
         final = float(np.asarray(costs)[-1])
         sps = 10 * reps / (time.time() - t0)
+    elif which == "gradcam32":
+        # GradCAM at the reference's saliency-figure workload (image_cam.py:
+        # 9-37 average_grad_cam_from_images): the 5-model average CAM over
+        # one 32-frame clip at 224², depth-4 taps (the find_*_layer
+        # last-conv defaults, image_cam_utils.py:26-184). One jitted program
+        # — 5 forward+backward passes, per-model min-max, common-size
+        # upsample, mean — blocking on a reduced scalar (relay discipline,
+        # bench.py header note). Metric: frames/s for the complete 5-model
+        # average; the device row for C21, the one component the round-2
+        # evidence matrix had no number for.
+        import dataclasses
+
+        from i2v_tpu.eval import gradcam as gradcam_mod
+        from i2v_tpu.models import get_image_models
+        from i2v_tpu.ops import pixel
+
+        names = ["alexnet", "vgg", "resnet", "densenet", "squeezenet"]
+        bundles = get_image_models(names, 4, truncate=False, input_hw=224)
+
+        def avg_cam_sum(plist, clip):
+            frames = pixel.flatten_clip_to_frames(clip)
+            cams = []
+            for b, p in zip(bundles, plist):
+                cam, _ = gradcam_mod._cam_raw(
+                    dataclasses.replace(b, params=p), frames, None)
+                cams.append(
+                    gradcam_mod._upsample(gradcam_mod._minmax(cam), 224))
+            return jnp.mean(jnp.stack(cams), axis=0).sum()
+
+        jitted = jax.jit(avg_cam_sum)
+        plist = [b.params for b in bundles]
+        clip = jnp.asarray(np.random.RandomState(0)
+                           .rand(1, 3, 32, 224, 224).astype(np.float32))
+        t0 = time.time()
+        final = float(jitted(plist, clip))
+        cs = time.time() - t0
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            final = float(jitted(plist, clip))
+        fps = 32 * reps / (time.time() - t0)
+        print(f"[exec:{which}] {fps:.2f} frames/s (5-model average CAM), "
+              f"compile+first {cs:.1f}s")
+        record(f"exec_{which}", {
+            "frames_per_s": round(fps, 2),
+            "cam_sum": round(final, 3),
+            "compile_and_first_s": round(cs, 1),
+            "executed": True,
+        })
+        return
     elif which == "tt1_chunk15":
         # TemporalTranslation, the heaviest white-box path (15 gradient
         # queries per step, video_attacks.py:189-214): all 15 cycle-shift
