@@ -159,10 +159,16 @@ class Bench:
         for r in fresh:
             merged[r["metric"]] = {**r, "rev": self.rev}
         try:
-            with open(BENCH_LIVE_PATH, "w") as f:
+            # atomic replace: persist() runs in a program that is routinely
+            # SIGKILLed (driver timeout follow-up); a kill mid-write must
+            # not leave a truncated file that destroys the carried-forward
+            # row history the merge above exists to protect
+            tmp = BENCH_LIVE_PATH + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"git_rev": self.rev, "complete": complete,
                            "budget_s": BUDGET_S,
                            "rows": list(merged.values())}, f, indent=1)
+            os.replace(tmp, BENCH_LIVE_PATH)
         except Exception as e:
             log(f"  BENCH_LIVE persist failed: {type(e).__name__}: {e}")
 
@@ -223,6 +229,11 @@ class Bench:
                 or pool(lambda r: is_ens(r) and "(f32" in r["metric"])
                 or pool(is_ens)
                 or pool(lambda r: True))
+        if not cand:
+            # rows exist but none carries a value (every section failed or
+            # was skipped with no cached fallback) — a clean SystemExit,
+            # not max()'s ValueError, so callers' handlers see it
+            raise SystemExit("all bench configs failed — no valued rows")
         head = max(cand, key=lambda r: r["value"])
         out = dict(head)
         if device_unavailable:
@@ -870,6 +881,10 @@ def _dead_relay_rows(b: Bench) -> dict:
         for key, entry in sorted(probe.items()):
             if not key.startswith("exec_") or not entry.get("executed"):
                 continue
+            if "steps_per_s_512norm" not in entry:
+                # non-steps exec entries (e.g. exec_gradcam32 records
+                # frames_per_s) don't fit the steps/s replay schema
+                continue
             kind = next((k for k in ("aens", "ens", "mg", "mi", "bim", "tt")
                          if key.startswith(f"exec_{k}")), None)
             b.row(f"[cached] {key[5:]} — "
@@ -916,8 +931,11 @@ def main():
         b.persist(complete=False)
         try:
             print(json.dumps(b.summary()), flush=True)
-        except SystemExit:
-            pass
+        except BaseException as e:  # never crash mid-handler
+            # a killed run that produced NO parseable summary must not
+            # exit 0 — the driver would read that as a successful bench
+            log(f"  summary flush failed: {e}")
+            os._exit(1)
         os._exit(0)
 
     signal.signal(signal.SIGTERM, flush_and_exit)
@@ -947,8 +965,12 @@ def main():
     sections = [
         ("ens_f32", bench_ens_f32, 220,
          ["ENS-I2V attack steps/sec/chip (f32"]),
+        # the B=8 prefix covers bench_ens_bf16's OOM fallback row, so a
+        # later budget-skipped run still replays it (B=24 stays with its
+        # own section below)
         ("ens_bf16", bench_ens_bf16, 170,
-         ["ENS-I2V attack steps/sec/chip (bf16, 4-surrogate ensemble, B=16"]),
+         ["ENS-I2V attack steps/sec/chip (bf16, 4-surrogate ensemble, B=16",
+          "ENS-I2V attack steps/sec/chip (bf16, 4-surrogate ensemble, B=8,"]),
         ("aens", bench_aens, 200, ["AENS-I2V-MF"]),
         ("i2v", bench_i2v, 80, ["I2V attack"]),
         ("whitebox_bim", bench_whitebox, 200, ["BIM white-box"]),

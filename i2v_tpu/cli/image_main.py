@@ -88,7 +88,7 @@ def arg_parse(argv=None, kind: str = "Image", default_step: int = 60):
                         "PROBE.json exec_mg16_bf16_cs*, ASR-gated in "
                         "ASR_PROXY.json): K=12 beats plain bf16 on both "
                         "final cost and steps/s; K=30 is fastest (1.6x) at "
-                        "8.7%-worse final cost")
+                        "8.7%%-worse final cost")
     p.add_argument("--multigrid_scale", type=int, default=2,
                    help="multigrid downsampling factor (must divide the "
                         "spatial size)")

@@ -894,3 +894,38 @@ class TestShardAndReportGuards:
         report.main(["--merge_shards", run])
         with open(os.path.join(run, "top1_acc_all_models.json")) as f:
             assert set(_json.load(f)) == {"i3d_resnet50"}
+
+
+def test_every_cli_help_renders():
+    """argparse expands help text with %-formatting at --help time, so an
+    unescaped % in any help string crashes the CLI with ValueError instead
+    of printing usage (regression: image_main's --multigrid help said
+    "8.7%-worse" and --help died with "unsupported format character 'w'").
+    Covers every entry point: modules with their own parser directly, the
+    UCF variants through the shared arg_parse they delegate to, and
+    run_grid's inline parser via main()."""
+    import contextlib
+    import importlib
+    import io
+
+    cases = [
+        ("attack", lambda m: m.arg_parse(["--help"])),
+        ("attack_ucf101", lambda m: m.arg_parse(["--help"])),
+        ("image_main", lambda m: m.arg_parse(["--help"])),
+        ("image_main", lambda m: m.arg_parse(["--help"],
+                                             kind="UCF101_Image",
+                                             default_step=10)),
+        ("fine_tune", lambda m: m.arg_parse(["--help"])),
+        ("evaluate", lambda m: m.arg_parse(["--help"])),
+        ("evaluate", lambda m: m.arg_parse(["--help"], n_classes=101)),
+        ("gradcam", lambda m: m.arg_parse(["--help"])),
+        ("run_grid", lambda m: m.main(["--help"])),
+    ]
+    for name, call in cases:
+        mod = importlib.import_module(f"i2v_tpu.cli.{name}")
+        buf = io.StringIO()
+        with pytest.raises(SystemExit) as e, \
+                contextlib.redirect_stdout(buf):
+            call(mod)
+        assert e.value.code == 0, f"{name} --help exited {e.value.code}"
+        assert "usage" in buf.getvalue(), f"{name} --help printed no usage"

@@ -14,6 +14,11 @@ tiny scale and compares fooling rates across numerics configurations:
                  lever)
     multigrid    bf16 + coarse-to-fine schedule (half the steps at half
                  resolution) — the strongest approximation lever
+    f16_egress   the f32 adv set rounded through float16 in the normalized
+                 artifact domain — exactly what the fused path's opt-in
+                 --artifact_dtype float16 writes (eval/fused.py:185-188);
+                 no re-optimization, so its gate isolates pure storage
+                 rounding
     noise        ±ε uniform-sign noise control (the floor an attack must
                  clearly beat for the proxy to be meaningful)
 
@@ -41,9 +46,16 @@ import time
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "float32")
-jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
+if __name__ == "__main__":
+    # Script path only: config must land before backend init (after it,
+    # a jax_platforms update is accepted but silently ineffective on this
+    # host). Guarded so IMPORTING the module (tests import the helpers
+    # mid-suite) mutates no global JAX state — pytest's conftest owns the
+    # cpu/precision config there, and an unguarded update that failed to
+    # take effect could silently run the proxy over the TPU relay.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "float32")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -242,18 +254,41 @@ def main():
     }
     results = {}
     adv_pred_sets = {}
+    adv_f32 = None
     for tag, kw in configs.items():
         dtype = jnp.float32 if tag.startswith("f32") else bf16
         surrogates = get_image_models(ENS_NAMES, ENS_DEPTHS, tiny=True,
                                       input_hw=args.hw, dtype=dtype)
         adv01, final_cost = run_config(tag, surrogates, mesh, clips01,
                                        steps=args.steps, **kw)
+        if tag == "f32":
+            adv_f32 = adv01
         adv_pred_sets[tag] = victim_preds(victims, adv01)
         results[tag] = {"fooling_rate": fooling_rates(
             victims, clean_preds, adv01, adv_preds=adv_pred_sets[tag]),
             "final_cost": round(final_cost, 3)}
         print(f"[{tag}] fooling mean={results[tag]['fooling_rate']['mean']}",
               flush=True)
+
+    # f16 artifact egress (the fused path's opt-in --artifact_dtype
+    # float16, eval/fused.py:185-188): the SAME f32 adv set, rounded
+    # through float16 in the NORMALIZED domain — the domain artifacts are
+    # stored in (utils/artifacts; SURVEY §1 artifact protocol). No
+    # re-optimization happens, so this gate isolates storage rounding.
+    # victim_preds re-normalizes on the way in, recovering the f16-rounded
+    # normalized tensor up to one f32 ulp — no clipping, matching the real
+    # eval path, which consumes normalized artifacts unclipped.
+    from i2v_tpu.ops import pixel
+
+    norm16 = np.asarray(pixel.normalize(adv_f32, channel_axis=1),
+                        dtype=np.float16)
+    adv16 = pixel.unnormalize(jnp.asarray(norm16.astype(np.float32)),
+                              channel_axis=1)
+    adv_pred_sets["f16_egress"] = victim_preds(victims, adv16)
+    results["f16_egress"] = {"fooling_rate": fooling_rates(
+        victims, clean_preds, adv16, adv_preds=adv_pred_sets["f16_egress"])}
+    print(f"[f16_egress] fooling mean="
+          f"{results['f16_egress']['fooling_rate']['mean']}", flush=True)
 
     # ±ε sign-noise control: sensitivity context for the absolute fooling
     # numbers (see the gate note below)
@@ -271,7 +306,7 @@ def main():
     f32_rate = results["f32"]["fooling_rate"]["mean"]
     gates = {}
     for lever in ("f32_chunk", "f32_ulp", "bf16", "multigrid",
-                  "multigrid_cs12"):
+                  "multigrid_cs12", "f16_egress"):
         delta = results[lever]["fooling_rate"]["mean"] - f32_rate
         gates[lever] = {
             "delta_vs_f32": round(delta, 4),

@@ -24,18 +24,22 @@ def main():
     t0 = time.time()
     cmd = [sys.executable, "-m", "pytest", "tests/", "-m", "slow", "-q",
            *sys.argv[1:]]
-    # A negative returncode is a signal kill (observed: transient SIGABRT
-    # from XLA-CPU under memory/CPU pressure on a 1-core host, not a test
-    # failure — the identical tier passed on immediate re-run). Retry once
-    # so a flaky abort can't stamp a red tier; real failures (rc>0) don't
-    # retry. Full output goes to /tmp/slow_tier_full.log because the
-    # 15-line tail is too short to keep a native-crash traceback.
+    # Native-crash signals (observed: transient SIGABRT from XLA-CPU under
+    # memory/CPU pressure on a 1-core host, not a test failure — the
+    # identical tier passed on immediate re-run) retry once so a flaky
+    # abort can't stamp a red tier. Deliberate kills (SIGINT/SIGTERM) and
+    # real failures (rc>0) don't retry. Full output goes to a per-attempt
+    # log because the 15-line tail is too short to keep a native-crash
+    # traceback (and attempt 2 must not destroy attempt 1's evidence).
+    import signal as _signal
+
+    flaky = {-_signal.SIGABRT, -_signal.SIGSEGV, -_signal.SIGBUS}
     for attempt in (1, 2):
         proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
         out = proc.stdout + proc.stderr
-        with open("/tmp/slow_tier_full.log", "w") as f:
+        with open(f"/tmp/slow_tier_full.{attempt}.log", "w") as f:
             f.write(out)
-        if proc.returncode >= 0:
+        if proc.returncode not in flaky:
             break
         print(f"attempt {attempt}: pytest killed by signal "
               f"{-proc.returncode}; {'retrying' if attempt == 1 else 'giving up'}",
