@@ -259,7 +259,7 @@ def exec_probe(which: str) -> None:
     }
     if (which not in sharded_cases
             and which not in ("mi16_chunk8", "bim16_chunk8", "tt1_chunk15",
-                              "gradcam32")
+                              "gradcam32", "ens16_f32hp_chunk128")
             and not (which.endswith("_remat")
                      and which[:-6] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
@@ -279,6 +279,18 @@ def exec_probe(which: str) -> None:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
         sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                      param_dtype=pdt)
+    elif which == "ens16_f32hp_chunk128":
+        # the f32 headline config with matmul/conv precision forced to
+        # HIGHEST (true-f32 MXU passes). The plain "f32" rows keep f32
+        # params/state/accumulation but leave dot/conv inputs at the TPU's
+        # DEFAULT matmul mode — this case measures what full-f32 compute
+        # costs and (with fidelity ens8_hp) what the default mode gives up,
+        # so the headline's precision story is a measured one, not a label
+        mf, dt, batch, adaptive, chunk, pdt = sharded_cases[
+            "ens16_f32_chunk128"]
+        with jax.default_matmul_precision("float32"):
+            sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
+                                         param_dtype=pdt)
     elif which.endswith("_remat") and which[:-6] in sharded_cases:
         # <case>_remat: save only the taps, replay the forward in the
         # backward — trades HBM activation traffic (the binding resource:
@@ -303,7 +315,12 @@ def exec_probe(which: str) -> None:
             tag = which[len("mg16_bf16_cc"):]
             cc, cs_steps = (None if tag == "full" else int(tag)), STEPS // 2
         else:
-            cc, cs_steps = None, int(which[len("mg16_bf16_cs"):])
+            # cs sweep runs the PRODUCTION coarse config (coarse_frame_chunk
+            # follows frame_chunk=256, make_multigrid_i2v_runner's `...`
+            # default — what bench_multigrid and the CLI path execute);
+            # earlier cs12/cs20 entries were measured with an unchunked
+            # coarse phase no shipped code path uses
+            cc, cs_steps = 256, int(which[len("mg16_bf16_cs"):])
         models = _ens_models(bf16)
         runner = make_multigrid_i2v_runner(
             models, mesh, steps=STEPS, coarse_steps=cs_steps, scale=2,
@@ -454,6 +471,12 @@ def fidelity_probe(which: str) -> None:
     cfgs = {
         "aens8": (_aens_models, 8, True),
         "ens8": (_ens_models, 8, False),
+        # ens8_hp: NOT a dtype pair — both runs are f32 params/state; the
+        # B side forces matmul/conv precision to HIGHEST (true-f32 MXU
+        # passes) while the A side keeps the TPU's DEFAULT matmul mode the
+        # "f32" bench rows run in. Quantifies what the default mode gives
+        # up vs bit-faithful f32 compute on the same chip.
+        "ens8_hp": (_ens_models, 8, False),
     }
     if which not in cfgs:
         raise SystemExit(f"unknown fidelity case {which!r}; known: "
@@ -461,24 +484,37 @@ def fidelity_probe(which: str) -> None:
     mesh = attack_mesh(jax.devices()[:1])
     models_fn, batch, adaptive = cfgs[which]
     steps = 3
+    if which.endswith("_hp"):
+        pairs = [("f32_default", jnp.float32, None, None),
+                 ("f32_highest", jnp.float32, None, "float32")]
+        a, bname, rec_key = "f32_default", "f32_highest", \
+            f"fidelity_{which[:-3]}_f32default_vs_highest"
+    else:
+        pairs = [("f32", jnp.float32, None, None),
+                 ("bf16", jnp.bfloat16, jnp.bfloat16, None)]
+        a, bname, rec_key = "f32", "bf16", f"fidelity_{which}_bf16_vs_f32"
     trajs = {}
-    for tag, dtype, pdt in [("f32", jnp.float32, None),
-                            ("bf16", jnp.bfloat16, jnp.bfloat16)]:
-        runner = make_sharded_i2v_runner(
-            models_fn(dtype), mesh, steps=steps, step_size=0.005,
-            adaptive=adaptive, donate=True, param_dtype=pdt)
-        x = shard_clips(
-            jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
-        _, costs = runner(x)
+    for tag, dtype, pdt, prec in pairs:
+        import contextlib
+
+        ctx = (jax.default_matmul_precision(prec) if prec
+               else contextlib.nullcontext())
+        with ctx:
+            runner = make_sharded_i2v_runner(
+                models_fn(dtype), mesh, steps=steps, step_size=0.005,
+                adaptive=adaptive, donate=True, param_dtype=pdt)
+            x = shard_clips(
+                jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+            _, costs = runner(x)
         trajs[tag] = np.asarray(costs, np.float64)
         print(f"[fidelity:{which}:{tag}] costs={trajs[tag].round(4).tolist()}")
         del runner
-    rel = np.abs(trajs["bf16"] - trajs["f32"]) / np.abs(trajs["f32"])
-    record(f"fidelity_{which}_bf16_vs_f32", {
+    rel = np.abs(trajs[bname] - trajs[a]) / np.abs(trajs[a])
+    record(rec_key, {
         "steps": steps,
         "batch": batch,
-        "f32_costs": [round(float(v), 4) for v in trajs["f32"]],
-        "bf16_costs": [round(float(v), 4) for v in trajs["bf16"]],
+        f"{a}_costs": [round(float(v), 4) for v in trajs[a]],
+        f"{bname}_costs": [round(float(v), 4) for v in trajs[bname]],
         "max_rel_err": round(float(rel.max()), 5),
         "executed": True,
     })
