@@ -66,6 +66,17 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
                         "ingest behind attack compute. Each prefetched "
                         "batch pins HBM (B=16 f32 is ~308 MB; 77 MB with "
                         "--u8_ingress), so keep DEPTH small")
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["default", "high", "float32"],
+                   help="MXU precision for f32 dots/convs. Unset/'default' "
+                        "keeps the TPU's native f32 matmul mode (what the "
+                        "bench f32 rows run; fidelity vs true f32 measured "
+                        "in PERF_PROBE.json fidelity_ens8_f32default_vs_"
+                        "highest). 'float32' forces bit-faithful f32 MXU "
+                        "passes — the numerics every torch-parity test "
+                        "runs in — at a measured throughput cost (exec_"
+                        "ens16_f32hp_chunk128); 'high' is the 3-pass bf16 "
+                        "middle tier. No effect on bf16 params")
 
 
 def data_shape(args) -> tuple[int, int]:
@@ -128,9 +139,20 @@ def batch_iterator(args, dataset, iterate, left: int = 0, right=None,
                                keep_host=keep_host, sharding=sharding)
 
 
+def apply_matmul_precision(args) -> None:
+    """Apply --matmul_precision before anything traces. jax reads the
+    default matmul precision at trace time, so a config update here (after
+    backend init, unlike jax_platforms) governs every runner the CLI builds.
+    Idempotent; unset leaves whatever the host/conftest configured."""
+    prec = getattr(args, "matmul_precision", None)
+    if prec:
+        jax.config.update("jax_default_matmul_precision", prec)
+
+
 def build_whitebox_attack(args, bundle):
     """Dispatch a white-box method name → attack instance (the reference's
     getattr dispatch, attack.py:76-83)."""
+    apply_matmul_precision(args)
     name = args.attack_method
     if name == "TemporalTranslation":
         params = {
@@ -169,6 +191,7 @@ def build_image_guided_attack(args):
     incl. the AENS CLI the reference only defines but never wires.
     ``--sharded`` routes the cosine-objective methods through the
     pjit-sharded production runner instead of the attack class."""
+    apply_matmul_precision(args)
     method = args.attack_method
     tiny = args.tiny
     hw = 32 if tiny else data_shape(args)[1]

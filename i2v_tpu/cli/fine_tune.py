@@ -34,6 +34,10 @@ def arg_parse(argv=None):
     p.add_argument("--ucf101", action="store_true")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["default", "high", "float32"],
+                   help="MXU precision for f32 dots/convs (see image_main "
+                        "--matmul_precision)")
     args = p.parse_args(argv)
     opt = get_paths().opt_path
     if not os.path.isabs(args.used_adv) and not os.path.isdir(args.used_adv):
@@ -64,6 +68,9 @@ def iter_pairs(adv_dir: str, ori_dir: str, batch_size: int):
 def main(argv=None) -> str:
     args = arg_parse(argv)
     print(args)
+    from .common import apply_matmul_precision
+
+    apply_matmul_precision(args)
     advs = artifacts.list_adv_files(args.used_adv, "adv")
     if not advs:
         raise SystemExit(f"no {{id}}-adv.npy under {args.used_adv!r}")

@@ -929,3 +929,34 @@ def test_every_cli_help_renders():
             call(mod)
         assert e.value.code == 0, f"{name} --help exited {e.value.code}"
         assert "usage" in buf.getvalue(), f"{name} --help printed no usage"
+
+
+def test_matmul_precision_flag_plumbs_to_jax_config():
+    """--matmul_precision must take effect BEFORE anything traces: the
+    attack builders call apply_matmul_precision, which updates jax's
+    default matmul precision (read at trace time). 'default' maps to the
+    backend default; unset touches nothing (the conftest's float32 parity
+    config must survive an attack build with no flag)."""
+    import types
+
+    import jax
+
+    from i2v_tpu.cli import common as cli_common
+
+    old = jax.config.jax_default_matmul_precision
+    assert old == "float32"  # the conftest parity config this test relies on
+    try:
+        ns = types.SimpleNamespace(matmul_precision=None)
+        cli_common.apply_matmul_precision(ns)
+        assert jax.config.jax_default_matmul_precision == "float32"
+        ns.matmul_precision = "high"
+        cli_common.apply_matmul_precision(ns)
+        assert jax.config.jax_default_matmul_precision == "high"
+        ns.matmul_precision = "default"
+        cli_common.apply_matmul_precision(ns)
+        assert jax.config.jax_default_matmul_precision == "default"
+        ns.matmul_precision = "float32"
+        cli_common.apply_matmul_precision(ns)
+        assert jax.config.jax_default_matmul_precision == "float32"
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
