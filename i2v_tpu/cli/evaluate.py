@@ -39,6 +39,12 @@ def arg_parse(argv=None, n_classes: int = 400):
     p.add_argument("--n_classes", type=int, default=None,
                    help=f"report rows (default: {n_classes}, or 101 with "
                         "--ucf101 — the reference_ucf101.py:137 schema)")
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["default", "high", "float32"],
+                   help="MXU precision for f32 dots/convs in the eval "
+                        "forwards (see image_main --matmul_precision; "
+                        "'float32' = the torch-parity numerics, so borderline "
+                        "top-1 calls match the reference bit-faithfully)")
     args = p.parse_args(argv)
     if args.n_classes is None:
         args.n_classes = 101 if args.ucf101 else n_classes
@@ -49,6 +55,9 @@ def arg_parse(argv=None, n_classes: int = 400):
 
 def main(argv=None) -> dict:
     args = arg_parse(argv)
+    from .common import apply_matmul_precision
+
+    apply_matmul_precision(args)
     import jax.numpy as jnp
 
     acc = evaluate_run(

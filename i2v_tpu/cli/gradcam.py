@@ -55,6 +55,10 @@ def arg_parse(argv=None):
                         "of each clip")
     p.add_argument("--tiny", action="store_true",
                    help="width-reduced backbones (checkpoint-free runs)")
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["default", "high", "float32"],
+                   help="MXU precision for f32 dots/convs (see image_main "
+                        "--matmul_precision)")
     args = p.parse_args(argv)
     opt = get_paths().opt_path
     if not os.path.isabs(args.used_adv) and not os.path.isdir(args.used_adv):
@@ -107,6 +111,9 @@ def average_cam_for_clips(clips_norm_bcthw: np.ndarray, cam_fns, size: int):
 
 def main(argv=None) -> str:
     args = arg_parse(argv)
+    from .common import apply_matmul_precision
+
+    apply_matmul_precision(args)
     if args.save_png:
         from PIL import Image  # fail at startup, not mid-run
     files = artifacts.list_adv_files(args.used_adv, args.kind)
