@@ -259,7 +259,10 @@ def exec_probe(which: str) -> None:
     }
     if (which not in sharded_cases
             and which not in ("mi16_chunk8", "bim16_chunk8", "tt1_chunk15",
-                              "gradcam32", "ens16_f32hp_chunk128")
+                              "gradcam32")
+            and not (which.startswith("ens16_f32hp_chunk")
+                     and "ens16_f32_chunk" + which[len("ens16_f32hp_chunk"):]
+                     in sharded_cases)
             and not (which.endswith("_remat")
                      and which[:-6] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
@@ -279,15 +282,18 @@ def exec_probe(which: str) -> None:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
         sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                      param_dtype=pdt)
-    elif which == "ens16_f32hp_chunk128":
+    elif which.startswith("ens16_f32hp_chunk"):
         # the f32 headline config with matmul/conv precision forced to
         # HIGHEST (true-f32 MXU passes). The plain "f32" rows keep f32
         # params/state/accumulation but leave dot/conv inputs at the TPU's
         # DEFAULT matmul mode — this case measures what full-f32 compute
         # costs and (with fidelity ens8_hp) what the default mode gives up,
-        # so the headline's precision story is a measured one, not a label
+        # so the headline's precision story is a measured one, not a label.
+        # Any chunk with an existing f32 base case is accepted: the first
+        # chunk128 attempt crashed the TPU worker mid-execution, so a
+        # smaller-chunk fallback keeps the measurement reachable
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[
-            "ens16_f32_chunk128"]
+            "ens16_f32_chunk" + which[len("ens16_f32hp_chunk"):]]
         with jax.default_matmul_precision("float32"):
             sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                          param_dtype=pdt)
