@@ -14,10 +14,11 @@ import os
 import jax
 import numpy as np
 
+from ..utils.paths import compile_cache_dir
+
 # persistent compile cache: repeat CLI invocations (grid sweeps!) reuse
 # compiled attack graphs
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("I2V_TPU_COMPILE_CACHE", "/tmp/i2v_tpu_jax_cache"))
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .. import attacks

@@ -13,6 +13,25 @@ import os
 MANIFEST_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "manifests")
 
 
+def compile_cache_dir() -> str:
+    """Persistent XLA compile-cache location shared by every entry point.
+
+    /tmp is wiped on every VM boot, so a /tmp cache never survives into the
+    next process-isolated run (the r02 driver bench paid 55-60 s cold
+    compiles per section for exactly this reason). When the package lives in
+    a git checkout, default to ``<checkout>/.jax_cache`` (gitignored) so the
+    cache rides the repo across VM restarts; otherwise fall back to /tmp.
+    ``I2V_TPU_COMPILE_CACHE`` overrides either default.
+    """
+    env = os.environ.get("I2V_TPU_COMPILE_CACHE")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if os.path.isdir(os.path.join(repo, ".git")):
+        return os.path.join(repo, ".jax_cache")
+    return "/tmp/i2v_tpu_jax_cache"
+
+
 # the six reference video models (reference: utils.py:8-15)
 VIDEO_MODEL_NAMES = (
     "i3d_resnet50",

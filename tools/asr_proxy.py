@@ -55,7 +55,10 @@ if __name__ == "__main__":
     # take effect could silently run the proxy over the TPU relay.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "float32")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "I2V_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache")))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
