@@ -37,8 +37,12 @@ the last live measurement of that config when one exists. SIGTERM prints
 the summary-so-far before exiting, so even an external kill yields a
 parseable artifact.
 
-Prints ONE JSON line: the headline {"metric", "value", "unit",
-"vs_baseline"} plus a "rows" array with every measured config.
+Prints ONE compact JSON line: the headline {"metric", "value", "unit",
+"vs_baseline"} plus row counters and pointers to BENCH_LIVE.json (the
+persisted row set) and BENCH_FULL.json (the complete summary). The line is
+hard-capped at SUMMARY_LINE_MAX bytes: BENCH_r02/r03 were rc=0 but
+parsed:null because the full-rows line outgrew the driver's stdout tail
+capture (VERDICT r3 weak #1 / next #1).
 """
 
 import json
@@ -54,10 +58,12 @@ import jax
 import jax.numpy as jnp
 
 # repo-local cache: /tmp is wiped on VM boot, so the driver's bench run was
-# always cold; the checkout persists across rounds, so cache rides with it
-jax.config.update("jax_compilation_cache_dir", os.environ.get(
-    "I2V_TPU_COMPILE_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
+# always cold; the checkout persists across rounds, so cache rides with it.
+# paths only imports os — safe pre-backend-init (ADVICE r3: one authority)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from i2v_tpu.utils.paths import compile_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Persistent-cache hit/miss accounting (VERDICT r2 next #7): JAX emits
@@ -246,6 +252,55 @@ class Bench:
         out["compile_cache"] = dict(CACHE_STATS)
         out["rows"] = rows
         return out
+
+
+BENCH_FULL_PATH = os.path.join(_HERE, "BENCH_FULL.json")
+# The driver captures only the tail of stdout; BENCH_r02/r03 both ended up
+# rc=0 but parsed:null because the single summary line (13 rows + long
+# cached_from provenance) outgrew that capture window (VERDICT r3 weak #1).
+# Hard-cap the printed line well under the observed window; the full row
+# set lives in BENCH_FULL.json / BENCH_LIVE.json.
+SUMMARY_LINE_MAX = 2048
+
+
+def compact_summary(full: dict) -> dict:
+    """Reduce a full summary (headline row + all rows) to ONE short JSON
+    line the driver's tail capture can always hold: the headline metric,
+    row counters, and pointers to the on-disk artifacts that carry the
+    full row set. Writes the full summary to BENCH_FULL.json first so no
+    information is lost — only relocated."""
+    try:
+        tmp = BENCH_FULL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(full, f, indent=1)
+        os.replace(tmp, BENCH_FULL_PATH)
+    except Exception as e:  # the print must survive a disk failure
+        log(f"  BENCH_FULL persist failed: {type(e).__name__}: {e}")
+    rows = full.get("rows", [])
+    out = {k: full[k] for k in
+           ("metric", "value", "unit", "vs_baseline", "matmul_precision",
+            "final_cost", "pct_of_roofline", "rev", "device_unavailable",
+            "wall_s", "compile_cache") if k in full}
+    out["rows_measured"] = sum(1 for r in rows if "skipped" not in r
+                               and "cached_from" not in r)
+    out["rows_cached"] = sum(1 for r in rows if "cached_from" in r)
+    out["rows_skipped"] = sum(1 for r in rows if "skipped" in r
+                              and "cached_from" not in r)
+    out["rows_in"] = "BENCH_LIVE.json"
+    out["full_summary_in"] = "BENCH_FULL.json"
+    line = json.dumps(out)
+    if len(line) > SUMMARY_LINE_MAX:  # belt-and-braces: shed long strings
+        out["metric"] = out.get("metric", "")[:160]
+        for k in list(out):
+            if isinstance(out[k], str) and len(out[k]) > 160:
+                out[k] = out[k][:160]
+        line = json.dumps(out)
+    if len(line) > SUMMARY_LINE_MAX:
+        out = {"metric": out.get("metric", "?")[:80],
+               "value": out.get("value"), "unit": out.get("unit"),
+               "vs_baseline": out.get("vs_baseline"),
+               "full_summary_in": "BENCH_FULL.json"}
+    return out
 
 
 def build_runner(names, depths, batch, dtype, donate, frame_chunk=None,
@@ -934,7 +989,7 @@ def main():
             b.skip_section(name, prefixes, reason="sigterm")
         b.persist(complete=False)
         try:
-            print(json.dumps(b.summary()), flush=True)
+            print(json.dumps(compact_summary(b.summary())), flush=True)
         except BaseException as e:  # never crash mid-handler
             # a killed run that produced NO parseable summary must not
             # exit 0 — the driver would read that as a successful bench
@@ -949,7 +1004,7 @@ def main():
     bench_decode(b)
     devs = devices_or_none()
     if devs is None:
-        print(json.dumps(_dead_relay_rows(b)))
+        print(json.dumps(compact_summary(_dead_relay_rows(b))))
         return
     b.device_up = True
     log(f"devices: {devs}  budget: {BUDGET_S:.0f}s")
@@ -1006,7 +1061,7 @@ def main():
             f"hits {CACHE_STATS['hits'] - c0['hits']}/"
             f"{CACHE_STATS['requests'] - c0['requests']}")
     b.persist(complete=True)
-    print(json.dumps(b.summary()))
+    print(json.dumps(compact_summary(b.summary())))
 
 
 if __name__ == "__main__":

@@ -27,7 +27,9 @@ def compile_cache_dir() -> str:
     if env:
         return env
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    if os.path.isdir(os.path.join(repo, ".git")):
+    # .git is a FILE (gitfile pointer) in worktrees/submodules — exists(),
+    # not isdir(), so those checkouts share the repo-local cache too
+    if os.path.exists(os.path.join(repo, ".git")):
         return os.path.join(repo, ".jax_cache")
     return "/tmp/i2v_tpu_jax_cache"
 

@@ -22,6 +22,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 # Persistent compile cache: single-core XLA:CPU compiles dominate test
-# wall-time; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/i2v_tpu_jax_cache")
+# wall-time; cache them across runs. Same repo-local authority as every
+# other entry point (ADVICE r3) — CPU entries are keyed by backend, so they
+# coexist with the TPU entries; riding the checkout keeps test compiles
+# warm across VM boots where /tmp is wiped.
+import sys as _sys  # noqa: E402
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from i2v_tpu.utils.paths import compile_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -122,14 +122,22 @@ class TestBenchContract:
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
         monkeypatch.setattr(bench, "BENCH_LIVE_PATH",
                             str(tmp_path / "live.json"))
+        monkeypatch.setattr(bench, "BENCH_FULL_PATH",
+                            str(tmp_path / "full.json"))
         monkeypatch.setattr(
             bench, "bench_decode",
             lambda b: b.row("native decode clips/s (host)", 1.0, "clips/s"))
         bench.main()
         out = json.loads(capsys.readouterr().out.strip())
         assert out["device_unavailable"] is True
-        assert out["rows"] and out["metric"] == "native decode clips/s (host)"
-        assert {"metric", "value", "unit"} <= set(out["rows"][0])
+        assert out["metric"] == "native decode clips/s (host)"
+        # the printed line is the COMPACT contract (VERDICT r3 next #1):
+        # rows live in BENCH_FULL.json, not on the line
+        assert "rows" not in out
+        assert out["full_summary_in"] == "BENCH_FULL.json"
+        full = json.loads((tmp_path / "full.json").read_text())
+        assert full["rows"] and {"metric", "value", "unit"} <= set(
+            full["rows"][0])
         # a dead-relay run must never write BENCH_LIVE (it would overwrite a
         # good live row set with host-only rows)
         assert not (tmp_path / "live.json").exists()
@@ -163,6 +171,8 @@ class TestBenchContract:
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", str(p))
         monkeypatch.setattr(bench, "BENCH_LIVE_PATH",
                             str(tmp_path / "live.json"))
+        monkeypatch.setattr(bench, "BENCH_FULL_PATH",
+                            str(tmp_path / "full.json"))
         monkeypatch.setattr(
             bench, "bench_decode",
             lambda b: b.row("native decode clips/s (host)", 1.0, "clips/s"))
@@ -175,8 +185,10 @@ class TestBenchContract:
         assert "ens16_f32_chunk128" in out["metric"]
         assert "[cached]" in out["metric"]
         assert out["value"] == 2.11 and out["vs_baseline"] > 1
-        cached = [r for r in out["rows"] if r.get("cached_from")]
+        full = json.loads((tmp_path / "full.json").read_text())
+        cached = [r for r in full["rows"] if r.get("cached_from")]
         assert len(cached) == 4  # the hbm_ entry must not leak in
+        assert out["rows_cached"] == 4
 
     def test_device_unavailable_prefers_bench_live_rows(self, monkeypatch,
                                                         capsys, tmp_path):
@@ -204,6 +216,8 @@ class TestBenchContract:
         monkeypatch.setattr(bench, "devices_or_none", lambda: None)
         monkeypatch.setattr(bench, "BENCH_LIVE_PATH", str(p))
         monkeypatch.setattr(bench, "PERF_PROBE_PATH", str(probe))
+        monkeypatch.setattr(bench, "BENCH_FULL_PATH",
+                            str(tmp_path / "full.json"))
         monkeypatch.setattr(
             bench, "bench_decode",
             lambda b: b.row("native decode clips/s (host)", 1.0, "clips/s"))
@@ -213,11 +227,12 @@ class TestBenchContract:
         assert out["metric"].startswith("[cached] ENS-I2V") \
             and "(f32" in out["metric"]
         assert out["value"] == 2.11 and out["vs_baseline"] == 39.81
-        cached = [r for r in out["rows"] if r.get("cached_from")]
+        full = json.loads((tmp_path / "full.json").read_text())
+        cached = [r for r in full["rows"] if r.get("cached_from")]
         assert len(cached) == 3
         assert all(r["cached_from"].startswith("BENCH_LIVE.json")
                    and "abc123def" in r["cached_from"] for r in cached)
-        assert not any("chunk64" in r["metric"] for r in out["rows"])
+        assert not any("chunk64" in r["metric"] for r in full["rows"])
 
     def test_device_unavailable_and_no_host_rows_is_an_error(self,
                                                              monkeypatch):
@@ -249,6 +264,8 @@ class TestBenchContract:
         ]}
         live_path.write_text(json.dumps(prev))
         monkeypatch.setattr(bench, "BENCH_LIVE_PATH", str(live_path))
+        monkeypatch.setattr(bench, "BENCH_FULL_PATH",
+                            str(tmp_path / "full.json"))
         monkeypatch.setattr(bench, "devices_or_none", lambda: ["fake-dev"])
         monkeypatch.setattr(bench, "bench_decode", lambda b: None)
 
@@ -316,10 +333,13 @@ class TestBenchContract:
                      "bench_offline_eval", "bench_e2e", "bench_multigrid",
                      "bench_ens_b24"]:
             monkeypatch.setattr(bench, name, lambda b: None)
+        monkeypatch.setattr(bench, "BENCH_FULL_PATH",
+                            str(tmp_path / "full.json"))
         monkeypatch.setattr(bench, "BUDGET_S", -1.0)  # already exhausted
         bench.main()
         out = json.loads(capsys.readouterr().out.strip())
-        skipped = [r for r in out["rows"] if r.get("skipped") == "budget"]
+        rows = json.loads((tmp_path / "full.json").read_text())["rows"]
+        skipped = [r for r in rows if r.get("skipped") == "budget"]
         assert skipped, "budget-exhausted sections must emit skip rows"
         replayed = [r for r in skipped if "value" in r]
         # both prev rows replay (under their sections), marked cached

@@ -46,6 +46,8 @@ import time
 
 import jax
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if __name__ == "__main__":
     # Script path only: config must land before backend init (after it,
     # a jax_platforms update is accepted but silently ineffective on this
@@ -53,14 +55,12 @@ if __name__ == "__main__":
     # mid-suite) mutates no global JAX state — pytest's conftest owns the
     # cpu/precision config there, and an unguarded update that failed to
     # take effect could silently run the proxy over the TPU relay.
+    # paths only imports os — safe pre-backend-init (ADVICE r3).
+    from i2v_tpu.utils.paths import compile_cache_dir
+
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "float32")
-    jax.config.update("jax_compilation_cache_dir", os.environ.get(
-        "I2V_TPU_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache")))
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -27,14 +27,14 @@ import time
 
 import jax
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# paths only imports os — safe before any backend init (ADVICE r3)
+from i2v_tpu.utils.paths import compile_cache_dir  # noqa: E402
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
-jax.config.update("jax_compilation_cache_dir", os.environ.get(
-    "I2V_TPU_COMPILE_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache")))
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 
 import numpy as np  # noqa: E402
 

@@ -29,13 +29,14 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", os.environ.get(
-    "I2V_TPU_COMPILE_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# paths only imports os — safe before any backend init (ADVICE r3: one
+# cache-dir authority instead of five drifting inline copies)
+from i2v_tpu.utils.paths import compile_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 STEPS = 60
 HBM_BYTES = 16 * 1024**3  # v5e lite
