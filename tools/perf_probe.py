@@ -254,6 +254,11 @@ def exec_probe(which: str) -> None:
         # exec cases are the ground truth the VERDICT r2 asked for
         "aens16_f32_chunk32": (_aens_models, jnp.float32, 16, True, 32, None),
         "aens16_f32_chunk64": (_aens_models, jnp.float32, 16, True, 64, None),
+        # B=8 unchunked f32 ENS: the default-mode base for the ens8_f32hp
+        # HIGHEST-precision cases (60-step HIGHEST crashes the worker at
+        # EVERY config tried — see the exec_ens16_f32hp_chunk64 crash
+        # record — so the hp measurement uses the _s<N> short variants)
+        "ens8_f32": (_ens_models, jnp.float32, 8, False, None, None),
         # bf16-compute AENS with f32 params at B=8: both dtypes fit at B=8,
         # giving the early-trajectory fidelity pair the bench cites
         "aens8_f32": (_aens_models, jnp.float32, 8, True, None, None),
@@ -263,10 +268,13 @@ def exec_probe(which: str) -> None:
     }
     if (which not in sharded_cases
             and which not in ("mi16_chunk8", "bim16_chunk8", "tt1_chunk15",
-                              "gradcam32")
+                              "gradcam32", "pallas")
             and not (which.startswith("ens16_f32hp_chunk")
                      and "ens16_f32_chunk" + which[len("ens16_f32hp_chunk"):]
                      in sharded_cases)
+            and not (which.split("_s")[0] in ("ens8_f32hp", "ens8_f32")
+                     and (which in ("ens8_f32hp", "ens8_f32")
+                          or which.split("_s")[-1].isdigit()))
             and not (which.endswith("_remat")
                      and which[:-6] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
@@ -279,13 +287,34 @@ def exec_probe(which: str) -> None:
         raise SystemExit(
             f"unknown exec case {which!r}; known: "
             f"{', '.join(sorted(sharded_cases))} (each also with a _remat "
-            f"suffix), mg16_bf16_cc<chunk|full>, mg16_bf16_cs<coarse_steps>, "
-            f"mi16_chunk8, bim16_chunk8, tt1_chunk15, gradcam32")
+            f"suffix), ens8_f32hp[_s<steps>], ens8_f32_s<steps>, "
+            f"mg16_bf16_cc<chunk|full>, mg16_bf16_cs<coarse_steps>, "
+            f"mi16_chunk8, bim16_chunk8, tt1_chunk15, gradcam32, pallas")
     mesh = attack_mesh(jax.devices()[:1])
     if which in sharded_cases:
         mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which]
         sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                      param_dtype=pdt)
+    elif which.split("_s")[0] in ("ens8_f32hp", "ens8_f32"):
+        # ens8_f32hp[_s<N>] / ens8_f32_s<N>: HIGHEST-precision (true-f32
+        # MXU) ENS at B=8 unchunked, plus the same-shape same-step-count
+        # DEFAULT-mode base, so the HIGHEST-vs-default cost ratio is
+        # measured apples-to-apples. Step-count matters on this worker:
+        # EVERY 60-step HIGHEST attempt crashes it mid-run ("TPU worker
+        # process crashed ... kernel fault" — B=16 chunk128 r3, B=16
+        # chunk64 r4, B=8 unchunked r4), while the 3-step fidelity pair
+        # executes — so the _s<N> suffix walks the program length down to
+        # the largest one that survives.
+        tail = which.split("_s")[-1]
+        n_steps = int(tail) if tail.isdigit() else STEPS
+        mf, dt, batch, adaptive, chunk, pdt = sharded_cases["ens8_f32"]
+        import contextlib
+
+        ctx = (jax.default_matmul_precision("float32")
+               if "hp" in which else contextlib.nullcontext())
+        with ctx:
+            sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
+                                         param_dtype=pdt, steps=n_steps)
     elif which.startswith("ens16_f32hp_chunk"):
         # the f32 headline config with matmul/conv precision forced to
         # HIGHEST (true-f32 MXU passes). The plain "f32" rows keep f32
@@ -426,6 +455,94 @@ def exec_probe(which: str) -> None:
             "executed": True,
         })
         return
+    elif which == "pallas":
+        # VERDICT r3 next #4: prove (or record the negative for) the Pallas
+        # kernels on the ONLY TPU this project runs on. Production gates
+        # them OFF under PALLAS_AXON_REMOTE_COMPILE=1 (ops/pallas_kernels.
+        # _on_tpu) because Mosaic kernels embedded in large differentiated
+        # modules crash the remote-compile helper; this case forces them ON
+        # (I2V_TPU_FORCE_PALLAS=1) for three escalating probes:
+        #   (a) sign_step_project standalone at the production clip-batch
+        #       size (16,3,32,224,224), 50 chained steps, timed vs the
+        #       XLA-fused jnp fallback it shadows (ops/pixel),
+        #   (b) rebuild_adv fwd+custom-VJP bwd, value/grad diff vs fallback,
+        #   (c) a 2-step BIM on a tiny lane-aligned I3D — the kernel inside
+        #       a real differentiated attack program.
+        # A crash here is itself the documented negative (recorded post-hoc
+        # like exec_ens16_f32hp_chunk64.crash).
+        os.environ.pop("I2V_TPU_DISABLE_PALLAS", None)
+        os.environ["I2V_TPU_FORCE_PALLAS"] = "1"
+        from i2v_tpu.ops import pallas_kernels as pk
+        from i2v_tpu.ops import pixel
+
+        eps = 16.0 / 255.0
+        shape = (16, 3, 32, 224, 224)
+        ka, kg, kc = jax.random.split(jax.random.PRNGKey(0), 3)
+        adv = jax.random.uniform(ka, shape, jnp.float32)
+        grad = jax.random.normal(kg, shape, jnp.float32)
+        clean = jnp.clip(
+            adv + 0.03 * jax.random.normal(kc, shape, jnp.float32), 0.0, 1.0)
+        out = {}
+
+        def sign_loop(op):
+            @jax.jit
+            def f(a, g, c):
+                body = lambda i, x: op(x, g, c, 0.004, eps)
+                return jnp.sum(jax.lax.fori_loop(0, 50, body, a))
+            return f
+
+        for tag, op in (("pallas", pk.sign_step_project),
+                        ("xla", pixel.sign_step_project)):
+            f = sign_loop(op)
+            v = float(f(adv, grad, clean))  # compile + first (relay sync
+            # discipline: a small reduced scalar, bench.py header note)
+            t0 = time.time()
+            v = float(f(adv, grad, clean))
+            out[f"sign_step50_{tag}_ms"] = round((time.time() - t0) * 1e3, 1)
+            out[f"sign_step50_{tag}_sum"] = round(v, 2)
+        one = {t: o(adv, grad, clean, 0.004, eps) for t, o in
+               (("pallas", pk.sign_step_project),
+                ("xla", pixel.sign_step_project))}
+        out["sign_step_max_abs_diff"] = float(
+            jnp.max(jnp.abs(one["pallas"] - one["xla"])))
+
+        def rebuild_loss(op):
+            def f(c, m):
+                o = op(c, m, eps)
+                return jnp.sum(o * jnp.sin(o))
+            return jax.jit(jax.value_and_grad(f, argnums=1))
+
+        mod = 0.1 * jax.random.normal(jax.random.PRNGKey(7), shape)
+        vp, gp = rebuild_loss(pk.rebuild_adv)(clean, mod)
+        vx, gx = rebuild_loss(pixel.rebuild_adv)(clean, mod)
+        out["rebuild_val_abs_diff"] = float(jnp.abs(vp - vx))
+        out["rebuild_grad_max_abs_diff"] = float(jnp.max(jnp.abs(gp - gx)))
+
+        import dataclasses
+
+        from i2v_tpu.attacks.whitebox import BIM
+        from i2v_tpu.models import get_video_model
+
+        tiny = get_video_model("i3d_resnet50", tiny=True, seed=0,
+                               example_shape=(1, 3, 8, 32, 32))
+        atk = BIM(tiny, steps=2)
+        clean8 = jnp.full((8, 3, 8, 32, 32), 0.5, jnp.float32)
+        labels = jnp.zeros((8,), jnp.int32)
+        jitted = atk.jitted_runner(clean8.shape)
+        _, costs = jitted(tiny.params, clean8, labels, jax.random.PRNGKey(0))
+        out["bim2_tiny_pallas_final_cost"] = round(
+            float(np.asarray(costs)[-1]), 4)
+        os.environ["I2V_TPU_DISABLE_PALLAS"] = "1"
+        atk2 = BIM(tiny, steps=2)
+        jitted2 = atk2.jitted_runner(clean8.shape)
+        _, costs2 = jitted2(tiny.params, clean8, labels, jax.random.PRNGKey(0))
+        out["bim2_tiny_xla_final_cost"] = round(
+            float(np.asarray(costs2)[-1]), 4)
+        del os.environ["I2V_TPU_DISABLE_PALLAS"]
+        out["executed"] = True
+        print(f"[exec:pallas] {out}")
+        record("exec_pallas", out)
+        return
     elif which == "tt1_chunk15":
         # TemporalTranslation, the heaviest white-box path (15 gradient
         # queries per step, video_attacks.py:189-214): all 15 cycle-shift
@@ -530,32 +647,66 @@ def fidelity_probe(which: str) -> None:
     })
 
 
-def cost_probe() -> None:
+def cost_probe(which: str = "fit") -> None:
     """Roofline audit vs v5e peaks (819 GB/s HBM, ~197 bf16 TFLOP/s).
 
     XLA cost analysis counts a while/scan BODY ONCE regardless of trip
     count, so lower a steps=1 runner — its numbers ≈ one attack step + the
-    one-time clean-tap collection. The steps=1 liveness pattern overflows
+    one-time clean-tap collection.
+
+    which='fit' (legacy): the steps=1 UNCHUNKED liveness pattern overflows
     HBM at batch 16, so fit fixed+variable·B from B=8 and B=4 programs and
     extrapolate — a naive 2× of the B=8 totals would also double the
     batch-INVARIANT weight traffic and overstate the bound.
+
+    which='f32_chunk128' / 'bf16_chunk256': analyze the EXACT shipped
+    headline programs (B=16, frame-chunked) directly — chunking changes the
+    liveness pattern enough that steps=1 compiles at B=16, and the bench's
+    pct_of_roofline must be computed against the program it actually runs
+    (VERDICT r3 next #7), not an unchunked extrapolation.
     """
     from i2v_tpu.parallel import attack_mesh, shard_clips
     from i2v_tpu.parallel.sharded import make_sharded_i2v_runner
 
     mesh = attack_mesh()
-    models = _ens_models(jnp.bfloat16)
 
-    def analyze(batch):
+    def analyze(models, batch, frame_chunk=None, param_dtype=None):
         c = shard_clips(jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
-        r1 = make_sharded_i2v_runner(models, mesh, steps=1, step_size=0.005)
+        r1 = make_sharded_i2v_runner(models, mesh, steps=1, step_size=0.005,
+                                     frame_chunk=frame_chunk,
+                                     param_dtype=param_dtype)
         ca = r1.jitted.lower(*r1.example_args(c)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         return (float(ca.get("flops", float("nan"))),
                 float(ca.get("bytes accessed", float("nan"))))
 
-    f8, b8 = analyze(8)
-    f4, b4 = analyze(4)
+    if which in ("f32_chunk128", "bf16_chunk256"):
+        dtype = jnp.float32 if which.startswith("f32") else jnp.bfloat16
+        chunk = int(which.rsplit("chunk", 1)[1])
+        pdt = None if which.startswith("f32") else jnp.bfloat16
+        f16, b16 = analyze(_ens_models(dtype), 16, frame_chunk=chunk,
+                           param_dtype=pdt)
+        hbm_ms = b16 / 819e9 * 1e3
+        # MXU bound at the 197 bf16-TFLOP/s peak: for the f32 program this
+        # is the bound on the DEFAULT matmul mode (bf16-multiplier passes
+        # with f32 accumulate — the mode the headline row runs); true-f32
+        # HIGHEST pays multiple passes (measured: exec_ens8_f32hp_s10 vs
+        # exec_ens8_f32_s10)
+        mxu_ms = f16 / 197e12 * 1e3
+        print(f"[cost:{which}] flops={f16:.3e} bytes={b16:.3e} → "
+              f"HBM {hbm_ms:.1f} ms, MXU {mxu_ms:.1f} ms")
+        record(f"roofline_ens16_{which}", {
+            "flops_per_step": f16, "bytes_per_step": b16,
+            "hbm_bound_ms": round(hbm_ms, 1), "mxu_bound_ms": round(mxu_ms, 1),
+            "note": "steps=1 analysis of the EXACT shipped B=16 chunked "
+                    "program vs v5e peaks 819GB/s HBM, 197TFLOP/s "
+                    "(bf16-multiplier) MXU; binding resource = the larger "
+                    "bound",
+        })
+        return
+    models = _ens_models(jnp.bfloat16)
+    f8, b8 = analyze(models, 8)
+    f4, b4 = analyze(models, 4)
     f16 = f8 + (f8 - f4) * 2  # fixed + var·16
     b16 = b8 + (b8 - b4) * 2
     hbm_ms = b16 / 819e9 * 1e3
