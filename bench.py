@@ -128,6 +128,58 @@ def _measured_aens_anchor() -> float:
         return REF_2080TI_ENS_STEPS_PER_SEC / 2
 
 
+def _perf_probe() -> dict:
+    try:
+        with open(os.path.join(_HERE, "PERF_PROBE.json")) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _roofline_fields(key: str, sps: float) -> dict:
+    """pct_of_roofline for a 512-frame-normalized steps/s row against the
+    exact-program bound recorded by `perf_probe cost <cfg>` (VERDICT r3
+    next #7). The analyzed programs are B=16 (= 512 frames), so the bound
+    in steps/s is simply 1e3 / bound_ms; the binding resource is whichever
+    bound is larger."""
+    rl = _perf_probe().get(key)
+    if not rl:
+        return {}
+    hbm, mxu = rl["hbm_bound_ms"], rl["mxu_bound_ms"]
+    bound_ms = max(hbm, mxu)
+    binding = "HBM" if hbm >= mxu else "MXU"
+    return {
+        "pct_of_roofline": round(100.0 * sps * bound_ms / 1e3, 1),
+        "roofline_note": (
+            f"{binding}-bound per PERF_PROBE.json {key} (HBM {hbm} ms, "
+            f"MXU {mxu} ms per step at v5e peaks); gap to bound = scan/"
+            f"chunk orchestration + non-MXU ops the analysis prices at peak"),
+    }
+
+
+def _f32_precision_fields() -> dict:
+    """The headline 'f32' rows keep f32 params/state but run dots/convs in
+    the TPU's DEFAULT matmul mode; name that on the row and quote the
+    measured cost of true-f32 (HIGHEST) compute next to it (VERDICT r3
+    next #2 — exec_ens8_f32hp_s10 vs exec_ens8_f32_s10, the largest HIGHEST
+    program that survives this environment's worker)."""
+    pp = _perf_probe()
+    out = {"matmul_precision": "default"}
+    hp = pp.get("exec_ens8_f32hp_s10", {}).get("steps_per_s_512norm")
+    base = pp.get("exec_ens8_f32_s10", {}).get("steps_per_s_512norm")
+    if hp and base:
+        out["highest_matmul_steps_per_s_b8"] = hp
+        out["default_over_highest_speedup"] = round(base / hp, 2)
+        out["matmul_precision_note"] = (
+            "f32 params/state, dot/conv inputs in the TPU default matmul "
+            "mode (1.37%/3-step cost deviation vs bit-faithful f32, "
+            "fidelity_ens8_f32default_vs_highest); true-f32 HIGHEST "
+            f"measures {hp} steps/s at the same shape ({round(base / hp, 2)}"
+            "x slower) — 60-step HIGHEST programs crash this environment's "
+            "worker (exec_ens16_f32hp_chunk64.crash)")
+    return out
+
+
 class Bench:
     """Row accumulator with immediate BENCH_LIVE persistence and cached
     fallbacks for budget-skipped sections."""
@@ -356,6 +408,11 @@ def bench_ens_f32(b: Bench):
             sps, final, traj, cs = time_attack(runner, make_input, batch, True)
             b.f32_traj = (traj, batch)
             extra = {} if chunk is None else {"frame_chunk": chunk}
+            extra.update(_f32_precision_fields())
+            if batch == 16 and chunk == 128:
+                extra.update(_roofline_fields(
+                    "roofline_ens16_f32_chunk128",
+                    sps / len(jax.devices())))
             b.row(f"ENS-I2V attack steps/sec/chip (f32, 4-surrogate "
                   f"ensemble, B={batch}, 512-frame-normalized)",
                   sps / len(jax.devices()), "steps/s/chip",
@@ -386,6 +443,11 @@ def bench_ens_bf16(b: Bench):
                 frame_chunk=chunk, param_dtype=pdtype)
             sps, final, traj, cs = time_attack(runner, make_input, batch, True)
             extra = {} if chunk is None else {"frame_chunk": chunk}
+            extra["matmul_precision"] = "bf16"
+            if batch == 16 and chunk == 256:
+                extra.update(_roofline_fields(
+                    "roofline_ens16_bf16_chunk256",
+                    sps / len(jax.devices())))
             f32 = getattr(b, "f32_traj", None)
             if f32 is not None and f32[1] == batch:
                 k = min(3, len(traj), len(f32[0]))

@@ -12,8 +12,11 @@ Here one scan engine covers the family:
     image_attacks.py:318,334) are never executed here; losses are identical,
   - the 60-step Adam loop is one lax.scan under one jit: optax.adam with
     torch defaults (b1=0.9, b2=0.999, eps=1e-8, eps_root=0) on the modifier,
-  - the ε-clamp + [0,1]-clamp input rebuild is the fused Pallas custom-VJP
-    kernel (i2v_tpu.ops.pallas_kernels.rebuild_adv).
+  - the ε-clamp + [0,1]-clamp input rebuild goes through
+    i2v_tpu.ops.pallas_kernels.rebuild_adv — on this environment the
+    XLA-fused jnp path, the measured production choice; the Pallas
+    custom-VJP kernel behind it is validated on-chip but not faster
+    (PERF_PROBE.json exec_pallas).
 
 Class names match the reference so CLI dispatch works unchanged
 (image_main.py:66-80).

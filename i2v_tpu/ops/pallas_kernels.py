@@ -1,11 +1,11 @@
-"""Fused Pallas TPU kernels for the attack hot path.
+"""Pallas TPU kernels for the attack pixel math — validated on-chip, with
+the XLA-fused jnp path as the MEASURED production default.
 
 Two elementwise fusions dominate the per-step pixel math:
 
   1. ``sign_step_project`` — α·sign(g) step + ε-ball projection + [0,1] clip
      (the per-step tail of every iterative sign attack, reference:
-     base_attacks.py:289-293). Four HBM reads + one write fused into a single
-     pass instead of a chain of intermediate materializations.
+     base_attacks.py:289-293).
 
   2. ``rebuild_adv`` — clamp(clean + clamp(modifier, ±ε), 0, 1), the
      differentiable input-rebuild of the Adam-based image-guided attacks
@@ -13,10 +13,22 @@ Two elementwise fusions dominate the per-step pixel math:
      backward masks match torch.clamp semantics (gradient passes on the
      closed interval), itself a fused Pallas kernel.
 
-Both operate on arbitrary-shaped f32 arrays by viewing them as (rows, 128)
-lane-aligned blocks; shapes whose element count is not lane-aligned (or
-non-TPU backends, e.g. the CPU test mesh) fall back to the identical pure-jnp
-path in :mod:`i2v_tpu.ops.pixel`.
+Measured status on this project's TPU (PERF_PROBE.json ``exec_pallas``, the
+forced-on probe): both kernels compile and execute correctly —
+``sign_step_project`` is bit-identical to the jnp path; ``rebuild_adv``'s
+VJP differs only at exact clip-boundary ties, where it passes the full
+gradient (torch.clamp closed-interval semantics) while jnp.clip splits ties
+50/50. But the standalone Pallas ``sign_step_project`` measures ~1.7×
+SLOWER than the XLA-fused jnp chain at production size: XLA already fuses
+the whole elementwise chain into adjacent kernels, while a separate
+pallas_call pays its own HBM round trip and grid overhead. The production
+gate (:func:`_on_tpu`) therefore keeps the jnp path on this environment —
+a measured decision, not an untested fallback.
+
+Both kernels operate on arbitrary-shaped f32 arrays by viewing them as
+(rows, 128) lane-aligned blocks; shapes whose element count is not
+lane-aligned (or non-TPU backends, e.g. the CPU test mesh) fall back to the
+identical pure-jnp path in :mod:`i2v_tpu.ops.pixel`.
 """
 
 from __future__ import annotations
@@ -30,11 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import pixel
 
+import os as _os
+
 _LANES = 128
 _SUBLANES = 8
 # Rows per grid step: 512×128 f32 block = 256 KiB/operand; 4 operands in VMEM
 # stay far under the ~16 MiB budget while amortizing grid overhead.
-_BLOCK_ROWS = 512
+# Env-tunable so the exec_pallas probe can sweep it on-chip.
+_BLOCK_ROWS = int(_os.environ.get("I2V_TPU_PALLAS_BLOCK_ROWS", "512"))
 
 
 def _on_tpu() -> bool:

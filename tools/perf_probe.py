@@ -540,8 +540,11 @@ def exec_probe(which: str) -> None:
             float(np.asarray(costs2)[-1]), 4)
         del os.environ["I2V_TPU_DISABLE_PALLAS"]
         out["executed"] = True
+        out["block_rows"] = pk._BLOCK_ROWS
+        key = ("exec_pallas" if pk._BLOCK_ROWS == 512
+               else f"exec_pallas_block{pk._BLOCK_ROWS}")
         print(f"[exec:pallas] {out}")
-        record("exec_pallas", out)
+        record(key, out)
         return
     elif which == "tt1_chunk15":
         # TemporalTranslation, the heaviest white-box path (15 gradient
@@ -737,7 +740,7 @@ def main():
               "  <variant>       timed 60-step ENS run on the device")
         return
     if variant == "cost":
-        return cost_probe()
+        return cost_probe(sys.argv[2] if len(sys.argv) > 2 else "fit")
     if variant == "hbm":
         return hbm_probe(sys.argv[2] if len(sys.argv) > 2 else "all")
     if variant == "fidelity":
