@@ -1,0 +1,48 @@
+#!/bin/bash
+# End-of-round stamp discipline, mechanized (VERDICT r3 next #5 — repeat
+# offender r2 weak #5 / r3 weak #5: SLOW_TIER.json kept drifting behind the
+# snapshot HEAD because re-stamping was a manual step more commits followed).
+#
+# Run this as the LAST act of a round, at the rev that will be snapshotted:
+#
+#   bash tools/finalize_round.sh            # ~35 min: fast suite + slow tier
+#                                           # + driver-budget bench
+#   git add SLOW_TIER.json BENCH_LIVE.json BENCH_FULL.json PERF_PROBE.json
+#   git commit -m "round N: final stamps at $(git rev-parse --short HEAD)"
+#
+# After this script, ONLY the artifact commit may land — any further source
+# commit re-opens the drift this script exists to close. The stamps record
+# the rev they ran against; the artifact-only commit on top changes no
+# source, so "green AT the snapshot rev" holds by construction.
+#
+# Device discipline: bench.py talks to the real TPU — never run this while
+# another device client is live (see tools/tpu_agenda.sh header).
+set -u
+cd "$(dirname "$0")/.."
+REV=$(git rev-parse HEAD)
+echo "[finalize] HEAD $REV"
+
+if ! git diff --quiet || ! git diff --cached --quiet; then
+  echo "[finalize] REFUSING: working tree dirty — commit source changes first" >&2
+  git status --short >&2
+  exit 2
+fi
+
+echo "[finalize] 1/3 fast suite"
+if ! python -m pytest tests/ -x -q; then
+  echo "[finalize] fast suite RED at $REV — fix before stamping" >&2
+  exit 1
+fi
+
+echo "[finalize] 2/3 slow tier → SLOW_TIER.json"
+if ! python tools/run_slow_tier.py; then
+  echo "[finalize] slow tier RED at $REV" >&2
+  exit 1
+fi
+
+echo "[finalize] 3/3 bench (driver budget) → BENCH_LIVE.json / BENCH_FULL.json"
+timeout 1500 python bench.py || {
+  echo "[finalize] bench rc=$? (artifacts may still be complete — check)" >&2
+}
+
+echo "[finalize] done at $REV — now commit ONLY the artifact files (see header)"

@@ -268,7 +268,7 @@ def exec_probe(which: str) -> None:
     }
     if (which not in sharded_cases
             and which not in ("mi16_chunk8", "bim16_chunk8", "tt1_chunk15",
-                              "gradcam32", "pallas")
+                              "tt1_r101_chunk15", "gradcam32", "pallas")
             and not (which.startswith("ens16_f32hp_chunk")
                      and "ens16_f32_chunk" + which[len("ens16_f32hp_chunk"):]
                      in sharded_cases)
@@ -546,16 +546,20 @@ def exec_probe(which: str) -> None:
         print(f"[exec:pallas] {out}")
         record(key, out)
         return
-    elif which == "tt1_chunk15":
+    elif which in ("tt1_chunk15", "tt1_r101_chunk15"):
         # TemporalTranslation, the heaviest white-box path (15 gradient
         # queries per step, video_attacks.py:189-214): all 15 cycle-shift
         # variants in ONE vmapped query (--tt_chunk 15 — the measured-fastest
         # config, README "0.27 s/step"). Raw steps/s at B=1 (the 15-variant
         # fan-out makes 512-frame normalization meaningless here).
+        # tt1_r101_chunk15 is the PRODUCTION-shaped row (VERDICT r3 next #8):
+        # the reference's most expensive attack at the reference's surrogate
+        # (I3D-NL ResNet-101, attack.py:13-61 default model + kernlen 15).
         from i2v_tpu.attacks.temporal import TemporalTranslation
         from i2v_tpu.models import get_video_model
 
-        model = get_video_model("i3d_resnet50")
+        model = get_video_model(
+            "i3d_resnet101" if "r101" in which else "i3d_resnet50")
         atk = TemporalTranslation(model, {"kernlen": 15, "chunk": 15},
                                   steps=3)
         shape = (1, 3, 32, 224, 224)
@@ -684,11 +688,22 @@ def cost_probe(which: str = "fit") -> None:
                 float(ca.get("bytes accessed", float("nan"))))
 
     if which in ("f32_chunk128", "bf16_chunk256"):
+        # XLA cost analysis counts the frame-chunk SCAN BODY ONCE regardless
+        # of trip count, so a single compile of the chunked program reports
+        # fixed + body(chunk), not the true per-step fixed + body·trips.
+        # body(c) scales linearly in c, so two chunk sizes solve it:
+        #   counted(c) = fixed + k·c   →  k = Δcounted/Δc
+        #   true per-step = counted(c1) + k·(512 − c1)      (512 frames@B=16)
         dtype = jnp.float32 if which.startswith("f32") else jnp.bfloat16
-        chunk = int(which.rsplit("chunk", 1)[1])
+        c1 = int(which.rsplit("chunk", 1)[1])
+        c2 = c1 // 2
         pdt = None if which.startswith("f32") else jnp.bfloat16
-        f16, b16 = analyze(_ens_models(dtype), 16, frame_chunk=chunk,
-                           param_dtype=pdt)
+        models = _ens_models(dtype)
+        fa, ba = analyze(models, 16, frame_chunk=c1, param_dtype=pdt)
+        fb, bb = analyze(models, 16, frame_chunk=c2, param_dtype=pdt)
+        kf, kb = (fa - fb) / (c1 - c2), (ba - bb) / (c1 - c2)
+        f16 = fa + kf * (512 - c1)
+        b16 = ba + kb * (512 - c1)
         hbm_ms = b16 / 819e9 * 1e3
         # MXU bound at the 197 bf16-TFLOP/s peak: for the f32 program this
         # is the bound on the DEFAULT matmul mode (bf16-multiplier passes
@@ -696,15 +711,18 @@ def cost_probe(which: str = "fit") -> None:
         # HIGHEST pays multiple passes (measured: exec_ens8_f32hp_s10 vs
         # exec_ens8_f32_s10)
         mxu_ms = f16 / 197e12 * 1e3
-        print(f"[cost:{which}] flops={f16:.3e} bytes={b16:.3e} → "
+        print(f"[cost:{which}] chunk{c1} counted flops={fa:.3e} "
+              f"bytes={ba:.3e}; chunk{c2} flops={fb:.3e} bytes={bb:.3e} → "
+              f"true/step flops={f16:.3e} bytes={b16:.3e} → "
               f"HBM {hbm_ms:.1f} ms, MXU {mxu_ms:.1f} ms")
         record(f"roofline_ens16_{which}", {
             "flops_per_step": f16, "bytes_per_step": b16,
             "hbm_bound_ms": round(hbm_ms, 1), "mxu_bound_ms": round(mxu_ms, 1),
-            "note": "steps=1 analysis of the EXACT shipped B=16 chunked "
-                    "program vs v5e peaks 819GB/s HBM, 197TFLOP/s "
-                    "(bf16-multiplier) MXU; binding resource = the larger "
-                    "bound",
+            "note": "EXACT shipped B=16 chunked program; scan-body-once "
+                    "corrected by a two-chunk linear fit "
+                    f"(chunk{c1}/chunk{c2}); v5e peaks 819GB/s HBM, "
+                    "197TFLOP/s (bf16-multiplier) MXU; binding resource = "
+                    "the larger bound",
         })
         return
     models = _ens_models(jnp.bfloat16)
