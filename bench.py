@@ -172,10 +172,11 @@ def _f32_precision_fields() -> dict:
         out["default_over_highest_speedup"] = round(base / hp, 2)
         out["matmul_precision_note"] = (
             "f32 params/state, dot/conv inputs in the TPU default matmul "
-            "mode (1.37%/3-step cost deviation vs bit-faithful f32, "
-            "fidelity_ens8_f32default_vs_highest); true-f32 HIGHEST "
-            f"measures {hp} steps/s at the same shape ({round(base / hp, 2)}"
-            "x slower) — 60-step HIGHEST programs crash this environment's "
+            "mode (cost-trajectory deviation vs bit-faithful f32: 1.37% by "
+            "step 3, 2.2% by step 10 — fidelity_ens8_f32default_vs_highest "
+            "+ the s10 exec pair's final costs); true-f32 HIGHEST measures "
+            f"{hp} steps/s at the same shape ({round(base / hp, 2)}x "
+            "slower) — 60-step HIGHEST programs crash this environment's "
             "worker (exec_ens16_f32hp_chunk64.crash)")
     return out
 

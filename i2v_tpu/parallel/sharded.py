@@ -76,6 +76,7 @@ def make_sharded_i2v_runner(
     mu_dtype=None,
     donate: bool = False,
     frame_chunk: int | str | None = None,
+    chunk_unroll: int = 1,
     param_dtype=None,
     return_modifier: bool = False,
 ):
@@ -199,8 +200,17 @@ def make_sharded_i2v_runner(
                     return c, aux, g
 
                 mod_r = modifier.reshape(frames_r.shape)
-                costs_c, auxs, grads = jax.lax.map(
-                    one, (frames_r, mod_r, clean_taps_r, fmask_r))
+                # chunk_unroll > 1 unrolls the accumulation loop: chunk
+                # gradients are mutually independent (per-frame-separable
+                # objective), so an unrolled pair lets XLA overlap one
+                # chunk's backward with the next chunk's forward at the
+                # price of holding both chunks' activations (the roofline-
+                # gap experiment, VERDICT r3 next #7; lax.map is scan with
+                # unroll=1)
+                _, (costs_c, auxs, grads) = jax.lax.scan(
+                    lambda _, args: (None, one(args)), None,
+                    (frames_r, mod_r, clean_taps_r, fmask_r),
+                    unroll=chunk_unroll)
                 cost = jnp.sum(costs_c)
                 g = grads.reshape(modifier.shape)
                 if adaptive:

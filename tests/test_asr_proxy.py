@@ -105,6 +105,50 @@ class TestFlipOverlap:
                        "same_adv_class_given_both_flip": 1.0}
 
 
+class TestSyntheticTask:
+    """The trained-victims mode (VERDICT r3 next #3): the synthetic K-class
+    task must be balanced, deterministic, and learnable enough that clean
+    accuracy clears chance — the precondition for the fooling-rate gate to
+    measure attack efficacy instead of divergence-vs-chaos."""
+
+    def test_labeled_clips_balanced_and_bounded(self, proxy):
+        clips, labels = proxy.labeled_clips(20, 4, 16, seed=2)
+        arr, lab = np.asarray(clips), np.asarray(labels)
+        assert arr.shape == (20, 3, 4, 16, 16)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+        counts = np.bincount(lab, minlength=proxy.N_CLASSES)
+        assert counts.min() == counts.max() == 2  # balanced by construction
+        c2, l2 = proxy.labeled_clips(20, 4, 16, seed=2)
+        np.testing.assert_array_equal(arr, np.asarray(c2))
+        np.testing.assert_array_equal(lab, np.asarray(l2))
+
+    def test_class_signal_separable(self, proxy):
+        # nearest-pattern classification of the labeled clips must beat
+        # chance by a wide margin — the signal the nets are asked to learn
+        pats = np.asarray(proxy.class_patterns(t=4, hw=16))
+        clips, labels = proxy.labeled_clips(40, 4, 16, seed=3)
+        arr = np.asarray(clips)
+        d = ((arr[:, None] - pats[None]) ** 2).sum(axis=(2, 3, 4, 5))
+        acc = (d.argmin(axis=1) == np.asarray(labels)).mean()
+        assert acc > 0.9
+
+    def test_training_beats_chance(self, proxy):
+        # a single tiny victim trained briefly on the task must clear
+        # chance on held-out clips — the harness's efficacy precondition
+        from i2v_tpu.models import get_video_model
+
+        pats = proxy.class_patterns(t=4, hw=16)
+        train_x, train_y = proxy.labeled_clips(60, 4, 16, seed=7,
+                                               patterns=pats)
+        test_x, test_y = proxy.labeled_clips(30, 4, 16, seed=8,
+                                             patterns=pats)
+        victims = {"v": get_video_model("i3d_resnet50", tiny=True, seed=0,
+                                        example_shape=(1, 3, 4, 16, 16))}
+        trained = proxy.train_victims(victims, train_x, train_y, steps=120)
+        acc = proxy.clean_accuracy(trained, test_x, test_y)
+        assert acc["v"] > 2.5 / proxy.N_CLASSES, acc
+
+
 class TestEndToEndMicro:
     def test_attack_invariants_and_gate_schema(self, proxy):
         """One micro f32 config through run_config: ε-ball + [0,1] asserted

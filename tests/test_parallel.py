@@ -67,6 +67,17 @@ def test_frame_chunked_grad_accumulation_matches_full_batch():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(adv_c), np.asarray(adv_f), atol=2e-6)
 
+    # chunk_unroll is a SCHEDULING knob: same chunk math, but XLA fuses the
+    # unrolled pair differently, so agreement is last-ulp (measured 6e-8
+    # rel on CPU), not bit-exact — tolerances reflect that
+    unrolled = make_sharded_i2v_runner(models, mesh, steps=3, frame_chunk=4,
+                                       chunk_unroll=2)
+    adv_u, costs_u = unrolled(shard_clips(clean01, mesh))
+    np.testing.assert_allclose(np.asarray(costs_u), np.asarray(costs_c),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(adv_u), np.asarray(adv_c),
+                               atol=2e-6)
+
     amodels = get_image_models(
         ["resnet", "alexnet"], {"resnet": [1, 2], "alexnet": [2, 3]},
         tiny=True, input_hw=32)

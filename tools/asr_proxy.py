@@ -85,6 +85,140 @@ def smooth_clips(n: int, t: int = 8, hw: int = 32, seed: int = 0):
     return jnp.clip(clips, 0.0, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Synthetic labeled task (VERDICT r3 next #3): random-init victims gave the
+# proxy fooling rates BELOW its own ±ε noise floor — transfer to a victim
+# that shares no learned structure with the surrogates is chance, so the
+# lever gates measured divergence-vs-chaos, not attack efficacy. The fix:
+# one K-class synthetic task (class-conditioned low-frequency pattern banks
+# mixed into smooth clips), surrogates AND victims trained on it for a few
+# hundred CPU steps. Clean accuracy then sits far above chance, surrogate
+# features carry class structure, and disrupting them transfers — so the
+# f32 fooling rate clears the noise floor and the lever gates compare
+# against a meaningful baseline. Mirrors the reference's protocol shape:
+# attack optimizes on image-model features, success is measured on held-out
+# video models (reference.py:105-129).
+# ---------------------------------------------------------------------------
+
+N_CLASSES = 10  # = tiny video-model head width (models/i3d.py tiny builders)
+
+
+def class_patterns(k: int = N_CLASSES, t: int = 8, hw: int = 32,
+                   seed: int = 3):
+    """K fixed low-frequency class templates, one per synthetic class."""
+    rng = np.random.RandomState(seed)
+    base = rng.rand(k, 3, t, 4, 4).astype(np.float32)
+    return jax.image.resize(jnp.asarray(base), (k, 3, t, hw, hw),
+                            method="cubic")
+
+
+def labeled_clips(n: int, t: int = 8, hw: int = 32, *, seed: int = 0,
+                  patterns=None, strength: float = 0.5):
+    """Balanced labeled clips: clip = (1-s)·smooth noise + s·pattern[label].
+    Same [0,1] domain and spatial statistics as smooth_clips, plus a class
+    signal a small conv net can learn in a few hundred steps."""
+    if patterns is None:
+        patterns = class_patterns(t=t, hw=hw)
+    k = patterns.shape[0]
+    labels = np.arange(n) % k  # balanced by construction
+    rng = np.random.RandomState(seed)
+    rng.shuffle(labels)
+    noise = np.asarray(smooth_clips(n, t, hw, seed=seed + 1))
+    clips = (1.0 - strength) * noise + strength * np.asarray(patterns)[labels]
+    return jnp.clip(jnp.asarray(clips), 0.0, 1.0), jnp.asarray(labels)
+
+
+def _train(apply_logits, params, xs, ys, *, steps: int, batch: int,
+           lr: float = 3e-3, seed: int = 0):
+    """Minimal CE training loop (optax.adam). apply_logits(params, x) →
+    (N, num_classes); integer labels. Returns (trained params, last loss)."""
+    import optax
+
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+    n = int(xs.shape[0])
+    batch = min(batch, n)
+    rng = np.random.RandomState(seed)
+
+    @jax.jit
+    def step(params, opt, x, y):
+        def lf(p):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                apply_logits(p, x), y).mean()
+
+        loss, g = jax.value_and_grad(lf)(params)
+        updates, opt = tx.update(g, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    loss = float("nan")
+    for _ in range(steps):
+        idx = rng.choice(n, batch, replace=False)
+        params, opt, loss = step(params, opt, xs[idx], ys[idx])
+    return params, float(loss)
+
+
+def train_victims(victims: dict, clips01, labels, *, steps: int,
+                  batch: int = 24) -> dict:
+    """Train each tiny video victim on the synthetic task ([0,1] clips in,
+    the bundle's own normalize path — same path victim_preds scores)."""
+    from i2v_tpu.models.api import rebind_params
+
+    out = {}
+    for i, (name, bundle) in enumerate(sorted(victims.items())):
+        apply_logits = lambda p, x, m=bundle.module: m.apply(p, x)[0]
+        params, loss = _train(apply_logits, bundle.params, clips01, labels,
+                              steps=steps, batch=batch, seed=100 + i)
+        out[name] = rebind_params(bundle, params)
+        print(f"  [train:{name}] final CE {loss:.3f}", flush=True)
+    return out
+
+
+def train_surrogates(surrogates: list, clips01, labels, *, steps: int,
+                     batch: int = 96) -> list:
+    """Train the tiny image surrogates frame-wise on the same task (each
+    frame inherits its clip's label — the cross-modal link the I2V attack
+    exploits). The truncated bundles have no classifier head (and the
+    reference architectures' heads don't even shape-check at the proxy's
+    32² input), so training goes through a TEMPORARY linear probe on the
+    mean-pooled deepest tap: backbone + probe train jointly, the probe is
+    discarded, and the attacked tap features themselves end up
+    class-discriminative — exactly the structure I2V disrupts."""
+    from i2v_tpu.models.api import rebind_params
+    from i2v_tpu.ops import pixel
+
+    frames = pixel.flatten_clip_to_frames(clips01)
+    t = clips01.shape[2]
+    frame_labels = jnp.repeat(labels, t)
+    out = []
+    for i, bundle in enumerate(surrogates):
+        module, last_key = bundle.module, bundle.tap_keys[-1]
+        _, taps0 = module.apply(bundle.params, frames[:1])
+        ch = int(taps0[last_key].shape[-1])
+        w = 0.05 * jax.random.normal(jax.random.PRNGKey(500 + i),
+                                     (ch, N_CLASSES), jnp.float32)
+        packed = {"bb": bundle.params, "w": w,
+                  "b": jnp.zeros((N_CLASSES,), jnp.float32)}
+
+        def apply_logits(p, x, m=module, k=last_key):
+            _, taps = m.apply(p["bb"], x)
+            feats = jnp.mean(taps[k], axis=(1, 2))  # NHWC → (N, C)
+            return feats @ p["w"] + p["b"]
+
+        trained, loss = _train(apply_logits, packed, frames, frame_labels,
+                               steps=steps, batch=batch, seed=200 + i)
+        out.append(rebind_params(bundle, trained["bb"]))
+        print(f"  [train:{bundle.name}] final CE {loss:.3f}", flush=True)
+    return out
+
+
+def clean_accuracy(victims: dict, clips01, labels) -> dict:
+    preds = victim_preds(victims, clips01)
+    acc = {name: round(float(np.mean(preds[name] == np.asarray(labels))), 4)
+           for name in victims}
+    acc["mean"] = round(float(np.mean(list(acc.values()))), 4)
+    return acc
+
+
 def build_victims(t: int, hw: int):
     from i2v_tpu.models import get_video_model
 
@@ -211,6 +345,13 @@ def main():
     ap.add_argument("--tol", type=float, default=0.08,
                     help="max |mean fooling rate - f32's| for a lever to "
                          "pass its quality gate")
+    ap.add_argument("--train_steps", type=int, default=300,
+                    help="CE training steps for victims+surrogates on the "
+                         "synthetic task; 0 = legacy random-init mode "
+                         "(whose fooling rates sit below the noise floor)")
+    ap.add_argument("--train_clips", type=int, default=240)
+    ap.add_argument("--strength", type=float, default=0.5,
+                    help="class-pattern mixing strength in labeled clips")
     ap.add_argument("--out", default=ARTIFACT)
     args = ap.parse_args()
 
@@ -219,11 +360,40 @@ def main():
 
     import warnings
 
-    warnings.filterwarnings("ignore")  # tiny models are random-init by design
+    warnings.filterwarnings("ignore")  # tiny models are synthetic-task nets
 
     mesh = attack_mesh(jax.devices()[:1])
-    clips01 = smooth_clips(args.clips, args.frames, args.hw)
+    trained = args.train_steps > 0
     victims = build_victims(args.frames, args.hw)
+    attack_labels = None
+    surrogate_params = None  # trained f32 params, rebound per dtype below
+    if trained:
+        patterns = class_patterns(t=args.frames, hw=args.hw)
+        train_x, train_y = labeled_clips(
+            args.train_clips, args.frames, args.hw, seed=11,
+            patterns=patterns, strength=args.strength)
+        clips01, attack_labels = labeled_clips(
+            args.clips, args.frames, args.hw, seed=0,
+            patterns=patterns, strength=args.strength)
+        t0 = time.time()
+        print(f"[train] victims: {args.train_steps} steps on "
+              f"{args.train_clips} clips", flush=True)
+        victims = train_victims(victims, train_x, train_y,
+                                steps=args.train_steps)
+        base_surr = get_image_models(ENS_NAMES, ENS_DEPTHS, tiny=True,
+                                     input_hw=args.hw)
+        print("[train] surrogates (frame-wise, same task)", flush=True)
+        base_surr = train_surrogates(base_surr, train_x, train_y,
+                                     steps=args.train_steps)
+        surrogate_params = {b.name: b.params for b in base_surr}
+        print(f"[train] done in {time.time() - t0:.0f}s", flush=True)
+        train_acc = clean_accuracy(victims, train_x, train_y)
+        attack_acc = clean_accuracy(victims, clips01, attack_labels)
+        print(f"[train] victim clean acc: train {train_acc['mean']}, "
+              f"attack set {attack_acc['mean']} (chance {1 / N_CLASSES})",
+              flush=True)
+    else:
+        clips01 = smooth_clips(args.clips, args.frames, args.hw)
     clean_preds = victim_preds(victims, clips01)
     # sanity: clean predictions must not be degenerate (all-one-class
     # victims would make fooling rates meaningless)
@@ -260,8 +430,17 @@ def main():
     adv_f32 = None
     for tag, kw in configs.items():
         dtype = jnp.float32 if tag.startswith("f32") else bf16
+        # per-tag modules at the tag's compute dtype; in trained mode every
+        # tag shares the SAME trained f32 params (rebound; the runner's
+        # param_dtype lever handles bf16 storage) so levers differ only in
+        # numerics, never in what the surrogates learned
         surrogates = get_image_models(ENS_NAMES, ENS_DEPTHS, tiny=True,
                                       input_hw=args.hw, dtype=dtype)
+        if surrogate_params is not None:
+            from i2v_tpu.models.api import rebind_params
+
+            surrogates = [rebind_params(b, surrogate_params[b.name])
+                          for b in surrogates]
         adv01, final_cost = run_config(tag, surrogates, mesh, clips01,
                                        steps=args.steps, **kw)
         if tag == "f32":
@@ -325,6 +504,23 @@ def main():
                                                 adv_pred_sets[lever]),
         }
     noise_floor = results["noise_control"]["fooling_rate"]["mean"]
+    if trained:
+        note = ("victims and surrogates are TRAINED on one shared synthetic "
+                "K-class task (class-conditioned pattern banks), so "
+                "surrogate features carry class structure and the attack "
+                "has real transfer signal: f32_minus_noise must be clearly "
+                "positive for the gate to measure efficacy rather than "
+                "divergence-vs-chaos (VERDICT r3 next #3). Exact variants "
+                "(f32_chunk, f32_ulp) must reproduce f32's predictions "
+                "pair-for-pair (flip_jaccard 1.0); approximate levers "
+                "(bf16, multigrid) must keep the mean fooling rate within "
+                "tolerance — ASR, not pixel identity, is the reference's "
+                "product metric (reference.py:105-129)")
+    else:
+        note = ("random-init victims share no learned features with the "
+                "surrogates, so ABSOLUTE transfer above the noise floor is "
+                "not expected in this legacy mode — run with --train_steps "
+                "> 0 (the default) for the efficacy-measuring gate")
     gates["noise_floor_context"] = {
         "f32_minus_noise": round(f32_rate - noise_floor, 4),
         "noise_pred_agreement_vs_f32": pred_agreement(
@@ -332,20 +528,7 @@ def main():
         "noise_flip_overlap_vs_f32": flip_overlap(
             clean_preds, adv_pred_sets["f32"],
             adv_pred_sets["noise_control"]),
-        "note": "random-init victims share no learned features with the "
-                "surrogates, so ABSOLUTE transfer above the noise floor is "
-                "not expected here (it needs real checkpoints — "
-                "environment-blocked, COVERAGE.md); the proxy's gate is the "
-                "lever-vs-f32 comparison, for which all configs share the "
-                "pipeline and the noise row provides the divergence scale. "
-                "How to read the three metric tiers: exact variants "
-                "(f32_chunk, f32_ulp) reproduce f32's predictions pair-for-"
-                "pair (flip_jaccard 1.0 — the pipeline is deterministic); "
-                "approximate levers (bf16, multigrid) change WHICH pairs "
-                "flip (flip_jaccard near the noise row's) but not HOW MANY "
-                "(delta_vs_f32 within tolerance) — and ASR, not pixel "
-                "identity, is the reference's product metric "
-                "(reference.py:105-129)",
+        "note": note,
     }
 
     try:
@@ -365,9 +548,16 @@ def main():
             "victims": sorted(victims),
             "metric": "fooling rate: fraction of (clip, victim) pairs whose "
                       "argmax prediction flips vs the clean clip "
-                      "(reference.py:105-129 ASR analogue for random-init "
-                      "victims)",
+                      "(reference.py:105-129 ASR analogue)",
             "backend": "cpu (forced), deterministic",
+            "training": ({
+                "train_steps": args.train_steps,
+                "train_clips": args.train_clips,
+                "n_classes": N_CLASSES, "strength": args.strength,
+                "victim_clean_acc_train": train_acc,
+                "victim_clean_acc_attack_set": attack_acc,
+                "chance": 1 / N_CLASSES,
+            } if trained else "none (legacy random-init mode)"),
         },
         "results": results,
         "gates": gates,

@@ -210,11 +210,11 @@ def exec_probe(which: str) -> None:
     # init through a dead relay hangs, and an arg typo must not pay that
 
     def run_sharded(models, batch, adaptive, frame_chunk, param_dtype=None,
-                    steps=STEPS, remat=False):
+                    steps=STEPS, remat=False, chunk_unroll=1):
         runner = make_sharded_i2v_runner(
             models, mesh, steps=steps, step_size=0.005, adaptive=adaptive,
             donate=True, frame_chunk=frame_chunk, param_dtype=param_dtype,
-            remat=remat)
+            remat=remat, chunk_unroll=chunk_unroll)
         mk = lambda: shard_clips(
             jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
         t0 = time.time()
@@ -277,6 +277,7 @@ def exec_probe(which: str) -> None:
                           or which.split("_s")[-1].isdigit()))
             and not (which.endswith("_remat")
                      and which[:-6] in sharded_cases)
+            and not (which.endswith("_cu2") and which[:-4] in sharded_cases)
             and not (which.startswith("mg16_bf16_cc")
                      and (which[len("mg16_bf16_cc"):] == "full"
                           or (which[len("mg16_bf16_cc"):].isdigit()
@@ -330,6 +331,16 @@ def exec_probe(which: str) -> None:
         with jax.default_matmul_precision("float32"):
             sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                          param_dtype=pdt)
+    elif which.endswith("_cu2") and which[:-4] in sharded_cases:
+        # <case>_cu2: unroll the frame-chunk accumulation loop by 2 so XLA
+        # can overlap one chunk's backward with the next chunk's forward —
+        # chunk grads are independent (per-frame-separable objective). HBM
+        # cost: TWO chunks' activations live at once, so only chunks at or
+        # below half the dtype's frontier are candidates. The roofline-gap
+        # experiment (VERDICT r3 next #7); win or lose, the row lands.
+        mf, dt, batch, adaptive, chunk, pdt = sharded_cases[which[:-4]]
+        sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
+                                     param_dtype=pdt, chunk_unroll=2)
     elif which.endswith("_remat") and which[:-6] in sharded_cases:
         # <case>_remat: save only the taps, replay the forward in the
         # backward — trades HBM activation traffic (the binding resource:
