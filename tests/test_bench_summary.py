@@ -39,6 +39,12 @@ def _heavy_full_summary(n_rows=24):
         "cached_from": prov, "skipped": "budget",
     } for i in range(n_rows)]
     rows[0].pop("cached_from"), rows[0].pop("skipped")  # one fresh row
+    # the round-4 headline extras: short fields must survive compaction,
+    # the long *_note prose must stay in the rows/BENCH_FULL side channel
+    rows[0]["matmul_precision"] = "default"
+    rows[0]["pct_of_roofline"] = 60.5
+    rows[0]["matmul_precision_note"] = "x" * 400
+    rows[0]["roofline_note"] = "y" * 300
     full = dict(rows[0])
     full["wall_s"] = 512.3
     full["compile_cache"] = {"requests": 40, "hits": 38}
@@ -58,6 +64,10 @@ def test_compact_summary_line_under_cap(bench, tmp_path, monkeypatch):
     assert out["value"] == full["value"]
     assert out["unit"] == "steps/s/chip"
     assert out["vs_baseline"] == 39.85
+    assert out["matmul_precision"] == "default"
+    assert out["pct_of_roofline"] == 60.5
+    assert "matmul_precision_note" not in out  # prose stays in BENCH_FULL
+    assert "roofline_note" not in out
     assert out["rows_in"] == "BENCH_LIVE.json"
     assert out["full_summary_in"] == "BENCH_FULL.json"
     assert out["rows_measured"] == 1
