@@ -24,7 +24,6 @@ Class names match the reference so CLI dispatch works unchanged
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Sequence
 
 import jax

@@ -41,8 +41,16 @@ if ! python tools/run_slow_tier.py; then
 fi
 
 echo "[finalize] 3/3 bench (driver budget) → BENCH_LIVE.json / BENCH_FULL.json"
-timeout 1500 python bench.py || {
-  echo "[finalize] bench rc=$? (artifacts may still be complete — check)" >&2
-}
+if ! timeout 1500 python bench.py; then
+  echo "[finalize] bench rc=$? at $REV — stamp NOT valid" >&2
+  exit 1
+fi
+# a zero rc with a stale artifact would still break the "green AT the
+# snapshot rev" guarantee — verify the stamp's rev is this HEAD (ADVICE r4)
+BENCH_REV=$(python -c "import json; print(json.load(open('BENCH_FULL.json'))['rev'])")
+if [ "$BENCH_REV" != "$REV" ]; then
+  echo "[finalize] BENCH_FULL.json rev $BENCH_REV != HEAD $REV — stale stamp" >&2
+  exit 1
+fi
 
 echo "[finalize] done at $REV — now commit ONLY the artifact files (see header)"
