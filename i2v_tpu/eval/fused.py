@@ -203,6 +203,27 @@ class FusedGenerateEvaluate:
         for name, (acc, preds) in pending.items():
             self.predictions[name] += list(np.asarray(preds))
 
+    def process_artifacts(self, files: Sequence[str]) -> None:
+        """Resume path: re-score EXISTING artifacts through the resident
+        eval models — no attack, no re-write. A killed fused run resumes as
+        (a) ``process_artifacts`` over the labels already on disk (one
+        upload, six forwards — cheap relative to a 60-step attack) and
+        (b) ``process_batch`` over the missing labels; ``finalize`` then
+        emits the complete un-sharded reports, so resume needs no offline
+        merge step. Mirrors the reference's re-evaluate-from-artifacts
+        protocol (reference.py:96-103) inside the fused process."""
+        from ..utils import artifacts
+
+        clips, labels = artifacts.load_adv_batch(self.run_dir, files)
+        adv = jnp.asarray(clips)
+        jlabels = jnp.asarray(labels)
+        pending = {name: self._fwd[name](self.bundles[name].params, adv,
+                                         jlabels)
+                   for name in self.bundles}
+        self.labels_seen += [int(x) for x in labels]
+        for name, (acc, preds) in pending.items():
+            self.predictions[name] += list(np.asarray(preds))
+
     def finalize(self, report_dir: Optional[str] = None,
                  shard: Optional[int] = None) -> dict:
         """Drain the artifact writer and emit the reference-schema reports.

@@ -79,6 +79,7 @@ def make_sharded_i2v_runner(
     chunk_unroll: int = 1,
     param_dtype=None,
     return_modifier: bool = False,
+    opt_state_io: bool = False,
 ):
     """Build a jitted, mesh-sharded I2V/ENS/AENS attack runner.
 
@@ -90,6 +91,19 @@ def make_sharded_i2v_runner(
     multigrid schedule (parallel/multigrid.py). ``return_modifier=True``
     appends the final (unclipped) modifier to the runner's outputs so a later
     phase can resume from it.
+
+    ``opt_state_io=True`` additionally threads the Adam optimizer state
+    through the runner boundary: the runner accepts ``opt_init=(count, mu,
+    nu)`` and appends the final ``(count, mu, nu)`` to its outputs. With
+    ``return_modifier`` this makes a ``steps``-step runner a resumable
+    segment — N chained calls are BIT-IDENTICAL to one N·steps run (the
+    scan carry crosses the jit boundary unchanged; tests/
+    test_chained_opt.py pins it), which is (a) attack-state checkpointing
+    the reference never had (its killed runs re-run from scratch,
+    SURVEY §5) and (b) how the true-f32 HIGHEST cost is measured on a
+    worker that crashes long HIGHEST programs (tools/perf_probe.py
+    exec_ens16_f32hp_chained). The tuple form (not optax's state classes)
+    keeps the IO pytree stable across optax versions.
 
     ``frame_chunk``: gradient accumulation over the frame axis. The I2V/AENS
     objectives are exactly per-frame separable (every frame's cosine term
@@ -128,7 +142,7 @@ def make_sharded_i2v_runner(
             taps.extend(t)
         return taps
 
-    def inner(params_list, clean01, state0, fmask, mod_init):
+    def inner(params_list, clean01, state0, fmask, mod_init, opt0):
         # params/adaptive-state as runtime args: closure-captured arrays
         # would be embedded as HLO constants (huge programs, slow compiles)
         # fmask: None (common case — no masking traced, zero overhead) or a
@@ -256,14 +270,31 @@ def make_sharded_i2v_runner(
             jnp.full_like(frames, MODIFIER_INIT) if mod_init is None
             else mod_init.astype(frames.dtype), fsharding
         )
-        (modifier, _, final_state), costs = jax.lax.scan(
-            step, (mod0, opt.init(mod0), state0), None, length=steps,
+        if opt0 is None:
+            opt_state0 = opt.init(mod0)
+        else:
+            # rebuild optax.adam's state from the stable (count, mu, nu)
+            # IO tuple; the structural assumption (scale_by_adam first in
+            # the chain) is pinned by tests/test_chained_opt.py
+            import optax
+
+            count, mu, nu = opt0
+            opt_state0 = (optax.ScaleByAdamState(
+                count=count, mu=mu.astype(frames.dtype),
+                nu=nu.astype(frames.dtype)), optax.EmptyState())
+        (modifier, opt_final, final_state), costs = jax.lax.scan(
+            step, (mod0, opt_state0, state0), None, length=steps,
             unroll=unroll,
         )
         modifier = jax.lax.stop_gradient(modifier)
         adv = pk.rebuild_adv(frames, modifier, epsilon)
         out = (pixel.unflatten_frames_to_clip(adv, b), costs, final_state)
-        return out + (modifier,) if return_modifier else out
+        if return_modifier:
+            out = out + (modifier,)
+        if opt_state_io:
+            st = opt_final[0]
+            out = out + ((st.count, st.mu, st.nu),)
+        return out
 
     csharding = clip_sharding(mesh)
     rep = jax.sharding.NamedSharding(mesh, P())
@@ -278,9 +309,13 @@ def make_sharded_i2v_runner(
     out_sh = (csharding, rep, (rep, rep) if adaptive else None)
     if return_modifier:
         out_sh = out_sh + (fsharding,)
+    if opt_state_io:
+        out_sh = out_sh + ((rep, fsharding, fsharding),)  # (count, mu, nu)
     jitted = jax.jit(
         inner,
-        in_shardings=(None, csharding, None, None, fsharding),
+        # opt0 slot unconstrained: its arrays are the previous call's
+        # outputs, already laid out by out_shardings above
+        in_shardings=(None, csharding, None, None, fsharding, None),
         out_shardings=out_sh,
         donate_argnums=(1, 4) if donate else (),
     )
@@ -308,9 +343,9 @@ def make_sharded_i2v_runner(
             return None
         return (jnp.arange(b * t) < n_real * t).astype(jnp.float32)
 
-    def runner(clean01, n_real=None, mod_init=None):
+    def runner(clean01, n_real=None, mod_init=None, opt_init=None):
         out = jitted(params_list, clean01, state0(),
-                     frame_mask(clean01, n_real), mod_init)
+                     frame_mask(clean01, n_real), mod_init, opt_init)
         adv, costs, final_state = out[:3]
         if adaptive:
             coeffs_box[0] = final_state[0]
@@ -319,7 +354,7 @@ def make_sharded_i2v_runner(
     # exposed for AOT lowering / cost analysis (tools/perf_probe.py cost)
     runner.jitted = jitted
     runner.example_args = lambda clean01: (
-        params_list, clean01, state0(), frame_mask(clean01), None)
+        params_list, clean01, state0(), frame_mask(clean01), None, None)
     return runner
 
 

@@ -105,6 +105,64 @@ class TestFlipOverlap:
                        "same_adv_class_given_both_flip": 1.0}
 
 
+class TestPoweredGate:
+    """The round-5 relative-efficacy gate (VERDICT r4 next #1): must PASS a
+    lever that retains efficacy, FAIL one that destroys it, FAIL noise and
+    identity (the self-test rows), and carry clip-bootstrap CIs."""
+
+    def _mats(self, proxy):
+        rng = np.random.RandomState(0)
+        f32 = rng.rand(6, 120) < 0.30
+        noise = rng.rand(6, 120) < 0.02
+        return f32, noise
+
+    def test_retaining_lever_passes_significantly(self, proxy):
+        rng = np.random.RandomState(1)
+        f32, noise = self._mats(proxy)
+        good = f32 & (rng.rand(6, 120) < 0.9)  # ~90% retention
+        g = proxy.gate_lever(f32, good, noise, n_boot=400)
+        assert g["passes"] and g["passes_significant"]
+        assert g["retention_of_f32_efficacy"] > 0.7
+        lo, hi = g["margin_ci95"]
+        assert lo <= g["margin"] <= hi
+
+    def test_destroyed_attack_fails_significantly(self, proxy):
+        rng = np.random.RandomState(2)
+        f32, noise = self._mats(proxy)
+        bad = rng.rand(6, 120) < 0.04  # ~7% retention
+        g = proxy.gate_lever(f32, bad, noise, n_boot=400)
+        assert not g["passes"] and g["fails_significant"]
+
+    def test_noise_and_identity_fail(self, proxy):
+        f32, noise = self._mats(proxy)
+        g_noise = proxy.gate_lever(f32, noise, noise, n_boot=200)
+        g_id = proxy.gate_lever(f32, np.zeros_like(f32), noise, n_boot=200)
+        assert not g_noise["passes"] and not g_id["passes"]
+
+    def test_flip_matrix_shape_and_values(self, proxy):
+        clean = {"a": np.array([0, 1]), "b": np.array([2, 3])}
+        adv = {"a": np.array([0, 9]), "b": np.array([2, 3])}
+        m = proxy.flip_matrix(clean, adv)
+        np.testing.assert_array_equal(
+            m, np.array([[False, True], [False, False]]))
+
+    def test_bootstrap_ci_brackets_point_estimate(self, proxy):
+        rng = np.random.RandomState(3)
+        x = rng.rand(200) < 0.4
+        lo, hi = proxy.bootstrap_ci(lambda idx: x[idx].mean(), 200,
+                                    n_boot=500)
+        assert lo < x.mean() < hi
+        assert hi - lo < 0.2  # n=200 binomial CI is tight-ish
+
+    def test_exact_lever_margin_equals_half_efficacy(self, proxy):
+        # lever == f32 exactly → margin = (1 − retain)·efficacy
+        f32, noise = self._mats(proxy)
+        g = proxy.gate_lever(f32, f32, noise, retain=0.5, n_boot=100)
+        eff = f32.mean() - noise.mean()
+        assert abs(g["margin"] - 0.5 * eff) < 1e-4  # margin rounds to 4dp
+        assert g["retention_of_f32_efficacy"] == 1.0
+
+
 class TestSyntheticTask:
     """The trained-victims mode (VERDICT r3 next #3): the synthetic K-class
     task must be balanced, deterministic, and learnable enough that clean

@@ -114,6 +114,47 @@ def test_fused_shard_suffixed_reports(tmp_path, tiny_bundle):
     assert not os.path.exists(tmp_path / "results_all_models_prediction.csv")
 
 
+def test_fused_resume_rescores_existing_artifacts(tmp_path, tiny_bundle):
+    """Kill+resume (tools/e2e_400.py protocol): a second fused process
+    re-scores artifacts already on disk via process_artifacts — same
+    predictions as if their batches had run fused — then attacks only the
+    missing labels; finalize emits complete UN-sharded reports with no
+    offline merge."""
+    import pandas as pd
+
+    from i2v_tpu.eval.fused import FusedGenerateEvaluate
+    from i2v_tpu.utils import artifacts
+
+    def attack(clips, labels, names=None):
+        return jnp.asarray(clips)
+
+    rng = np.random.RandomState(4)
+    c1 = rng.rand(2, 3, 4, 32, 32).astype(np.float32)
+    c2 = rng.rand(2, 3, 4, 32, 32).astype(np.float32)
+
+    # "phase A": processed labels {0,1}, then the process died pre-finalize
+    f1 = FusedGenerateEvaluate(attack, {"tinyvid": tiny_bundle},
+                               run_dir=str(tmp_path), n_classes=8)
+    f1.process_batch({"clips": c1, "labels": np.asarray([0, 1])})
+    f1.writer.close()  # artifacts flushed; NO finalize (killed)
+    a_preds = list(f1.predictions["tinyvid"])
+
+    # "phase B": fresh process — rescore disk labels, attack the rest
+    f2 = FusedGenerateEvaluate(attack, {"tinyvid": tiny_bundle},
+                               run_dir=str(tmp_path), n_classes=8)
+    assert artifacts.existing_labels(str(tmp_path)) == {0, 1}
+    f2.process_artifacts(artifacts.list_adv_files(str(tmp_path)))
+    # rescoring reproduces phase A's predictions (identity attack ⇒ the
+    # artifact holds exactly what phase A evaluated)
+    assert f2.predictions["tinyvid"] == a_preds
+    assert f2.labels_seen == [0, 1]
+    f2.process_batch({"clips": c2, "labels": np.asarray([2, 3])})
+    f2.finalize(report_dir=str(tmp_path))
+    df = pd.read_csv(tmp_path / "results_all_models_prediction.csv")
+    assert (df["tinyvid-pre"][:4] != -1).all()
+    assert len(artifacts.existing_labels(str(tmp_path))) == 4
+
+
 def test_fused_f16_egress_casts_on_device(tmp_path, tiny_bundle):
     """--artifact_dtype float16 must halve the device→host transfer: the
     array handed to the writer is already f16 (device cast), and the saved

@@ -31,10 +31,13 @@ whose prediction flips from the clean clip's prediction — the right ASR
 analogue for random-init victims, whose clean accuracy is chance.
 
 Runs on CPU (forced before jax init) so it is deterministic and does not
-contend for the TPU relay. Writes ASR_PROXY.json at the repo root with
-within-tolerance verdicts for every lever vs f32.
+contend for the TPU relay. Writes ASR_PROXY.json at the repo root with a
+RELATIVE efficacy gate per lever (retain ≥ --retain of f32's fooling-over-
+noise, clip-bootstrap CIs) plus a self-test proving the gate can fail
+(VERDICT r4 next #1 — the round-4 absolute tolerance was vacuous).
 
-Usage: python tools/asr_proxy.py [--clips 32] [--steps 60] [--tol 0.08]
+Usage: python tools/asr_proxy.py [--clips 192] [--steps 60] [--eps255 32]
+                                 [--retain 0.5]
 """
 
 import argparse
@@ -68,7 +71,8 @@ import jax.numpy as jnp  # noqa: E402
 ENS_NAMES = ["resnet", "vgg", "squeezenet", "alexnet"]
 ENS_DEPTHS = {"resnet": 2, "vgg": 3, "squeezenet": 2, "alexnet": 3}
 VICTIM_FAMILIES = ["i3d_resnet50", "slowfast_resnet50", "tpn_resnet50"]
-EPS = 16 / 255
+EPS = 16 / 255  # production ε; the PROXY may run larger (--eps255) so the
+# base fooling rate clears statistical noise (VERDICT r4 next #1)
 ARTIFACT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "ASR_PROXY.json")
@@ -245,7 +249,7 @@ def victim_preds(victims: dict, clips01) -> dict:
 
 def run_config(tag: str, surrogates, mesh, clips01, *, steps: int,
                frame_chunk=None, param_dtype=None, multigrid: int = 0,
-               mod_nudge: float = 0.0):
+               mod_nudge: float = 0.0, eps: float = EPS):
     from i2v_tpu.parallel.multigrid import make_multigrid_i2v_runner
     from i2v_tpu.parallel.sharded import MODIFIER_INIT, make_sharded_i2v_runner
 
@@ -253,10 +257,11 @@ def run_config(tag: str, surrogates, mesh, clips01, *, steps: int,
     if multigrid:
         runner = make_multigrid_i2v_runner(
             surrogates, mesh, steps=steps, coarse_steps=multigrid, scale=2,
-            step_size=0.005, frame_chunk=frame_chunk, param_dtype=param_dtype)
+            step_size=0.005, epsilon=eps, frame_chunk=frame_chunk,
+            param_dtype=param_dtype)
     else:
         runner = make_sharded_i2v_runner(
-            surrogates, mesh, steps=steps, step_size=0.005,
+            surrogates, mesh, steps=steps, step_size=0.005, epsilon=eps,
             frame_chunk=frame_chunk, param_dtype=param_dtype)
     kw = {}
     if mod_nudge:
@@ -278,7 +283,7 @@ def run_config(tag: str, surrogates, mesh, clips01, *, steps: int,
     # pipeline invariants: ε-ball + [0,1] (attacks/core contract)
     clean = np.asarray(clips01)
     assert (adv01 >= -1e-6).all() and (adv01 <= 1 + 1e-6).all()
-    assert (np.abs(adv01 - clean) <= EPS + 1e-5).all()
+    assert (np.abs(adv01 - clean) <= eps + 1e-5).all()
     return jnp.asarray(adv01), float(costs[-1])
 
 
@@ -336,15 +341,90 @@ def flip_overlap(clean: dict, ref: dict, lever: dict) -> dict:
     }
 
 
+def flip_matrix(clean_preds: dict, adv_preds: dict) -> np.ndarray:
+    """(V, N) boolean matrix: did (victim, clip) flip vs the clean pred."""
+    names = sorted(clean_preds)
+    return np.stack([np.asarray(adv_preds[n]) != np.asarray(clean_preds[n])
+                     for n in names])
+
+
+def bootstrap_ci(stat_fn, n_clips: int, *, n_boot: int = 2000,
+                 seed: int = 13) -> list:
+    """95% percentile bootstrap CI, resampling CLIPS — the independent unit
+    (all victims score the same clips, so pair-level resampling would
+    understate variance by pretending 6·N independent draws)."""
+    rng = np.random.RandomState(seed)
+    vals = [stat_fn(rng.randint(0, n_clips, n_clips)) for _ in range(n_boot)]
+    return [round(float(np.percentile(vals, 2.5)), 4),
+            round(float(np.percentile(vals, 97.5)), 4)]
+
+
+def gate_lever(flips_ref: np.ndarray, flips_lever: np.ndarray,
+               flips_noise: np.ndarray, *, retain: float = 0.5,
+               n_boot: int = 2000, seed: int = 13) -> dict:
+    """Relative efficacy gate (VERDICT r4 next #1 — replaces the vacuous
+    absolute |delta| ≤ 0.08 criterion, which could not fail against a
+    0.0347 base rate). A lever passes iff it retains ≥ ``retain`` of f32's
+    fooling-over-noise efficacy:
+
+        margin = (lever − noise) − retain · (f32 − noise)  ≥ 0
+
+    The margin form avoids ratio instability under bootstrap resampling
+    (no division by a resampled near-zero denominator); ``retention`` is
+    still reported as the human-readable point estimate. By construction
+    the gate FAILS for a lever that destroys the attack (efficacy → 0 ⇒
+    margin = −retain·eff_f32 < 0) and for ±ε noise itself — the failure
+    mode the round-4 gate lacked. CIs are clip-bootstrap percentiles."""
+    f_ref, f_lev, f_noi = (float(m.mean())
+                           for m in (flips_ref, flips_lever, flips_noise))
+    eff_ref, eff_lev = f_ref - f_noi, f_lev - f_noi
+    margin = eff_lev - retain * eff_ref
+
+    def _delta(idx):
+        return flips_lever[:, idx].mean() - flips_ref[:, idx].mean()
+
+    def _margin(idx):
+        noi = flips_noise[:, idx].mean()
+        return ((flips_lever[:, idx].mean() - noi)
+                - retain * (flips_ref[:, idx].mean() - noi))
+
+    n = flips_ref.shape[1]
+    margin_ci = bootstrap_ci(_margin, n, n_boot=n_boot, seed=seed)
+    return {
+        "fooling_rate": round(f_lev, 4),
+        "delta_vs_f32": round(f_lev - f_ref, 4),
+        "delta_ci95": bootstrap_ci(_delta, n, n_boot=n_boot, seed=seed),
+        "efficacy_over_noise": round(eff_lev, 4),
+        "retention_of_f32_efficacy": (round(eff_lev / eff_ref, 4)
+                                      if eff_ref > 0 else None),
+        "retain_threshold": retain,
+        "margin": round(margin, 4),
+        "margin_ci95": margin_ci,
+        "passes": bool(margin >= 0),
+        # significance annotations: a CI that excludes 0 makes the verdict
+        # statistically firm rather than a point-estimate coin flip
+        "passes_significant": bool(margin_ci[0] > 0),
+        "fails_significant": bool(margin_ci[1] < 0),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clips", type=int, default=32)
+    ap.add_argument("--clips", type=int, default=192)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--hw", type=int, default=32)
-    ap.add_argument("--tol", type=float, default=0.08,
-                    help="max |mean fooling rate - f32's| for a lever to "
-                         "pass its quality gate")
+    ap.add_argument("--eps255", type=float, default=16.0,
+                    help="proxy attack ε numerator (ε = eps255/255); the "
+                         "proxy may run above the production 16 so the f32 "
+                         "base fooling rate clears statistical noise — the "
+                         "gate compares LEVERS at fixed ε, so the criterion "
+                         "is ε-invariant")
+    ap.add_argument("--retain", type=float, default=0.5,
+                    help="a lever passes iff it retains at least this "
+                         "fraction of f32's fooling-over-noise efficacy")
+    ap.add_argument("--boot", type=int, default=2000,
+                    help="bootstrap resamples for the clip-level CIs")
     ap.add_argument("--train_steps", type=int, default=300,
                     help="CE training steps for victims+surrogates on the "
                          "synthetic task; 0 = legacy random-init mode "
@@ -352,8 +432,13 @@ def main():
     ap.add_argument("--train_clips", type=int, default=240)
     ap.add_argument("--strength", type=float, default=0.5,
                     help="class-pattern mixing strength in labeled clips")
+    ap.add_argument("--levers", default="all",
+                    help="comma list of lever tags to run (f32 and the "
+                         "controls always run); 'all' = every lever — "
+                         "subset runs are for power-calibration sweeps")
     ap.add_argument("--out", default=ARTIFACT)
     args = ap.parse_args()
+    eps = args.eps255 / 255.0
 
     from i2v_tpu.models import get_image_models
     from i2v_tpu.parallel import attack_mesh
@@ -425,6 +510,9 @@ def main():
         "multigrid_cs12": dict(frame_chunk=None, param_dtype=bf16,
                                multigrid=max(1, args.steps // 5)),
     }
+    if args.levers != "all":
+        keep = {"f32"} | set(args.levers.split(","))
+        configs = {t: kw for t, kw in configs.items() if t in keep}
     results = {}
     adv_pred_sets = {}
     adv_f32 = None
@@ -442,7 +530,7 @@ def main():
             surrogates = [rebind_params(b, surrogate_params[b.name])
                           for b in surrogates]
         adv01, final_cost = run_config(tag, surrogates, mesh, clips01,
-                                       steps=args.steps, **kw)
+                                       steps=args.steps, eps=eps, **kw)
         if tag == "f32":
             adv_f32 = adv01
         adv_pred_sets[tag] = victim_preds(victims, adv01)
@@ -475,7 +563,7 @@ def main():
     # ±ε sign-noise control: sensitivity context for the absolute fooling
     # numbers (see the gate note below)
     rng = np.random.RandomState(7)
-    noise = EPS * np.sign(rng.randn(*np.asarray(clips01).shape)
+    noise = eps * np.sign(rng.randn(*np.asarray(clips01).shape)
                           ).astype(np.float32)
     noisy = jnp.clip(clips01 + noise, 0.0, 1.0)
     adv_pred_sets["noise_control"] = victim_preds(victims, noisy)
@@ -485,51 +573,92 @@ def main():
     print(f"[noise_control] fooling mean="
           f"{results['noise_control']['fooling_rate']['mean']}", flush=True)
 
-    f32_rate = results["f32"]["fooling_rate"]["mean"]
+    flips = {tag: flip_matrix(clean_preds, preds)
+             for tag, preds in adv_pred_sets.items()}
     gates = {}
-    for lever in ("f32_chunk", "f32_ulp", "bf16", "multigrid",
-                  "multigrid_cs12", "f16_egress"):
-        delta = results[lever]["fooling_rate"]["mean"] - f32_rate
-        gates[lever] = {
-            "delta_vs_f32": round(delta, 4),
-            "within_tolerance": bool(abs(delta) <= args.tol),
-            # a lever is a numerics variant of the SAME optimization, so its
-            # adv set should steer victims to (near-)identical predictions;
-            # an unrelated ±ε perturbation should not — this stays sensitive
-            # even when absolute fooling rates sit near the noise floor
-            "pred_agreement_vs_f32": pred_agreement(adv_pred_sets[lever],
-                                                    adv_pred_sets["f32"]),
-            "flip_overlap_vs_f32": flip_overlap(clean_preds,
-                                                adv_pred_sets["f32"],
-                                                adv_pred_sets[lever]),
-        }
-    noise_floor = results["noise_control"]["fooling_rate"]["mean"]
+    for lever in configs:
+        if lever == "f32":
+            continue
+        gates[lever] = gate_lever(flips["f32"], flips[lever],
+                                  flips["noise_control"],
+                                  retain=args.retain, n_boot=args.boot)
+        # a lever is a numerics variant of the SAME optimization, so its
+        # adv set should steer victims to (near-)identical predictions;
+        # an unrelated ±ε perturbation should not
+        gates[lever]["pred_agreement_vs_f32"] = pred_agreement(
+            adv_pred_sets[lever], adv_pred_sets["f32"])
+        gates[lever]["flip_overlap_vs_f32"] = flip_overlap(
+            clean_preds, adv_pred_sets["f32"], adv_pred_sets[lever])
+    if "f16_egress" in adv_pred_sets:
+        gates["f16_egress"] = gate_lever(
+            flips["f32"], flips["f16_egress"], flips["noise_control"],
+            retain=args.retain, n_boot=args.boot)
+        gates["f16_egress"]["flip_overlap_vs_f32"] = flip_overlap(
+            clean_preds, adv_pred_sets["f32"], adv_pred_sets["f16_egress"])
+
+    # ---- gate self-test (the failure mode the round-4 gate lacked) ----
+    # Two levers that MUST fail: ±ε noise-as-lever (an "attack" with no
+    # transfer) and the identity lever (a config that zeroes the attack).
+    # If either passes, the gate is vacuous and the artifact says so.
+    identity = np.zeros_like(flips["f32"])
+    self_test = {
+        "noise_as_lever": gate_lever(flips["f32"],
+                                     flips["noise_control"],
+                                     flips["noise_control"],
+                                     retain=args.retain, n_boot=args.boot),
+        "identity_as_lever": gate_lever(flips["f32"], identity,
+                                        flips["noise_control"],
+                                        retain=args.retain,
+                                        n_boot=args.boot),
+    }
+    gate_can_fail = (not self_test["noise_as_lever"]["passes"]
+                     and not self_test["identity_as_lever"]["passes"])
+
+    # ---- gate power precondition: f32's efficacy must be significantly
+    # positive (CI excludes 0), else retention is measured against noise
+    f32_rate = float(flips["f32"].mean())
+    noise_floor = float(flips["noise_control"].mean())
+
+    def _eff_f32(idx):
+        return (flips["f32"][:, idx].mean()
+                - flips["noise_control"][:, idx].mean())
+
+    eff_ci = bootstrap_ci(_eff_f32, flips["f32"].shape[1], n_boot=args.boot)
+    gates["gate_meta"] = {
+        "criterion": (f"lever passes iff (lever − noise) ≥ "
+                      f"{args.retain} · (f32 − noise); margin CI from "
+                      f"{args.boot} clip bootstraps"),
+        "n_clips": int(flips["f32"].shape[1]),
+        "n_pairs": int(flips["f32"].size),
+        "f32_fooling": round(f32_rate, 4),
+        "noise_fooling": round(noise_floor, 4),
+        "f32_efficacy_over_noise": round(f32_rate - noise_floor, 4),
+        "f32_efficacy_ci95": eff_ci,
+        "gate_powered": bool(eff_ci[0] > 0),
+        "gate_can_fail": bool(gate_can_fail),
+        "self_test": self_test,
+    }
     if trained:
         note = ("victims and surrogates are TRAINED on one shared synthetic "
                 "K-class task (class-conditioned pattern banks), so "
                 "surrogate features carry class structure and the attack "
-                "has real transfer signal: f32_minus_noise must be clearly "
-                "positive for the gate to measure efficacy rather than "
-                "divergence-vs-chaos (VERDICT r3 next #3). Exact variants "
-                "(f32_chunk, f32_ulp) must reproduce f32's predictions "
-                "pair-for-pair (flip_jaccard 1.0); approximate levers "
-                "(bf16, multigrid) must keep the mean fooling rate within "
-                "tolerance — ASR, not pixel identity, is the reference's "
-                "product metric (reference.py:105-129)")
+                "has real transfer signal. Exact variants (f32_chunk, "
+                "f32_ulp) must reproduce f32's predictions pair-for-pair "
+                "(flip_jaccard 1.0); approximate levers (bf16, multigrid) "
+                "must retain ≥ retain_threshold of f32's fooling-over-"
+                "noise efficacy, with clip-bootstrap CIs — ASR, not pixel "
+                "identity, is the reference's product metric "
+                "(reference.py:105-129)")
     else:
         note = ("random-init victims share no learned features with the "
                 "surrogates, so ABSOLUTE transfer above the noise floor is "
                 "not expected in this legacy mode — run with --train_steps "
                 "> 0 (the default) for the efficacy-measuring gate")
-    gates["noise_floor_context"] = {
-        "f32_minus_noise": round(f32_rate - noise_floor, 4),
-        "noise_pred_agreement_vs_f32": pred_agreement(
-            adv_pred_sets["noise_control"], adv_pred_sets["f32"]),
-        "noise_flip_overlap_vs_f32": flip_overlap(
-            clean_preds, adv_pred_sets["f32"],
-            adv_pred_sets["noise_control"]),
-        "note": note,
-    }
+    gates["gate_meta"]["note"] = note
+    gates["gate_meta"]["noise_pred_agreement_vs_f32"] = pred_agreement(
+        adv_pred_sets["noise_control"], adv_pred_sets["f32"])
+    gates["gate_meta"]["noise_flip_overlap_vs_f32"] = flip_overlap(
+        clean_preds, adv_pred_sets["f32"], adv_pred_sets["noise_control"])
 
     try:
         rev = subprocess.run(
@@ -543,7 +672,10 @@ def main():
         "protocol": {
             "clips": args.clips, "steps": args.steps,
             "frames": args.frames, "hw": args.hw,
-            "epsilon": "16/255", "tolerance": args.tol,
+            "epsilon": f"{args.eps255:g}/255",
+            "production_epsilon": "16/255",
+            "retain_threshold": args.retain,
+            "bootstrap_resamples": args.boot,
             "surrogates": ENS_DEPTHS,
             "victims": sorted(victims),
             "metric": "fooling rate: fraction of (clip, victim) pairs whose "

@@ -40,8 +40,8 @@ if ! python tools/run_slow_tier.py; then
   exit 1
 fi
 
-echo "[finalize] 3/3 bench (driver budget) → BENCH_LIVE.json / BENCH_FULL.json"
-if ! timeout 1500 python bench.py; then
+echo "[finalize] 3/3 bench (FULL tier, all rows live) → BENCH_LIVE.json / BENCH_FULL.json"
+if ! I2V_BENCH_TIER=full I2V_BENCH_BUDGET_S=2400 timeout 2700 python bench.py; then
   echo "[finalize] bench rc=$? at $REV — stamp NOT valid" >&2
   exit 1
 fi

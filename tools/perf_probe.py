@@ -268,7 +268,8 @@ def exec_probe(which: str) -> None:
     }
     if (which not in sharded_cases
             and which not in ("mi16_chunk8", "bim16_chunk8", "tt1_chunk15",
-                              "tt1_r101_chunk15", "gradcam32", "pallas")
+                              "tt1_r101_chunk15", "gradcam32", "pallas",
+                              "ens16_f32hp_chained")
             and not (which.startswith("ens16_f32hp_chunk")
                      and "ens16_f32_chunk" + which[len("ens16_f32hp_chunk"):]
                      in sharded_cases)
@@ -316,6 +317,66 @@ def exec_probe(which: str) -> None:
         with ctx:
             sps, final, cs = run_sharded(mf(dt), batch, adaptive, chunk,
                                          param_dtype=pdt, steps=n_steps)
+    elif which == "ens16_f32hp_chained":
+        # production-shape bit-faithful f32 via SIX CHAINED 10-step HIGHEST
+        # programs (VERDICT r4 next #5): every 60-step HIGHEST program
+        # crashes this environment's worker (exec_ens16_f32hp_chunk64.crash)
+        # but 10-step HIGHEST programs survive (exec_ens8_f32hp_s10), and
+        # opt_state_io makes a chain of short segments BIT-IDENTICAL to one
+        # contiguous run (tests/test_chained_opt.py) — so this measures the
+        # true 60-step B=16 HIGHEST cost, not an extrapolation. The
+        # (modifier, opt) carry stays on device between jit calls; explicit
+        # zero opt_init keeps all six segments on ONE compiled program.
+        import numpy as np
+
+        from i2v_tpu.attacks.i2v import MODIFIER_INIT
+
+        mesh = attack_mesh(jax.devices()[:1])
+        models = _ens_models(jnp.float32)
+        seg_steps, n_seg, batch = 10, 6, 16
+        runner = make_sharded_i2v_runner(
+            models, mesh, steps=seg_steps, step_size=0.005, frame_chunk=64,
+            return_modifier=True, opt_state_io=True)
+        clean = shard_clips(
+            jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+
+        def zero_carry():
+            mod0 = jnp.full((batch * 32, 224, 224, 3), MODIFIER_INIT,
+                            jnp.float32)
+            return mod0, (jnp.zeros([], jnp.int32), jnp.zeros_like(mod0),
+                          jnp.zeros_like(mod0))
+
+        def chain():
+            mod, opt = zero_carry()
+            segs = []
+            for _ in range(n_seg):
+                _, costs, mod, opt = runner(clean, mod_init=mod,
+                                            opt_init=opt)
+                segs.append(costs)
+            # one small fetch syncs the whole chain (relay ack caveat)
+            tail = jnp.stack([c[-1] for c in segs])
+            return float(np.asarray(tail)[-1]), np.asarray(tail)
+
+        with jax.default_matmul_precision("float32"):
+            t0 = time.time()
+            final, _ = chain()  # compile + first full 60-step chain
+            compile_s = time.time() - t0
+            t0 = time.time()
+            final, seg_tails = chain()
+            dt = time.time() - t0
+        sps = seg_steps * n_seg / dt * (batch * 32 / 512)
+        record("exec_ens16_f32hp_chained", {
+            "executed": True,
+            "steps_per_s_512norm": round(sps, 3),
+            "final_cost": round(final, 3),
+            "segment_final_costs": [round(float(x), 3) for x in seg_tails],
+            "compile_and_first_s": round(compile_s, 1),
+            "segments": f"{n_seg}x{seg_steps}-step HIGHEST, chunk64, "
+                        "device-carried (modifier, opt) via opt_state_io — "
+                        "bit-identical to one 60-step run "
+                        "(tests/test_chained_opt.py)",
+        })
+        return
     elif which.startswith("ens16_f32hp_chunk"):
         # the f32 headline config with matmul/conv precision forced to
         # HIGHEST (true-f32 MXU passes). The plain "f32" rows keep f32
@@ -688,53 +749,133 @@ def cost_probe(which: str = "fit") -> None:
 
     mesh = attack_mesh()
 
-    def analyze(models, batch, frame_chunk=None, param_dtype=None):
-        c = shard_clips(jnp.full((batch, 3, 32, 224, 224), 0.5, jnp.float32), mesh)
+    def analyze(models, batch, frame_chunk=None, param_dtype=None,
+                adaptive=False, hw=224):
+        c = shard_clips(jnp.full((batch, 3, 32, hw, hw), 0.5, jnp.float32),
+                        mesh)
         r1 = make_sharded_i2v_runner(models, mesh, steps=1, step_size=0.005,
                                      frame_chunk=frame_chunk,
-                                     param_dtype=param_dtype)
+                                     param_dtype=param_dtype,
+                                     adaptive=adaptive)
         ca = r1.jitted.lower(*r1.example_args(c)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         return (float(ca.get("flops", float("nan"))),
                 float(ca.get("bytes accessed", float("nan"))))
 
-    if which in ("f32_chunk128", "bf16_chunk256"):
-        # XLA cost analysis counts the frame-chunk SCAN BODY ONCE regardless
-        # of trip count, so a single compile of the chunked program reports
-        # fixed + body(chunk), not the true per-step fixed + body·trips.
-        # body(c) scales linearly in c, so two chunk sizes solve it:
-        #   counted(c) = fixed + k·c   →  k = Δcounted/Δc
-        #   true per-step = counted(c1) + k·(512 − c1)      (512 frames@B=16)
-        dtype = jnp.float32 if which.startswith("f32") else jnp.bfloat16
-        c1 = int(which.rsplit("chunk", 1)[1])
+    def _param_bytes(models, param_dtype):
+        tot = 0
+        for m in models:
+            for x in jax.tree.leaves(m.params):
+                if param_dtype is not None and jnp.issubdtype(x.dtype,
+                                                              jnp.floating):
+                    tot += x.size * jnp.dtype(param_dtype).itemsize
+                else:
+                    tot += x.size * x.dtype.itemsize
+        return tot
+
+    def chunked_fit(models, c1, pdt, adaptive=False, hw=224,
+                    frames=512) -> dict:
+        """Per-step roofline of an EXACT shipped chunked program.
+
+        XLA cost analysis counts the frame-chunk SCAN BODY ONCE regardless
+        of trip count, so a single compile reports fixed + body(chunk).
+        body(c) = w + p·c where w is the per-trip loop-INVARIANT traffic
+        (the ensemble weights streamed from HBM each trip — they are ~1 GB,
+        far beyond VMEM residency) and p·c the frame-proportional part. Two
+        chunk sizes give the slope p, but fixed and w share the intercept,
+        so the extra (trips−1) weight re-reads are added from the analytic
+        weight-bytes estimate w_est = 2·param_bytes (forward + transposed-
+        conv backward reads; modifier-grad accumulation is frame-
+        proportional and already in p). ADVICE r4 #1: the previous fit
+        omitted this term and understated hbm_bound_ms.
+        """
         c2 = c1 // 2
-        pdt = None if which.startswith("f32") else jnp.bfloat16
-        models = _ens_models(dtype)
-        fa, ba = analyze(models, 16, frame_chunk=c1, param_dtype=pdt)
-        fb, bb = analyze(models, 16, frame_chunk=c2, param_dtype=pdt)
+        fa, ba = analyze(models, 16, frame_chunk=c1, param_dtype=pdt,
+                         adaptive=adaptive, hw=hw)
+        fb, bb = analyze(models, 16, frame_chunk=c2, param_dtype=pdt,
+                         adaptive=adaptive, hw=hw)
         kf, kb = (fa - fb) / (c1 - c2), (ba - bb) / (c1 - c2)
-        f16 = fa + kf * (512 - c1)
-        b16 = ba + kb * (512 - c1)
-        hbm_ms = b16 / 819e9 * 1e3
+        trips = max(1, frames // c1)
+        w_est = 2.0 * _param_bytes(models, pdt)
+        f16 = fa + kf * (frames - c1)  # flops have no loop-invariant reread
+        b16 = ba + kb * (frames - c1) + (trips - 1) * w_est
+        return {"flops_per_step": f16, "bytes_per_step": b16,
+                "counted": (fa, ba, fb, bb), "trips": trips,
+                "weight_bytes_per_trip_est": w_est, "chunks": (c1, c2)}
+
+    aliases = {"f32_chunk128": "ens16_f32_chunk128",
+               "bf16_chunk256": "ens16_bf16_chunk256"}
+    which = aliases.get(which, which)
+    chunk_cases = {
+        # family, models_fn, dtype, chunk, param_dtype, adaptive
+        "ens16_f32_chunk128": (_ens_models, jnp.float32, 128, None, False),
+        "ens16_bf16_chunk256": (_ens_models, jnp.bfloat16, 256, jnp.bfloat16,
+                                False),
+        "aens16_bf16_chunk256": (_aens_models, jnp.bfloat16, 256,
+                                 jnp.bfloat16, True),
+    }
+    if which in chunk_cases:
+        mf, dtype, c1, pdt, adaptive = chunk_cases[which]
+        models = mf(dtype)
+        fit = chunked_fit(models, c1, pdt, adaptive=adaptive)
+        hbm_ms = fit["bytes_per_step"] / 819e9 * 1e3
         # MXU bound at the 197 bf16-TFLOP/s peak: for the f32 program this
         # is the bound on the DEFAULT matmul mode (bf16-multiplier passes
         # with f32 accumulate — the mode the headline row runs); true-f32
-        # HIGHEST pays multiple passes (measured: exec_ens8_f32hp_s10 vs
-        # exec_ens8_f32_s10)
-        mxu_ms = f16 / 197e12 * 1e3
-        print(f"[cost:{which}] chunk{c1} counted flops={fa:.3e} "
-              f"bytes={ba:.3e}; chunk{c2} flops={fb:.3e} bytes={bb:.3e} → "
-              f"true/step flops={f16:.3e} bytes={b16:.3e} → "
-              f"HBM {hbm_ms:.1f} ms, MXU {mxu_ms:.1f} ms")
-        record(f"roofline_ens16_{which}", {
-            "flops_per_step": f16, "bytes_per_step": b16,
+        # HIGHEST pays multiple passes (measured: exec_ens16_f32hp_chained)
+        mxu_ms = fit["flops_per_step"] / 197e12 * 1e3
+        print(f"[cost:{which}] true/step flops={fit['flops_per_step']:.3e} "
+              f"bytes={fit['bytes_per_step']:.3e} (incl. "
+              f"{fit['trips'] - 1}x{fit['weight_bytes_per_trip_est']:.2e} "
+              f"weight rereads) → HBM {hbm_ms:.1f} ms, MXU {mxu_ms:.1f} ms")
+        record(f"roofline_{which}", {
+            "flops_per_step": fit["flops_per_step"],
+            "bytes_per_step": fit["bytes_per_step"],
+            "weight_bytes_per_trip_est": fit["weight_bytes_per_trip_est"],
+            "trips": fit["trips"],
             "hbm_bound_ms": round(hbm_ms, 1), "mxu_bound_ms": round(mxu_ms, 1),
             "note": "EXACT shipped B=16 chunked program; scan-body-once "
-                    "corrected by a two-chunk linear fit "
-                    f"(chunk{c1}/chunk{c2}); v5e peaks 819GB/s HBM, "
-                    "197TFLOP/s (bf16-multiplier) MXU; binding resource = "
-                    "the larger bound",
+                    "corrected by a two-chunk linear fit (chunk"
+                    f"{fit['chunks'][0]}/{fit['chunks'][1]}) PLUS "
+                    "(trips-1) analytic weight-reread bytes per step "
+                    "(ADVICE r4 #1 — the fit alone understates HBM); v5e "
+                    "peaks 819GB/s HBM, 197TFLOP/s (bf16-multiplier) MXU; "
+                    "binding resource = the larger bound",
         })
+        return
+    if which == "mg16_bf16":
+        # the multigrid bench row (30 coarse steps @112² + 30 fine @224²,
+        # bf16, both phases chunk 256 — bench_multigrid passes
+        # frame_chunk=256 and the coarse phase inherits it): per-60-step-
+        # equivalent bound = mean of the two phases' per-step bounds
+        # (equal step counts).
+        models = _ens_models(jnp.bfloat16)
+        fine = chunked_fit(models, 256, jnp.bfloat16)
+        coarse = chunked_fit(models, 256, jnp.bfloat16, hw=112)
+        f_step = 0.5 * (fine["flops_per_step"] + coarse["flops_per_step"])
+        b_step = 0.5 * (fine["bytes_per_step"] + coarse["bytes_per_step"])
+        hbm_ms = b_step / 819e9 * 1e3
+        mxu_ms = f_step / 197e12 * 1e3
+        print(f"[cost:mg16_bf16] fine bytes={fine['bytes_per_step']:.3e} "
+              f"coarse bytes={coarse['bytes_per_step']:.3e} → "
+              f"per-step-equiv HBM {hbm_ms:.1f} ms, MXU {mxu_ms:.1f} ms")
+        record("roofline_mg16_bf16", {
+            "flops_per_step": f_step, "bytes_per_step": b_step,
+            "fine_bytes_per_step": fine["bytes_per_step"],
+            "coarse_bytes_per_step": coarse["bytes_per_step"],
+            "hbm_bound_ms": round(hbm_ms, 1), "mxu_bound_ms": round(mxu_ms, 1),
+            "note": "per-60-step-EQUIVALENT bound for the multigrid row "
+                    "(30@112² + 30@224², both chunk256, equal-weight mean); "
+                    "both phases trip-corrected like "
+                    "roofline_ens16_bf16_chunk256 (ADVICE r4 #1); v5e peaks "
+                    "819GB/s, 197TFLOP/s",
+        })
+        return
+    if which != "fit":
+        # a typo'd case must not silently run the legacy unchunked fit
+        print(f"unknown cost case {which!r}; known: fit, mg16_bf16, "
+              f"{', '.join(sorted(chunk_cases))} (aliases: "
+              f"{', '.join(sorted(aliases))})")
         return
     models = _ens_models(jnp.bfloat16)
     f8, b8 = analyze(models, 8)
