@@ -159,8 +159,11 @@ def _roofline_fields(key: str, sps: float) -> dict:
         "pct_of_roofline": round(100.0 * sps * bound_ms / 1e3, 1),
         "roofline_note": (
             f"{binding}-bound per PERF_PROBE.json {key} (HBM {hbm} ms, "
-            f"MXU {mxu} ms per step at v5e peaks); gap to bound = scan/"
-            f"chunk orchestration + non-MXU ops the analysis prices at peak"),
+            f"MXU {mxu} ms per step at v5e peaks); gap trace-attributed in "
+            f"PERF_PROBE.json trace_ens16_f32_chunk128: layout "
+            f"copies/transposes (33%) + maxpool-backward select-and-scatter "
+            f"(21%) run far below peak; the reshape+max pool fix attempt "
+            f"measured NEGATIVE (exec_ens16_f32_chunk128_poolhw2)"),
     }
 
 

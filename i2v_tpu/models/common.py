@@ -51,7 +51,19 @@ def conv(features: int, kernel: int, stride: int = 1, padding: int = 0, *,
 
 def max_pool(x, kernel: int, stride: int, padding: int = 0, ceil_mode: bool = False):
     """Max pool matching torch semantics incl. ceil_mode (extra right/bottom
-    padding with -inf so the last partial window is kept)."""
+    padding with -inf so the last partial window is kept).
+
+    MEASURED NEGATIVE (round 5): routing the non-overlapping 2×2/s2 case
+    (every VGG pool) through reshape+max (``max_pool_hw2``, the spatial
+    twin of tpn._pool_t_ceil) to kill the maxpool-backward
+    select-and-scatter — 21.5% of the f32 headline step per the trace
+    (PERF_PROBE.json trace_ens16_f32_chunk128) — made the whole step 11%
+    SLOWER (1.886 vs 2.112 steps/s) and blew the compile up 61 s → 1295 s:
+    the h→(h/2,2) reshape fights the (8,128)-tiled NHWC layout and XLA
+    re-materializes layouts around it (PERF_PROBE.json
+    exec_ens16_f32_chunk128_poolhw2). nn.max_pool stays the default;
+    max_pool_hw2 remains for layouts where it wins (tpn's temporal pool
+    form does)."""
     h, w = x.shape[1], x.shape[2]
     pad_h = pad_w = (padding, padding)
     if ceil_mode:
@@ -66,6 +78,13 @@ def max_pool(x, kernel: int, stride: int, padding: int = 0, ceil_mode: bool = Fa
         strides=(stride, stride),
         padding=(pad_h, pad_w),
     )
+
+
+def max_pool_hw2(x):
+    """Non-overlapping 2×2/s2 spatial max via reshape+max (NHWC)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4))
 
 
 def collect_tap(taps: dict, want: Sequence[int], depth: int, value) -> None:

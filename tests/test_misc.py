@@ -339,13 +339,25 @@ class TestBenchContract:
         bench.main()
         out = json.loads(capsys.readouterr().out.strip())
         rows = json.loads((tmp_path / "full.json").read_text())["rows"]
-        skipped = [r for r in rows if r.get("skipped") == "budget"]
-        assert skipped, "budget-exhausted sections must emit skip rows"
+        skipped = [r for r in rows if r.get("skipped") in ("budget", "tier")]
+        assert skipped, "skipped sections must emit skip rows"
         replayed = [r for r in skipped if "value" in r]
-        # both prev rows replay (under their sections), marked cached
+        # both prev rows replay (under their sections), marked cached —
+        # the CORE section (ENS) as a budget casualty, the EXTENDED section
+        # (TT) as replay-by-design under the default core tier
         assert {r["metric"] for r in replayed} == {r["metric"]
                                                    for r in prev["rows"]}
-        assert all("budget exhausted" in r["cached_from"] for r in replayed)
+        ens = next(r for r in replayed if "ENS-I2V" in r["metric"])
+        tt = next(r for r in replayed if "TemporalTranslation" in r["metric"])
+        assert ens["skipped"] == "budget"
+        assert "budget exhausted" in ens["cached_from"]
+        assert tt["skipped"] == "tier"
+        assert "replay-by-design" in tt["cached_from"]
+        # tier accounting surfaces in the compact summary
+        assert out["tier"] == "core"
+        assert out["rows_replay_by_design"] >= 1
+        assert out["rows_core_total"] == len(rows) - \
+            out["rows_replay_by_design"]
         # the summary headline falls back to the cached f32 ENS row
         assert out["value"] == 2.11
         # nothing fresh was measured → BENCH_LIVE must keep the previous set
