@@ -896,6 +896,25 @@ def bench_e2e(b: Bench):
             rt_dt = time.time() - t0
         log(f"  round trip: {rt_dt:.1f}s for {batch} clips")
         fused_cps = n_batches * batch / fused_dt
+        extra = {}
+        try:
+            # the EXECUTED 400-clip run (tools/e2e_400.py, VERDICT r4 next
+            # #3): quote the measured numbers next to the projection
+            with open(os.path.join(_HERE, "E2E_400.json")) as f:
+                e4 = json.load(f)
+            if e4.get("executed"):
+                extra = {
+                    "executed_400clip_wall_s": e4["total_measured_wall_s"],
+                    "executed_400clip_clips_per_s":
+                        e4["clips_per_s_end_to_end"],
+                    "executed_400clip_steady_clips_per_s":
+                        e4.get("steady_state_clips_per_s"),
+                    "executed_400clip_note":
+                        "measured run incl. hard mid-run kill + resume "
+                        "(E2E_400.json / exec_e2e400)",
+                }
+        except Exception:
+            pass
         b.row(f"end-to-end adv throughput, fused gen+eval (u8 ingress, bf16 "
               f"ENS 60 steps, async f16 artifacts, eval {len(eval_names)} "
               f"video models, B=8, {n_batches} batches)",
@@ -906,7 +925,7 @@ def bench_e2e(b: Bench):
               fused_speedup_vs_roundtrip=round(fused_cps * rt_dt / batch, 2),
               projected_400clip_gen_eval_wall_s=round(400 / fused_cps, 1),
               projected_400clip_roundtrip_wall_s=round(400 * rt_dt / batch,
-                                                       1))
+                                                       1), **extra)
     except Exception as e:
         log(f"  e2e failed: {type(e).__name__}: {str(e)[:300]}")
 

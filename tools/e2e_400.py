@@ -181,13 +181,18 @@ def summarize(args) -> None:
               + b_fin.get("attack_wall_s", 0.0)
               + b_fin.get("finalize_wall_s", 0.0))
 
-    # steady-state attack rate from consecutive phase-B batch marks
-    # (post-compile): the un-killed-run rate the projection estimated
+    # steady-state attack+eval rate from consecutive batch marks
+    # (first batch of each phase excluded — it pays the jit compile):
+    # the un-killed single-process rate the projection estimated
+    def _steady(batches):
+        if len(batches) < 3:
+            return None
+        dt = batches[-1]["wall_s"] - batches[0]["wall_s"]
+        return round(BATCH * (len(batches) - 1) / dt, 3) if dt > 0 else None
+
     b_batches = [m for m in b if m["event"] == "batch"]
-    steady = None
-    if len(b_batches) >= 3:
-        dt = b_batches[-1]["wall_s"] - b_batches[0]["wall_s"]
-        steady = round(BATCH * (len(b_batches) - 1) / dt, 3) if dt > 0 else None
+    steady_a = _steady(a_batches)
+    steady = _steady(b_batches) or steady_a
 
     n_artifacts = len(artifacts.list_adv_files(args.run_dir))
     csv = pd.read_csv(os.path.join(args.run_dir,
@@ -226,6 +231,7 @@ def summarize(args) -> None:
         "total_measured_wall_s": total,
         "clips_per_s_end_to_end": round(N_CLIPS / total, 3),
         "steady_state_clips_per_s": steady,
+        "steady_state_clips_per_s_phase_a": steady_a,
         "artifact_count": n_artifacts,
         "report_rows": int(len(csv)),
         "labels_fully_covered": covered,
@@ -234,8 +240,12 @@ def summarize(args) -> None:
         "measured_vs_projected": round(total / projected, 3),
         "note": ("measured total includes what the projection could not: "
                  "two process setups/compiles, the mid-run kill, and the "
-                 "resume's re-score of the surviving artifacts — the "
-                 "steady_state rate is the like-for-like comparison"),
+                 "resume's re-score of the surviving artifacts (f32 "
+                 "re-upload through the ~10 MB/s relay dominates it) — the "
+                 "steady_state rates are the like-for-like comparison "
+                 "against the projection's attack-only basis "
+                 "(phase A ran alone; phase B shared the single host CPU "
+                 "with the nice-15 ASR-proxy run)"),
     }
     with open(ARTIFACT, "w") as f:
         json.dump(out, f, indent=1)
@@ -247,6 +257,7 @@ def summarize(args) -> None:
         "total_measured_wall_s": total,
         "clips_per_s_end_to_end": out["clips_per_s_end_to_end"],
         "steady_state_clips_per_s": steady,
+        "steady_state_clips_per_s_phase_a": steady_a,
         "artifact_count": n_artifacts,
         "labels_fully_covered": covered,
         "projected_wall_s": projected,
