@@ -21,6 +21,23 @@ def _lib_path() -> str:
     return os.path.join(here, "native", "libi2vio.so")
 
 
+def _autobuild(path: str) -> bool:
+    """Build libi2vio.so from source on first use. The library is an
+    intentionally untracked build artifact (ADVICE r4: the committed binary
+    risked going stale against its source), so a fresh checkout must
+    self-build; build.sh is a one-liner g++ invocation (~2 s)."""
+    build = os.path.join(os.path.dirname(path), "build.sh")
+    if not os.path.exists(build):
+        return False
+    import subprocess
+    try:
+        subprocess.run(["sh", build], capture_output=True, timeout=120,
+                       check=True)
+    except (OSError, subprocess.SubprocessError):
+        return False
+    return os.path.exists(path)
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -28,7 +45,10 @@ def _load():
     _TRIED = True
     path = _lib_path()
     if not os.path.exists(path):
-        return None
+        # explicit override (I2V_TPU_NATIVE_LIB) missing: the caller asked
+        # for a specific binary — don't silently substitute a fresh build
+        if os.environ.get("I2V_TPU_NATIVE_LIB") or not _autobuild(path):
+            return None
     try:
         lib = ctypes.CDLL(path)
         lib.i2v_decode_video.argtypes = [
