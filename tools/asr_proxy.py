@@ -215,6 +215,52 @@ def train_surrogates(surrogates: list, clips01, labels, *, steps: int,
     return out
 
 
+def _train_cache_path(args) -> str:
+    """Trained-params cache: victim/surrogate training is ~1 h on this
+    1-core host and depends only on the training protocol, not on ε or the
+    lever set — cache it so ε-calibration runs, the main powered run, and
+    the sensitivity companion train once. Keyed by every protocol knob
+    that feeds training; delete .asr_cache/ to force retraining."""
+    key = (f"v1_{args.train_steps}_{args.train_clips}_{args.strength:g}"
+           f"_{args.frames}_{args.hw}")
+    d = os.path.join(os.path.dirname(ARTIFACT), ".asr_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"trained_{key}.pkl")
+
+
+def _save_trained(path: str, victims: dict, surrogate_params: dict):
+    import pickle
+
+    to_np = lambda tree: jax.tree.map(np.asarray, tree)
+    blob = {"victims": {n: to_np(b.params) for n, b in victims.items()},
+            "surrogates": {n: to_np(p) for n, p in surrogate_params.items()}}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+
+
+def _load_trained(path: str, victims: dict):
+    """→ (rebound victims, surrogate_params) or None on any mismatch."""
+    import pickle
+
+    from i2v_tpu.models.api import rebind_params
+
+    try:
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+    except (OSError, pickle.UnpicklingError, EOFError):
+        return None
+    if set(blob.get("victims", {})) != set(victims):
+        return None
+    try:
+        out_v = {n: rebind_params(b, blob["victims"][n])
+                 for n, b in victims.items()}
+    except (KeyError, TypeError, ValueError):
+        return None
+    return out_v, blob["surrogates"]
+
+
 def clean_accuracy(victims: dict, clips01, labels) -> dict:
     preds = victim_preds(victims, clips01)
     acc = {name: round(float(np.mean(preds[name] == np.asarray(labels))), 4)
@@ -461,16 +507,24 @@ def main():
             args.clips, args.frames, args.hw, seed=0,
             patterns=patterns, strength=args.strength)
         t0 = time.time()
-        print(f"[train] victims: {args.train_steps} steps on "
-              f"{args.train_clips} clips", flush=True)
-        victims = train_victims(victims, train_x, train_y,
-                                steps=args.train_steps)
-        base_surr = get_image_models(ENS_NAMES, ENS_DEPTHS, tiny=True,
-                                     input_hw=args.hw)
-        print("[train] surrogates (frame-wise, same task)", flush=True)
-        base_surr = train_surrogates(base_surr, train_x, train_y,
-                                     steps=args.train_steps)
-        surrogate_params = {b.name: b.params for b in base_surr}
+        cache = _train_cache_path(args)
+        cached = _load_trained(cache, victims)
+        if cached is not None:
+            victims, surrogate_params = cached
+            print(f"[train] loaded cached trained params: {cache}",
+                  flush=True)
+        else:
+            print(f"[train] victims: {args.train_steps} steps on "
+                  f"{args.train_clips} clips", flush=True)
+            victims = train_victims(victims, train_x, train_y,
+                                    steps=args.train_steps)
+            base_surr = get_image_models(ENS_NAMES, ENS_DEPTHS, tiny=True,
+                                         input_hw=args.hw)
+            print("[train] surrogates (frame-wise, same task)", flush=True)
+            base_surr = train_surrogates(base_surr, train_x, train_y,
+                                         steps=args.train_steps)
+            surrogate_params = {b.name: b.params for b in base_surr}
+            _save_trained(cache, victims, surrogate_params)
         print(f"[train] done in {time.time() - t0:.0f}s", flush=True)
         train_acc = clean_accuracy(victims, train_x, train_y)
         attack_acc = clean_accuracy(victims, clips01, attack_labels)
