@@ -1118,8 +1118,18 @@ def main():
             os._exit(1)
         os._exit(0)
 
-    signal.signal(signal.SIGTERM, flush_and_exit)
+    # the handler must not outlive main(): tests call main() in-process
+    # with monkeypatched artifact paths, and a handler left installed
+    # would fire on a LATER SIGTERM (after the paths are restored) and
+    # clobber the repo's real BENCH artifacts with a bogus flush
+    prev_sigterm = signal.signal(signal.SIGTERM, flush_and_exit)
+    try:
+        _main_sections(b, pending)
+    finally:
+        signal.signal(signal.SIGTERM, prev_sigterm)
 
+
+def _main_sections(b, pending):
     # the decode rows are pure host work — they come first so even a dead
     # device relay yields a non-empty BENCH artifact
     bench_decode(b)

@@ -142,6 +142,30 @@ class TestBenchContract:
         # good live row set with host-only rows)
         assert not (tmp_path / "live.json").exists()
 
+    def test_main_restores_sigterm_handler(self, monkeypatch, capsys,
+                                           tmp_path):
+        """A SIGTERM handler left installed after main() returns would fire
+        on a LATER signal to the host process (observed: pytest killed
+        minutes after this suite ran bench.main) and flush a bogus summary
+        over the repo's REAL artifacts — monkeypatched paths are restored
+        by then."""
+        import signal as _signal
+
+        bench = self._import_bench()
+        monkeypatch.setattr(bench, "devices_or_none", lambda: None)
+        monkeypatch.setattr(bench, "PERF_PROBE_PATH", "/nonexistent.json")
+        monkeypatch.setattr(bench, "BENCH_LIVE_PATH",
+                            str(tmp_path / "live.json"))
+        monkeypatch.setattr(bench, "BENCH_FULL_PATH",
+                            str(tmp_path / "full.json"))
+        monkeypatch.setattr(
+            bench, "bench_decode",
+            lambda b: b.row("native decode clips/s (host)", 1.0, "clips/s"))
+        before = _signal.getsignal(_signal.SIGTERM)
+        bench.main()
+        capsys.readouterr()
+        assert _signal.getsignal(_signal.SIGTERM) is before
+
     def test_device_unavailable_replays_cached_device_rows(self, monkeypatch,
                                                            capsys, tmp_path):
         """A relay outage at bench time still yields the last MEASURED
