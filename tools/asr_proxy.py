@@ -548,11 +548,12 @@ def main():
         "f32": dict(frame_chunk=None, param_dtype=None),
         "f32_chunk": dict(frame_chunk=chunk, param_dtype=None),
         # exactness control: f32 numerics with the modifier init perturbed
-        # by ~16 ulp. MEASURED OUTCOME (48 clips, 60 steps): victim
-        # predictions stay IDENTICAL to f32 — the proxy pipeline is
-        # deterministic and non-chaotic at this scale, so any flip-set
-        # divergence seen for bf16/multigrid is attributable to the lever's
-        # numerics, not to pipeline noise
+        # by ~16 ulp. MEASURED OUTCOMES: at 48 clips / ε=16 victim
+        # predictions stayed IDENTICAL to f32; at the powered operating
+        # point (192 clips, ε=48/255) the nudge moves fooling +0.17 pt
+        # with pred agreement 0.9983 — that band IS the pipeline's
+        # numerics noise, the yardstick against which bf16's −2.3 pt
+        # reads as a real (and gated) lever effect
         "f32_ulp": dict(frame_chunk=None, param_dtype=None,
                         mod_nudge=2.0 ** -20),
         "bf16": dict(frame_chunk=None, param_dtype=bf16),
